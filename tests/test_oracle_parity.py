@@ -1,0 +1,85 @@
+"""Local emulation of the driver's correctness gate: run every registry
+query on Spark and its DuckDB oracle side by side at sf0.001; compare
+row count, column names, and order-insensitive exact values.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import pytest
+
+from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+from conftest import SF_DIR
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if hasattr(v, "isoformat"):  # datetime / date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _norm_frame(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_cell(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    return cols, sorted(rows)
+
+
+ORACLE_SPECS = [
+    (name, spec) for name, spec in REGISTRY.items() if spec.oracle is not None
+]
+
+
+@pytest.mark.parametrize("name,spec", ORACLE_SPECS, ids=[n for n, _ in ORACLE_SPECS])
+def test_oracle_parity(spark, duck, name, spec):
+    sdf = spec.fn(spark, SF_DIR).toPandas()
+    ddf = duck.execute(spec.oracle).df()
+    s_cols, s_rows = _norm_frame(sdf)
+    d_cols, d_rows = _norm_frame(ddf)
+    assert s_cols == [c.lower() for c in d_cols] or s_cols == d_cols, (
+        f"{name}: column mismatch spark={s_cols} duck={d_cols}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: rowcount spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} row diffs, first 3: {mismatches[:3]}"
+
+
+def test_rows_only_queries_run(spark):
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            n = spec.fn(spark, SF_DIR).count()
+            assert n >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "window_start",
+        "window_end",
+        "user_id",
+        "total_interactions",
+    }
