@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink — full plan execution on the
+cluster side, no driver-side collect in the timed path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from realtime_data_pipeline_spark.plans.registry import REGISTRY
+from realtime_data_pipeline_spark.session import default_parallelism, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    n = default_parallelism()
+    spark = get_spark(
+        app_name="rdp-bench", master=f"local[{n}]", shuffle_partitions=n
+    )
+    # Warm the JVM / parquet footers so per-query numbers reflect the
+    # engine, not first-job startup.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    bench_specs = [s for s in REGISTRY.values() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        df = spec.fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
