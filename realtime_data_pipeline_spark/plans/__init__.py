@@ -4,3 +4,4 @@ from realtime_data_pipeline_spark.plans.registry import (  # noqa: F401
     queries,
     oracle_sql,
 )
+from realtime_data_pipeline_spark.plans import relational  # noqa: F401  (registers)

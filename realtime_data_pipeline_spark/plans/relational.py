@@ -1,0 +1,379 @@
+"""General relational analytics over the TPC-H-ish star schema.
+
+The reference implements zero joins / set ops / analytic window
+functions (SURVEY §2.4) — its dashboard is two disjoint aggregate
+streams.  The north star demands a general analytics surface, so these
+fill that gap idiomatically: declarative DataFrame plans that Catalyst
+optimizes (filter pushdown to the parquet scan, broadcast of small
+dimensions, partial aggregation before the shuffle).
+
+Scale posture: dimension tables (region/nation/supplier/customer at
+these ratios) are broadcast — no shuffle of the fact table for
+enrichment joins; fact-fact joins shuffle on their keys and rely on
+AQE for skew; top-k compiles to TakeOrderedAndProject.
+
+Cross-engine exactness: money aggregates go through DECIMAL (order-
+independent), averages divide a decimal sum cast to double (single
+deterministic division), ratios round to 4 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.plans.registry import _events, _t, register
+
+_DEC = "decimal(18,2)"
+
+
+def _revenue_col():
+    # double multiply per row is deterministic IEEE; the decimal cast
+    # makes the subsequent sum order-independent.
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: scan→filter→hash agg with decimal sums",
+    bench=True,
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+    )
+    cnt = F.count("*")
+    sum_qty = F.sum(F.col("l_quantity").cast(_DEC))
+    sum_price = F.sum(F.col("l_extendedprice").cast(_DEC))
+    sum_disc = F.sum(F.col("l_discount").cast("decimal(18,4)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.cast("decimal(38,2)").alias("sum_qty"),
+        sum_price.cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(_revenue_col()).cast("decimal(38,10)").alias("sum_disc_price"),
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(28,10)")
+        )
+        .cast("decimal(38,10)")
+        .alias("sum_charge"),
+        F.round(sum_qty.cast("double") / cnt, 4).alias("avg_qty"),
+        F.round(sum_price.cast("double") / cnt, 4).alias("avg_price"),
+        F.round(sum_disc.cast("double") / cnt, 4).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style multiway join: fact tables shuffle on keys, all "
+    "dimensions broadcast (no fact-table shuffle for enrichment)",
+    bench=True,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_unshipped_orders",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: selective dim filter broadcast into fact join, "
+    "top-k via TakeOrderedAndProject",
+)
+def q_top_unshipped_orders(spark, sf_dir):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left-semi join (EXISTS): customers having at least one order",
+)
+def q_customers_with_orders(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left-anti join (NOT EXISTS): customers with no orders",
+)
+def q_customers_without_orders(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+@register(
+    "order_priority_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    doc="hierarchical rollup (grouping sets): status → priority → grand total",
+)
+def q_order_priority_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "nation_top_customers",
+    """
+    SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_rank
+        FROM customer
+    ) WHERE bal_rank <= 5
+    """,
+    doc="analytic window function: per-nation rank by account balance, top 5",
+)
+def q_nation_top_customers(spark, sf_dir):
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("bal_rank"),
+        )
+        .where(F.col("bal_rank") <= 5)
+    )
+
+
+@register(
+    "customer_running_spend",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DECIMAL(38,2)) AS running_spend,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_order_price,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    WHERE o_custkey < 30
+    """,
+    doc="analytic frames: running decimal sum, lag, row_number per customer",
+)
+def q_customer_running_spend(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 30)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .over(w)
+            .cast("decimal(38,2)")
+            .alias("running_spend"),
+            F.lag("o_totalprice").over(w).alias("prev_order_price"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+    )
+
+
+@register(
+    "part_type_revenue_share",
+    """
+    WITH rev AS (
+        SELECT p_type,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+    )
+    SELECT p_type, revenue,
+           round(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER () AS DOUBLE), 4) AS revenue_share
+    FROM rev
+    """,
+    doc="agg + unbounded analytic window: per-type revenue and global share",
+)
+def q_part_type_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "p_type",
+        "revenue",
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double"),
+            4,
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "click_not_error_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="set op EXCEPT (distinct): users who clicked but never errored",
+)
+def q_click_not_error_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    errors = ev.where(F.col("event_type") == "error").select("user_id")
+    return clicks.subtract(errors)
+
+
+@register(
+    "click_and_purchase_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="set op INTERSECT (distinct): users who both clicked and purchased",
+)
+def q_click_and_purchase_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "event_user_segment_counts",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="stream-enrichment pattern: fact→broadcast-dim join, rollup by segment",
+)
+def q_event_user_segment_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"), 4
+            ).alias("avg_value"),
+        )
+    )
