@@ -5,3 +5,4 @@ from realtime_data_pipeline_spark.plans.registry import (  # noqa: F401
     oracle_sql,
 )
 from realtime_data_pipeline_spark.plans import relational  # noqa: F401  (registers)
+from realtime_data_pipeline_spark.plans import streaming_queries  # noqa: F401

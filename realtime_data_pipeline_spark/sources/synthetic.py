@@ -1,0 +1,102 @@
+"""Synthetic interaction-event source (S1-S3).
+
+The reference's producer (producer/producer.py:17-23) generates
+{user_id: "user_N", item_id: "item_M", interaction_type, timestamp}
+at a target rate with client-side batching and pacing
+(producer/producer.py:55-92).  In Spark the generator IS the source:
+the rate / rate-micro-batch sources give paced row production with
+backpressure for free, and the event shape is a pure column
+expression — no Python loop, no driver bottleneck, scales linearly
+with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# producer/producer.py:15 (same 5-valued categorical shape)
+INTERACTION_TYPES = ("click", "view", "purchase", "like", "add_to_cart")
+
+
+def _event_columns(user_range: int, item_range: int) -> list[Column]:
+    """S1: uniform-random keys + uniform choice of interaction type.
+
+    rand() is seeded per-task; `element_at` is 1-based.  All JVM-side
+    expressions — whole-stage codegen keeps this in one fused loop.
+    """
+    types = F.array(*[F.lit(t) for t in INTERACTION_TYPES])
+    return [
+        F.concat(
+            F.lit("user_"), (F.floor(F.rand() * user_range) + 1).cast("string")
+        ).alias("user_id"),
+        F.concat(
+            F.lit("item_"), (F.floor(F.rand() * item_range) + 1).cast("string")
+        ).alias("item_id"),
+        F.element_at(
+            types, (F.floor(F.rand() * len(INTERACTION_TYPES)) + 1).cast("int")
+        ).alias("interaction_type"),
+        F.col("timestamp"),
+    ]
+
+
+def synthetic_events_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    user_range: int = 100_000,
+    item_range: int = 10_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S1+S2: paced streaming generator.
+
+    rows_per_second mirrors the producer's --rate default of 1000/s
+    (producer/producer.py:100); the rate source handles pacing and
+    retries, superseding the reference's hand-rolled sleep loop and
+    backoff (producer/producer.py:25-53,82-85).
+    """
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load().select(_event_columns(user_range, item_range))
+
+
+def synthetic_events_batch(
+    spark: SparkSession,
+    n: int,
+    user_range: int = 100_000,
+    item_range: int = 10_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Batch variant: spark.range(n) + the same event expressions."""
+    rng = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+    return rng.select(
+        F.current_timestamp().alias("timestamp")
+    ).select(_event_columns(user_range, item_range))
+
+
+def to_kafka_payload(events: DataFrame) -> DataFrame:
+    """S3: JSON-serialize the event struct into a Kafka `value` column
+    (producer/producer.py:29-31 → F.to_json).  ISO-8601 timestamps render
+    via the session's UTC timezone."""
+    return events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct("user_id", "item_id", "interaction_type", "timestamp")
+        ).alias("value"),
+    )
+
+
+def write_to_kafka(payload: DataFrame, brokers: str, topic: str, **options):
+    """S3 egress: batch or streaming Kafka sink (requires the Kafka
+    connector package on the classpath)."""
+    writer = payload.write.format("kafka")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return (
+        writer.option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .save()
+    )

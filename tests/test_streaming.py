@@ -1,0 +1,159 @@
+"""Streaming-layer tests (SURVEY §5): batch–stream parity, upsert
+idempotence, watermark late-data semantics — all deterministic via
+file-replay sources and availableNow triggers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.streaming.monitor import attach_monitor
+from realtime_data_pipeline_spark.streaming.pipeline import (
+    EVENT_SCHEMA,
+    file_replay_stream,
+    windowed_stream_counts,
+)
+from realtime_data_pipeline_spark.streaming.sinks import UpsertTable, start_upsert_query
+
+from conftest import SF_DIR
+
+KEYS = ["window_start", "window_end", "user_id"]
+SENTINEL = "__sentinel__"
+
+
+def _ref_shaped_events(spark):
+    """sf0.001 events in the reference's wire shape."""
+    from realtime_data_pipeline_spark.tables import load_events
+
+    return load_events(spark, SF_DIR).select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.concat(F.lit("item_"), F.get_json_object("props", "$.k")).alias("item_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    )
+
+
+def _write_replay_fixture(spark, events, dirpath):
+    """Two files: the real events, then a far-future sentinel whose only
+    job is to advance the watermark past every real window."""
+    events.coalesce(1).write.mode("overwrite").parquet(dirpath)
+    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(SENTINEL, SENTINEL, "flush", max_ts + dt.timedelta(days=2))],
+        schema=EVENT_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(dirpath)
+
+
+def _run_replay(spark, replay_dir, table_path, ckpt, key="user_id"):
+    stream = file_replay_stream(spark, replay_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    agg = windowed_stream_counts(stream, key)
+    table = UpsertTable(spark, table_path, KEYS)
+    q = start_upsert_query(agg, table, ckpt, "parity", trigger_available_now=True)
+    q.awaitTermination(120)
+    return table
+
+
+@pytest.fixture(scope="module")
+def parity_setup(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream_parity")
+    events = _ref_shaped_events(spark)
+    replay = str(base / "replay")
+    _write_replay_fixture(spark, events, replay)
+    mon = attach_monitor(spark)
+    table = _run_replay(spark, replay, str(base / "table"), str(base / "ckpt"))
+    return events, table, mon, base
+
+
+def test_batch_stream_parity(spark, parity_setup):
+    events, table, _, _ = parity_setup
+    streamed = {
+        tuple(r) for r in table.read().where(F.col("user_id") != SENTINEL).collect()
+    }
+    batch = {
+        tuple(r) for r in windowed_stream_counts(events, "user_id").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_upsert_idempotent_replay(spark, parity_setup, tmp_path):
+    """Re-running the whole stream with a fresh checkpoint re-merges every
+    row under the same keys — the table must not grow or duplicate."""
+    events, table, _, base = parity_setup
+    before = table.read().count()
+    _run_replay(spark, str(base / "replay"), str(base / "table"), str(tmp_path / "ckpt2"))
+    after_df = table.read()
+    assert after_df.count() == before
+    assert after_df.groupBy(KEYS).count().where(F.col("count") > 1).count() == 0
+
+
+def test_monitor_collects_progress(parity_setup):
+    _, _, mon, _ = parity_setup
+    assert mon.total_rows > 0
+    assert all(b.lag >= 0 for b in mon.history)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event later than the 10-min watermark is dropped; late-but-within
+    event still counts (SURVEY §1.4.2, consumer/consumer.py:112)."""
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def ev(minute, user="user_1"):
+        return (user, "item_1", "click", t0 + dt.timedelta(minutes=minute))
+
+    replay = str(tmp_path / "replay")
+    # Watermark timing (observed on the physical plan: StateStoreSave
+    # carries TWO watermarks): the late-events filter of batch N uses the
+    # watermark as of batch N-2's data, eviction uses batch N-1's.  So a
+    # drop is only observable two batches after the advancing event.
+    batches = [
+        [ev(2)],                  # wm trails
+        [ev(30)],                 # wm (data-derived): 00:20
+        [ev(31)],                 # spacer: 00:20 becomes the late-filter wm
+        [ev(7), ev(22)],          # 00:07 → both its windows end ≤ 00:20 → dropped
+        [ev(60 * 48, SENTINEL)],  # flush: advance wm past every real window
+    ]
+    import time
+
+    for rows in batches:
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay)
+        time.sleep(1.1)  # distinct mtimes → stable file→batch order
+
+    table = _run_replay(spark, replay, str(tmp_path / "table"), str(tmp_path / "ckpt"))
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["total_interactions"])
+        for r in table.read().where(F.col("user_id") != SENTINEL).collect()
+    }
+    expected = {
+        ("23:55", 1), ("00:00", 1),  # ev(2); ev(7) dropped, else 00:00 would be 2
+        ("00:15", 1), ("00:20", 1),  # ev(22) — late but within wm → counted
+        ("00:25", 2), ("00:30", 2),  # ev(30) + ev(31)
+    }
+    # No ("00:05", …) row: ev(7)'s sole solo window — proof it was dropped.
+    assert got == expected
+
+
+def test_synthetic_source_shape(spark):
+    from realtime_data_pipeline_spark.sources.synthetic import (
+        INTERACTION_TYPES,
+        synthetic_events_batch,
+        to_kafka_payload,
+    )
+
+    df = synthetic_events_batch(spark, 1000, user_range=50, item_range=10)
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert all(r.user_id.startswith("user_") for r in rows)
+    assert all(1 <= int(r.user_id[5:]) <= 50 for r in rows)
+    assert {r.interaction_type for r in rows} <= set(INTERACTION_TYPES)
+    payload = to_kafka_payload(df).collect()
+    import json
+
+    doc = json.loads(payload[0].value)
+    assert set(doc) == {"user_id", "item_id", "interaction_type", "timestamp"}
