@@ -1,0 +1,208 @@
+"""Deduplication operators for LLM-data pipelines (north-star surface).
+
+Four families, all shuffle-partitioned (no driver-side loops):
+
+  exact     — md5(text) hash-groupBy; O(n), one shuffle on the hash.
+  MinHash   — k=12 permutations over 3-word shingles, banded LSH:
+              candidates = docs sharing any band bucket.  The bucket
+              join is equi-join on (band, bucket-hash) — at 100 TB this
+              is THE scalable near-dup pattern: cost is Σ bucket²
+              rather than n².
+  SimHash   — 32-bit frequency-weighted signature; near-dups = pairs
+              within Hamming distance d (bit_count(xor)).
+  Jaccard   — exact n-gram set similarity on candidate pairs produced
+              by a sparse shared-shingle join (never all-pairs).
+
+Hashes derive from md5 (identical across Spark and DuckDB), so every
+operator is oracle-checkable — see plans/northstar.py for the mirrored
+SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PERMS = 12  # MinHash permutations; bands of 1 row → high recall
+
+
+def _hash60_expr(seed: int, s: str) -> str:
+    """60-bit hash from md5 — identical in DuckDB via hex cast."""
+    return f"cast(conv(substr(md5('{seed}:' || {s}), 1, 15), 16, 10) as bigint)"
+
+
+TOKENS_EXPR = "split(trim(text), '\\\\s+')"
+SHINGLES_EXPR = (
+    "transform(sequence(1, size({t}) - 2), "
+    "i -> concat_ws(' ', element_at({t}, i), element_at({t}, i + 1), "
+    "element_at({t}, i + 2)))"
+).format(t=TOKENS_EXPR)
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by content hash; emit canonical id + copy count."""
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """3-word shingles; docs shorter than 3 tokens are dropped (they
+    have no shingle signal)."""
+    return (
+        docs.where(F.expr(f"size({TOKENS_EXPR}) >= 3"))
+        .withColumn("shingles", F.expr(SHINGLES_EXPR))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """One min-hash column per permutation: sig_j = min over shingles of
+    hash60(j, shingle)."""
+    out = with_shingles(docs)
+    for j in range(n_perms):
+        out = out.withColumn(
+            f"sig{j}",
+            F.expr(f"array_min(transform(shingles, s -> {_hash60_expr(j, 's')}))"),
+        )
+    return out.drop("shingles")
+
+
+def minhash_candidates(
+    docs: DataFrame, n_perms: int = N_PERMS, limit: int = 1000
+) -> DataFrame:
+    """Banded-LSH candidate pairs (bands of 1 row) with the signature-
+    agreement Jaccard estimate.  Output capped deterministically."""
+    sigs = minhash_signatures(docs, n_perms).select(
+        "doc_id", *[f"sig{j}" for j in range(n_perms)]
+    )
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"sig{j}").alias("bucket"),
+                    )
+                    for j in range(n_perms)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bucket")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = sum(
+        (F.col(f"a.sig{j}") == F.col(f"b.sig{j}")).cast("int")
+        for j in range(n_perms)
+    )
+    return (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(n_perms), 4).alias("est_jaccard"),
+        )
+        .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+        .limit(limit)
+    )
+
+
+SIMHASH_BITS = 32
+
+SIMHASH_EXPR = f"""aggregate(
+    sequence(0, {SIMHASH_BITS - 1}),
+    cast(0 as bigint),
+    (acc, b) -> acc + CASE
+        WHEN aggregate(
+                transform({TOKENS_EXPR},
+                          t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)),
+                cast(0 as bigint),
+                (a, c) -> a + ((c >> b) & 1) * 2 - 1) > 0
+        THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash: per-bit majority vote over token hashes
+    (frequency-weighted — repeated tokens vote repeatedly)."""
+    return docs.withColumn("simhash", F.expr(SIMHASH_EXPR))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, limit: int = 1000
+) -> DataFrame:
+    """Pairs within Hamming distance `max_hamming`.  All-pairs compare is
+    fine at test scale; at 100 TB, pre-bucket by bit-chunks (pigeonhole:
+    distance ≤ d → some ⌈bits/(d+1)⌉-bit chunk is equal) to get an
+    equi-join prefilter, same shape as the MinHash band join."""
+    sigs = simhash_signatures(docs).select("doc_id", "simhash")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dist = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming_dist"),
+        )
+        .where(F.col("hamming_dist") <= max_hamming)
+        .orderBy("hamming_dist", "doc_a", "doc_b")
+        .limit(limit)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, min_jaccard: float = 0.02, limit: int = 1000
+) -> DataFrame:
+    """Exact 3-gram Jaccard on candidate pairs from a sparse
+    shared-shingle equi-join (cost ∝ shingle collisions, never n²)."""
+    sh = with_shingles(docs).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    exploded = sized.select(
+        "doc_id", F.col("n_sh"), F.explode("sh").alias("shingle")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jacc = F.round(
+        F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
+        4,
+    )
+    return (
+        shared.select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(limit)
+    )

@@ -1,0 +1,124 @@
+"""Multimodal column pattern: opaque binary payloads + typed metadata,
+processed by Arrow-batched pandas UDFs (north-star surface).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(NotImplementedError unless PIL/soundfile import succeeds) — but the
+Spark-side plumbing is real and tested: schema, partitioning, Arrow
+batch shape, and a deterministic feature extractor (byte-bucket
+histogram) that runs through mapInPandas exactly like a production
+decoder would.
+
+Scale notes: binary payloads ride in the same row as metadata —
+filters on metadata prune before any Python is invoked; mapInPandas
+processes Arrow record batches (vectorized, no per-row pickling);
+batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("data", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+N_BUCKETS = 4  # byte-value histogram buckets: [0,64) [64,128) [128,192) [192,256)
+
+
+def attach_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Wrap a column as an opaque media struct (deterministic stand-in
+    for real image/audio bytes)."""
+    return docs.withColumn(
+        "media",
+        F.struct(
+            F.col(payload_col).cast("binary").alias("data"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image(data: bytes):
+    """Decode an image payload.  STUB: codecs are not available in this
+    environment; gate on import so real deployments light it up."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(data))
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decoding requires PIL; this container has no codecs"
+        ) from exc
+
+
+def sample_frames(data: bytes, every_n: int = 10):
+    """Video frame sampling.  STUB — same gating pattern as decode_image."""
+    raise NotImplementedError("video codecs not available in this container")
+
+
+_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("byte_hist", ArrayType(LongType())),
+    ]
+)
+
+
+def byte_histogram(media_docs: DataFrame) -> DataFrame:
+    """Deterministic feature extraction over binary payloads via
+    mapInPandas: per-row histogram of byte values into 4 buckets.
+
+    This is the production decoder's plumbing with a codec-free kernel:
+    Arrow batches in, vectorized numpy per batch, Arrow batches out.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hists = []
+            for data in pdf["data"]:
+                arr = np.frombuffer(data, dtype=np.uint8)
+                hist = np.bincount(arr >> 6, minlength=N_BUCKETS)[:N_BUCKETS]
+                hists.append(hist.astype("int64").tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "byte_hist": hists,
+                }
+            )
+
+    flat = media_docs.select("doc_id", "lang", F.col("media.data").alias("data"))
+    return flat.mapInPandas(_extract, schema=_HIST_SCHEMA)
+
+
+def byte_histogram_by_lang(media_docs: DataFrame) -> DataFrame:
+    """Aggregate the pandas-UDF features per language — the typical
+    decode→extract→rollup pipeline shape."""
+    h = byte_histogram(media_docs)
+    return h.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.element_at("byte_hist", i + 1)).alias(f"b{i}")
+            for i in range(N_BUCKETS)
+        ],
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Brute-force cosine top-k is the correctness baseline; the scale paths
+are (a) coarse-partition ANN — search only the probe's cell, here the
+precomputed `label` column stands in for an offline k-means
+assignment (IVF shape: at 100 TB you broadcast centroids, assign with
+a vectorized expression, and bucket-join) — and (b) random-hyperplane
+LSH, whose hyperplanes derive deterministically from md5 so the
+operator is oracle-checkable in DuckDB.
+
+Numeric determinism: dot products and norms are sequential left folds
+over float→double casts (aggregate ∘ zip_with).  DuckDB's list_reduce
+folds in the same order, so cosine values match bit-for-bit and ranks
+are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+NORM_EXPR = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v))"
+)
+
+
+def with_norm(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute L2 norms once — O(n·d), reused by every pair compare."""
+    return vectors.withColumn("nrm", F.expr(NORM_EXPR.format(a=vec_col)))
+
+
+def _cosine() -> F.Column:
+    return F.expr(DOT_EXPR.format(a="q.embedding", b="c.embedding")) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_pred,
+    k: int = 10,
+    cell_join=None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against all
+    candidates, rank per query.  `cell_join` optionally restricts the
+    candidate set (IVF-style partition pruning)."""
+    e = with_norm(vectors)
+    q = e.where(query_pred).alias("q")
+    c = e.alias("c")
+    cond = F.col("q.vec_id") != F.col("c.vec_id")
+    if cell_join is not None:
+        cond = cond & cell_join
+    pairs = F.broadcast(q).join(c, cond).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _cosine().alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+def ivf_topk_by_label(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """IVF-shaped ANN: probe only the query's coarse cell (`label`).
+    Same plan as brute force but the join carries the cell equality —
+    Spark prunes the candidate side before ranking."""
+    return brute_force_topk(
+        vectors,
+        query_pred,
+        k,
+        cell_join=F.col("q.label") == F.col("c.label"),
+    )
+
+
+def near_dup_pairs(
+    vectors: DataFrame, min_cosine: float, limit: int = 500
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id asc ordered pair).
+    All-pairs at test scale; at 100 TB run it per LSH bucket."""
+    e = with_norm(vectors)
+    q, c = e.alias("q"), e.alias("c")
+    return (
+        q.join(c, F.col("q.vec_id") < F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.round(_cosine(), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(limit)
+    )
+
+
+# --- random-hyperplane LSH -------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_component_expr(p: str, d: str) -> str:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived 60-bit integer scaled.  Identical in DuckDB."""
+    return (
+        f"cast(conv(substr(md5(concat('hp_', {p}, '_', {d})), 1, 15), 16, 10) as bigint)"
+        f" / cast(576460752303423488 as double) - 1.0"
+    )
+
+
+LSH_BUCKET_EXPR = f"""aggregate(
+    sequence(0, {N_PLANES - 1}),
+    cast(0 as bigint),
+    (acc, p) -> acc + CASE WHEN
+        aggregate(sequence(1, {DIM}), cast(0.0 as double),
+                  (a, d) -> a + cast(element_at(embedding, d) as double)
+                              * ({_plane_component_expr('p', 'd')})) > 0
+        THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""
+
+
+def with_lsh_bucket(vectors: DataFrame) -> DataFrame:
+    """8-bit sign bucket from md5-derived hyperplanes.  At scale the
+    bucket is the shuffle/join key: candidates live in the same bucket
+    (multi-probe: also neighbors at Hamming distance 1)."""
+    return vectors.withColumn("bucket", F.expr(LSH_BUCKET_EXPR))
+
+
+def lsh_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """ANN via LSH bucket equi-join then exact rerank within bucket."""
+    e = with_lsh_bucket(with_norm(vectors))
+    q = e.where(query_pred).alias("q")
+    c = e.alias("c")
+    pairs = F.broadcast(q).join(
+        c,
+        (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _cosine().alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,405 @@
+"""North-star registry queries: text analysis, dedup, similarity,
+multimodal — each Spark query paired with DuckDB SQL generated from the
+SAME Python constants (lexicons, hash widths, thresholds), so the two
+sides cannot drift.
+
+Cross-engine determinism relies on: md5 (identical hex in both
+engines), integer arithmetic (exact), and sequential left-folds for
+double sums (aggregate/zip_with ≙ list_reduce/list_prepend — both
+start from 0.0 and fold left, giving bit-identical IEEE results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.functions import dedup, multimodal, similarity, text
+from realtime_data_pipeline_spark.functions.text import (
+    BPE_REGEX,
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    LANG_LEXICONS,
+)
+from realtime_data_pipeline_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (mirrors of functions/text.py + dedup.py)
+# ---------------------------------------------------------------------------
+
+D_TOKS = "string_split_regex(trim(text), '\\s+')"
+D_SHINGLES = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+D_HASH32 = "(('0x' || substr(md5({t}), 1, 8))::BIGINT)"
+
+
+def _d_hash60(seed: int, s: str) -> str:
+    return f"(('0x' || substr(md5('{seed}:' || {s}), 1, 15))::BIGINT)"
+
+
+def _d_lex(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"[{words}]"
+
+
+_ALL_STOP = ", ".join(
+    f"'{w}'" for lex in LANG_LEXICONS.values() for w in lex
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_metrics",
+    f"""
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+           round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / len(toks), 4) AS avg_token_len,
+           round(CAST(len(list_filter(toks, t -> list_contains([{_ALL_STOP}], t))) AS DOUBLE)
+                 / len(toks), 4) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS alpha_ratio,
+           round(0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.4 * (1.0 - CAST(len(list_filter(toks, t -> list_contains([{_ALL_STOP}], t))) AS DOUBLE)
+                                / CAST(len(toks) AS DOUBLE))
+                 + 0.2 * least((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0),
+                 4) AS quality_score
+    FROM (SELECT *, {D_TOKS} AS toks FROM documents)
+    """,
+    doc="token counting (whitespace + BPE-ish regex), length/stopword/charset "
+    "ratios, composite quality score — all JVM-side built-ins",
+    bench=True,
+)
+def q_text_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text.token_count().alias("n_tokens"),
+        text.bpe_token_count().alias("n_bpe_tokens"),
+        text.avg_token_len().alias("avg_token_len"),
+        text.stopword_ratio().alias("stopword_ratio"),
+        text.char_class_ratio("text", "a-z").alias("alpha_ratio"),
+        text.quality_score().alias("quality_score"),
+    )
+
+
+_D_LANG_HITS = ",\n           ".join(
+    f"len(list_filter(toks, t -> list_contains({_d_lex(lang)}, t))) AS {lang}_hits"
+    for lang in sorted(LANG_LEXICONS)
+)
+
+
+def _d_lang_case() -> str:
+    langs = sorted(LANG_LEXICONS)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(f"{l}_hits" for l in langs[i + 1 :])
+        greatest = f"greatest({rest})" if "," in rest else rest
+        branches.append(f"WHEN {lang}_hits >= {greatest} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+@register(
+    "language_id",
+    f"""
+    SELECT doc_id, lang, {', '.join(f'{l}_hits' for l in sorted(LANG_LEXICONS))},
+           {_d_lang_case()} AS predicted_lang
+    FROM (SELECT doc_id, lang,
+           {_D_LANG_HITS}
+          FROM (SELECT *, {D_TOKS} AS toks FROM documents))
+    """,
+    doc="n-gram/stopword-lexicon language ID heuristic with deterministic "
+    "argmax (alphabetical tie-break)",
+)
+def q_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *text.language_scores())
+    return scored.withColumn("predicted_lang", text.predicted_lang_expr())
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(toks, t -> {D_HASH32.format(t='t')})),
+               (acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}
+           ) AS fingerprint
+    FROM (SELECT *, {D_TOKS} AS toks FROM documents)
+    """,
+    doc="order-sensitive rolling polynomial fingerprint over token hashes",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count().alias("n_tokens"),
+        text.doc_fingerprint().alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_groups",
+    """
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup via content-hash groupBy (one shuffle on md5)",
+)
+def q_exact_dedup_groups(spark, sf_dir):
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SIG_COLS = ",\n        ".join(
+    f"list_min(list_transform(s, x -> {_d_hash60(j, 'x')})) AS sig{j}"
+    for j in range(dedup.N_PERMS)
+)
+_BAND_CASE = "CASE j.band " + " ".join(
+    f"WHEN {j} THEN sig{j}" for j in range(dedup.N_PERMS)
+) + " END"
+_BAND_VALUES = ", ".join(f"({j})" for j in range(dedup.N_PERMS))
+_AGREE = " + ".join(
+    f"(CASE WHEN x.sig{j} = y.sig{j} THEN 1 ELSE 0 END)"
+    for j in range(dedup.N_PERMS)
+)
+
+
+@register(
+    "minhash_dedup_candidates",
+    f"""
+    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM t WHERE len(toks) >= 3),
+    sig AS (SELECT doc_id,
+        {_SIG_COLS}
+        FROM sh),
+    bk AS (SELECT doc_id, j.band, {_BAND_CASE} AS bucket
+           FROM sig, (VALUES {_BAND_VALUES}) j(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bk a JOIN bk b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(({_AGREE}) / {float(dedup.N_PERMS)}, 4) AS est_jaccard
+    FROM cand
+    JOIN sig x ON x.doc_id = doc_a
+    JOIN sig y ON y.doc_id = doc_b
+    ORDER BY est_jaccard DESC, doc_a, doc_b
+    LIMIT 1000
+    """,
+    doc="MinHash-LSH near-dup candidates: shingle→12 minhash perms→banded "
+    "bucket equi-join (cost ∝ collisions, not n²) + signature-agreement "
+    "jaccard estimate",
+    bench=True,
+)
+def q_minhash_dedup_candidates(spark, sf_dir):
+    return dedup.minhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_near_dups",
+    f"""
+    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, {dedup.SIMHASH_BITS}),
+               b -> CASE WHEN list_sum(list_transform(toks,
+                             tk -> (({D_HASH32.format(t='tk')} >> b) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+          FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ORDER BY hamming_dist, doc_a, doc_b
+    LIMIT 1000
+    """,
+    doc="SimHash near-dups: 32-bit frequency-weighted signatures, pairs "
+    "within Hamming distance 8 (scale path: pigeonhole bit-chunk buckets)",
+)
+def q_simhash_near_dups(spark, sf_dir):
+    df = dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    return df.withColumn("hamming_dist", F.col("hamming_dist").cast("int"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({D_SHINGLES}) AS s
+           FROM t WHERE len(toks) >= 3),
+    sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM sz),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                 count(*) AS shared
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
+    FROM p
+    WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) >= 0.02
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 1000
+    """,
+    doc="exact n-gram Jaccard on sparse shared-shingle candidate pairs "
+    "(explode→equi-join→count, never an n² cross join)",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_D_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+_D_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y))"
+)
+_D_E = f"SELECT vec_id, label, embedding, {_D_NORM.format(a='embedding')} AS nrm FROM embeddings"
+_D_COS = (
+    _D_DOT.format(a="q.embedding", b="c.embedding") + " / (q.nrm * c.nrm)"
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH e AS ({_D_E}),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cs
+          FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= 10
+    """,
+    doc="exact cosine top-10: broadcast query set × all candidates, "
+    "bit-identical sequential-fold arithmetic in both engines",
+    bench=True,
+)
+def q_ann_bruteforce_topk(spark, sf_dir):
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=10
+    )
+
+
+@register(
+    "ann_ivf_topk_by_label",
+    f"""
+    WITH e AS ({_D_E}),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cs
+          FROM e q JOIN e c
+          ON q.vec_id < 8 AND c.vec_id != q.vec_id AND c.label = q.label)
+    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= 5
+    """,
+    doc="IVF-shaped ANN: probe only the query's coarse cell (label = "
+    "precomputed cluster assignment) — partition-pruned candidate set",
+)
+def q_ann_ivf_topk_by_label(spark, sf_dir):
+    return similarity.ivf_topk_by_label(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
+    )
+
+
+_D_PLANE = (
+    "(('0x' || substr(md5('hp_' || p || '_' || d), 1, 15))::BIGINT"
+    " / CAST(576460752303423488 AS DOUBLE) - 1.0)"
+)
+_D_BUCKET = f"""CAST(list_sum(list_transform(range(0, {similarity.N_PLANES}),
+    p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, {similarity.DIM + 1}),
+                      d -> CAST(embedding[d] AS DOUBLE) * {_D_PLANE})),
+                  (a, x) -> a + x) > 0
+         THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"""
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_D_NORM.format(a='embedding')} AS nrm,
+                      {_D_BUCKET} AS bucket
+               FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cs
+          FROM e q JOIN e c
+          ON q.vec_id < 8 AND q.bucket = c.bucket AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= 5
+    """,
+    doc="LSH ANN: md5-derived random-hyperplane sign buckets, equi-join on "
+    "bucket then exact rerank — the 100 TB shuffle shape",
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
+    )
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH e AS ({_D_E}),
+    p AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+                 round({_D_COS}, 6) AS cos_sim
+          FROM e q JOIN e c ON q.vec_id < c.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM p
+    WHERE cos_sim >= 0.45
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT 500
+    """,
+    doc="embedding-cosine near-dup pairs above threshold (all-pairs at test "
+    "scale; per-LSH-bucket at 100 TB)",
+)
+def q_embedding_near_dups(spark, sf_dir):
+    return similarity.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_byte_histogram",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(regexp_replace(text, '[^\\x00-\\x3f]', '', 'g'))) AS BIGINT) AS b0,
+           CAST(sum(length(regexp_replace(text, '[^\\x40-\\x7f]', '', 'g'))) AS BIGINT) AS b1,
+           CAST(sum(length(regexp_replace(text, '[^\\x80-\\xbf]', '', 'g'))) AS BIGINT) AS b2,
+           CAST(sum(length(regexp_replace(text, '[^\\xc0-\\xff]', '', 'g'))) AS BIGINT) AS b3
+    FROM documents GROUP BY lang
+    """,
+    doc="multimodal plumbing: opaque binary payload + metadata struct, "
+    "Arrow-batched mapInPandas feature extraction (byte-bucket histogram), "
+    "rollup by metadata — decode stubbed (no codecs in container), "
+    "oracle checks the histogram math on the ASCII payload",
+)
+def q_multimodal_byte_histogram(spark, sf_dir):
+    docs = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.byte_histogram_by_lang(docs)
