@@ -61,8 +61,16 @@ def with_shingles(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     """One min-hash column per permutation: sig_j = min over shingles of
-    hash60(j, shingle)."""
-    out = with_shingles(docs)
+    hash60(j, shingle).
+
+    The signature computation is CPU-heavy (n_perms md5s per shingle),
+    so repartition first: test parquet is single-row-group (one scan
+    task), and at scale upstream partitioning rarely matches the
+    CPU-bound stage's ideal width.  The tiny shuffle buys a fully
+    parallel map stage.
+    """
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    out = with_shingles(docs.repartition(n, "doc_id"))
     for j in range(n_perms):
         out = out.withColumn(
             f"sig{j}",
@@ -77,25 +85,32 @@ def minhash_candidates(
     """Banded-LSH candidate pairs (bands of 1 row) with the signature-
     agreement Jaccard estimate.  Output capped deterministically."""
     sigs = minhash_signatures(docs, n_perms).select(
-        "doc_id", *[f"sig{j}" for j in range(n_perms)]
+        "doc_id", F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs")
     )
+    # Carry the full signature array through the bucket join so the
+    # agreement count needs no extra sig joins (the heavy signature
+    # subtree is evaluated once per join side instead of 4×).
     buckets = sigs.select(
         "doc_id",
+        "sigs",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.col(f"sig{j}").alias("bucket"),
-                    )
-                    for j in range(n_perms)
-                ]
-            )
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.element_at("sigs", j + 1).alias("bucket"),
+                )
+                for j in range(n_perms)
+            ])
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.bucket")
+    ).select("doc_id", "sigs", "b.band", "b.bucket")
     left = buckets.alias("l")
     right = buckets.alias("r")
-    cand = (
+    agree = F.size(
+        F.filter(
+            F.zip_with("l.sigs", "r.sigs", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -103,24 +118,11 @@ def minhash_candidates(
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    agree = sum(
-        (F.col(f"a.sig{j}") == F.col(f"b.sig{j}")).cast("int")
-        for j in range(n_perms)
-    )
-    return (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, cand.doc_b == F.col("b.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
             F.round(agree / float(n_perms), 4).alias("est_jaccard"),
         )
+        .distinct()
         .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
         .limit(limit)
     )
@@ -142,8 +144,12 @@ SIMHASH_EXPR = f"""aggregate(
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """32-bit SimHash: per-bit majority vote over token hashes
-    (frequency-weighted — repeated tokens vote repeatedly)."""
-    return docs.withColumn("simhash", F.expr(SIMHASH_EXPR))
+    (frequency-weighted — repeated tokens vote repeatedly).
+    Repartitioned first for the same reason as minhash_signatures."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id").withColumn(
+        "simhash", F.expr(SIMHASH_EXPR)
+    )
 
 
 def simhash_near_pairs(
