@@ -1,0 +1,188 @@
+"""Coverage fill-ins: session windows, duplicate elimination, cube,
+exact statistical aggregates, ISO-8601 rendering (P10), synthetic
+source (S1/S2), and approximate distinct (scale posture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.plans.registry import _events, _t, register
+
+SESSION_GAP = "30 minutes"
+
+
+@register(
+    "session_window_counts",
+    """
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM x
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+    doc="session windows (W2 variant the reference lacks): F.session_window "
+    "with a 30-minute gap; oracle sessionizes via lag+cumsum",
+)
+def q_session_window_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return (
+        ev.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "event_dedup_counts",
+    """
+    SELECT count(*) AS n_raw,
+           (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type, ts FROM events))
+               AS n_deduped
+    FROM events
+    """,
+    doc="exact duplicate elimination (dropDuplicates on a key subset) — "
+    "hash-groupBy shuffle on the dedup key",
+)
+def q_event_dedup_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type", "ts"])
+    return ev.agg(F.count("*").alias("n_raw")).crossJoin(
+        deduped.agg(F.count("*").alias("n_deduped"))
+    )
+
+
+@register(
+    "status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="full cube grouping sets over orders (all 4 grouping combinations)",
+)
+def q_status_priority_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "value_stats_by_type",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value,
+           round((CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                  - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                 / (count(*) - 1), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="exact percentiles (sort-based interpolation, identical in both "
+    "engines) and a decimal-sum variance (order-independent — double "
+    "stddev aggregates would jitter with partition order)",
+)
+def q_value_stats_by_type(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sum_v = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    sum_v2 = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(28,6)")
+    ).cast("double")
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+        F.round((sum_v2 - sum_v * sum_v / n) / (n - 1), 4).alias("var_value"),
+    )
+
+
+@register(
+    "iso_timestamp_render",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts,
+           'user_' || CAST(user_id AS VARCHAR) AS user_key
+    FROM events
+    WHERE event_id < 100
+    """,
+    doc="P10 producer/producer.py:22 — ISO-8601 UTC rendering + P9 key "
+    "formatting (date_format / concat, all JVM-side)",
+)
+def q_iso_timestamp_render(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("event_id") < 100)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("iso_ts"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_key"),
+    )
+
+
+@register(
+    "synthetic_events_sample",
+    None,  # random generator — rows-only check (S1/S2)
+    doc="S1/S2 producer/producer.py:17-23 — distributed synthetic event "
+    "source: spark.range + rand() expressions (no driver loop); "
+    "rows-only because randomness has no SQL oracle",
+)
+def q_synthetic_events_sample(spark, sf_dir):
+    from realtime_data_pipeline_spark.sources.synthetic import (
+        synthetic_events_batch,
+    )
+
+    df = synthetic_events_batch(spark, 10_000, user_range=1000, item_range=100)
+    return df.groupBy("interaction_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific — rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+    "cardinality (fixed-size sketch, mergeable across partitions); "
+    "rows-only because sketch estimates differ across engines",
+)
+def q_approx_distinct_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
