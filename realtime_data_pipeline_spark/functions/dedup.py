@@ -20,10 +20,25 @@ SQL.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PERMS = 12  # MinHash permutations; bands of 1 row → high recall
+
+# Affine permutation family over ONE 32-bit base hash per shingle:
+#   sig_j = min over shingles of (A[j]·hash32(s) + B[j]) mod MINHASH_P
+# One md5 per shingle instead of N_PERMS — the md5 is the expensive part.
+# A[j] < 2^28 and hash32 < 2^32 keep A·h + B < 2^63 (no int64 overflow),
+# so Spark and DuckDB produce bit-identical signatures.
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+
+def _perm_const(tag: str, j: int, mod: int) -> int:
+    return int(hashlib.md5(f"{tag}{j}".encode()).hexdigest()[:15], 16) % mod
+
+MINHASH_A = tuple(_perm_const("a", j, 1 << 28) | 1 for j in range(N_PERMS))
+MINHASH_B = tuple(_perm_const("b", j, MINHASH_P) for j in range(N_PERMS))
 
 
 def _hash60_expr(seed: int, s: str) -> str:
@@ -32,11 +47,15 @@ def _hash60_expr(seed: int, s: str) -> str:
 
 
 TOKENS_EXPR = "split(trim(text), '\\\\s+')"
+# Shingles are built from a materialized `toks` COLUMN, not the split
+# expression inline: referencing split() inside the transform lambda
+# defeats Spark's common-subexpression elimination and re-tokenizes per
+# shingle element.
 SHINGLES_EXPR = (
-    "transform(sequence(1, size({t}) - 2), "
-    "i -> concat_ws(' ', element_at({t}, i), element_at({t}, i + 1), "
-    "element_at({t}, i + 2)))"
-).format(t=TOKENS_EXPR)
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+    "element_at(toks, i + 2)))"
+)
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -54,29 +73,42 @@ def with_shingles(docs: DataFrame) -> DataFrame:
     """3-word shingles; docs shorter than 3 tokens are dropped (they
     have no shingle signal)."""
     return (
-        docs.where(F.expr(f"size({TOKENS_EXPR}) >= 3"))
+        docs.withColumn("toks", F.expr(TOKENS_EXPR))
+        .where(F.size("toks") >= 3)
         .withColumn("shingles", F.expr(SHINGLES_EXPR))
+        .drop("toks")
     )
 
 
 def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """One min-hash column per permutation: sig_j = min over shingles of
-    hash60(j, shingle).
+    """One min-hash column per permutation via the affine family:
+    sig_j = min over shingles of (A[j]·hash32(shingle) + B[j]) mod P.
 
-    The signature computation is CPU-heavy (n_perms md5s per shingle),
-    so repartition first: test parquet is single-row-group (one scan
-    task), and at scale upstream partitioning rarely matches the
-    CPU-bound stage's ideal width.  The tiny shuffle buys a fully
-    parallel map stage.
+    The md5 base hash is computed ONCE per shingle (`shingle_hashes`);
+    each permutation is then integer arithmetic over the cached array —
+    n_perms× cheaper than hashing per permutation.  Still CPU-heavy, so
+    repartition first: test parquet is single-row-group (one scan task),
+    and at scale upstream partitioning rarely matches the CPU-bound
+    stage's ideal width.  The tiny shuffle buys a fully parallel map
+    stage.
     """
     n = docs.sparkSession.sparkContext.defaultParallelism
-    out = with_shingles(docs.repartition(n, "doc_id"))
+    out = with_shingles(docs.repartition(n, "doc_id")).withColumn(
+        "shingle_hashes",
+        F.expr(
+            "transform(shingles, s -> "
+            "cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
+        ),
+    )
     for j in range(n_perms):
         out = out.withColumn(
             f"sig{j}",
-            F.expr(f"array_min(transform(shingles, s -> {_hash60_expr(j, 's')}))"),
+            F.expr(
+                f"array_min(transform(shingle_hashes, "
+                f"h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}))"
+            ),
         )
-    return out.drop("shingles")
+    return out.drop("shingles", "shingle_hashes")
 
 
 def minhash_candidates(
@@ -84,8 +116,17 @@ def minhash_candidates(
 ) -> DataFrame:
     """Banded-LSH candidate pairs (bands of 1 row) with the signature-
     agreement Jaccard estimate.  Output capped deterministically."""
-    sigs = minhash_signatures(docs, n_perms).select(
-        "doc_id", F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs")
+    # Persist the signatures: the LSH bucket join is a SELF-join, and
+    # without materialization the whole tokenize→shingle→hash subtree
+    # runs once per side.  At 100 TB this is a real signature table
+    # (tiny next to the raw text) written once and joined against
+    # itself; persist() is the local-mode equivalent.
+    sigs = (
+        minhash_signatures(docs, n_perms)
+        .select(
+            "doc_id", F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs")
+        )
+        .persist()
     )
     # Carry the full signature array through the bucket join so the
     # agreement count needs no extra sig joins (the heavy signature
@@ -130,15 +171,15 @@ def minhash_candidates(
 
 SIMHASH_BITS = 32
 
+# Token hashes are materialized into a `th` COLUMN first: referencing
+# the md5 transform inside the per-bit aggregate would re-hash every
+# token once PER BIT (32×).
 SIMHASH_EXPR = f"""aggregate(
     sequence(0, {SIMHASH_BITS - 1}),
     cast(0 as bigint),
     (acc, b) -> acc + CASE
-        WHEN aggregate(
-                transform({TOKENS_EXPR},
-                          t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)),
-                cast(0 as bigint),
-                (a, c) -> a + ((c >> b) & 1) * 2 - 1) > 0
+        WHEN aggregate(th, cast(0 as bigint),
+                       (a, c) -> a + ((c >> b) & 1) * 2 - 1) > 0
         THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""
 
 
@@ -147,8 +188,17 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     (frequency-weighted — repeated tokens vote repeatedly).
     Repartitioned first for the same reason as minhash_signatures."""
     n = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(n, "doc_id").withColumn(
-        "simhash", F.expr(SIMHASH_EXPR)
+    return (
+        docs.repartition(n, "doc_id")
+        .withColumn(
+            "th",
+            F.expr(
+                f"transform({TOKENS_EXPR}, "
+                "t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn("simhash", F.expr(SIMHASH_EXPR))
+        .drop("th")
     )
 
 
@@ -159,7 +209,9 @@ def simhash_near_pairs(
     fine at test scale; at 100 TB, pre-bucket by bit-chunks (pigeonhole:
     distance ≤ d → some ⌈bits/(d+1)⌉-bit chunk is equal) to get an
     equi-join prefilter, same shape as the MinHash band join."""
-    sigs = simhash_signatures(docs).select("doc_id", "simhash")
+    # Persist for the same reason as minhash_candidates: the pair join
+    # is a self-join and the signature subtree would otherwise run twice.
+    sigs = simhash_signatures(docs).select("doc_id", "simhash").persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     dist = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (

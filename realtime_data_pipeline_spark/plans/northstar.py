@@ -166,8 +166,12 @@ def q_exact_dedup_groups(spark, sf_dir):
     return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+# Mirrors dedup.minhash_signatures: one 32-bit md5 base hash per shingle
+# (column `sh.h`), then per-permutation affine transforms — exact int64
+# arithmetic, bit-identical across engines.
 _SIG_COLS = ",\n        ".join(
-    f"list_min(list_transform(s, x -> {_d_hash60(j, 'x')})) AS sig{j}"
+    f"list_min(list_transform(h, x -> ({dedup.MINHASH_A[j]} * x"
+    f" + {dedup.MINHASH_B[j]}) % {dedup.MINHASH_P})) AS sig{j}"
     for j in range(dedup.N_PERMS)
 )
 _BAND_CASE = "CASE j.band " + " ".join(
@@ -184,7 +188,10 @@ _AGREE = " + ".join(
     "minhash_dedup_candidates",
     f"""
     WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id,
+                  list_transform({D_SHINGLES},
+                                 x -> {D_HASH32.format(t='x')}) AS h
+           FROM t WHERE len(toks) >= 3),
     sig AS (SELECT doc_id,
         {_SIG_COLS}
         FROM sh),
