@@ -377,3 +377,118 @@ def q_event_user_segment_counts(spark, sf_dir):
             ).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of and range joins (north-star temporal operators; reference has
+# neither — SURVEY §2.4 "Joins: none")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "purchase_click_attribution",
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'click' THEN ts END AS c_ts,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+    ), w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(c_id IGNORE NULLS) OVER win AS click_id,
+             last_value(c_ts IGNORE NULLS) OVER win AS click_ts
+      FROM u
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY ts, (event_type = 'purchase'), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           click_id, click_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="as-of (backward) join: each purchase attributed to the user's "
+    "latest click at-or-before it — union+last(ignorenulls) scan shape, "
+    "one shuffle, no per-key range-join blowup (operators/asof.py)",
+    tags=("asof",),
+)
+def q_purchase_click_attribution(spark, sf_dir):
+    from realtime_data_pipeline_spark.operators import asof
+
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof.asof_join(
+        purchases, clicks,
+        keys=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["event_id"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof.event_id").alias("click_id"),
+        F.col("asof.ts").alias("click_ts"),
+    )
+
+
+# Price-band dimension shared by the Spark query and the SQL oracle —
+# generated from ONE Python constant so the two sides cannot drift.
+PRICE_BANDS = (
+    ("budget", 0, 50_000),
+    ("mid", 50_000, 150_000),
+    ("premium", 150_000, 300_000),
+    ("luxury", 300_000, 1_000_000),
+)
+_BAND_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+
+@register(
+    "order_price_bands",
+    f"""
+    SELECT band,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price
+    FROM orders
+    JOIN (VALUES {_BAND_VALUES}) b(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="range join: orders binned into price bands via a BROADCAST "
+    "inequality join (tiny bound table to every executor — the only "
+    "sane physical plan for a range join at 100 TB)",
+    tags=("range-join",),
+)
+def q_order_price_bands(spark, sf_dir):
+    spark_bands = _t(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        list(PRICE_BANDS), "band string, lo int, hi int"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(spark_bands),
+            (orders.o_totalprice >= spark_bands.lo)
+            & (orders.o_totalprice < spark_bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("sum_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
+        )
+    )

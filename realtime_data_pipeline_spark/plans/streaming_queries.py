@@ -16,6 +16,7 @@ import os
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
 from realtime_data_pipeline_spark.plans.registry import (
     USER_AGG_CTE,
@@ -72,6 +73,129 @@ def q_streaming_replay_user_counts(spark, sf_dir):
         os.path.join(base, "ckpt"),
         "replay_user_counts",
         trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read().where(F.col("user_id") != SENTINEL)
+
+
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType(), True),
+        StructField("user_id", StringType(), True),
+        StructField("interaction_type", StringType(), True),
+        StructField("timestamp", TimestampType(), True),
+    ]
+)
+
+_WIN_US = 600_000_000  # 10 minutes
+
+
+def _replay_dir(events, spark, schema, duplicate: bool = False):
+    """Write events (optionally doubled — simulated at-least-once
+    redelivery) as batch 1, then a far-future sentinel as batch 2 that
+    advances the watermark past every real window."""
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    payload = events.unionAll(events) if duplicate else events
+    payload.coalesce(1).write.mode("overwrite").parquet(replay)
+    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    sentinel_row = [None] * len(schema.fields)
+    names = [f.name for f in schema.fields]
+    sentinel_row[names.index("user_id")] = SENTINEL
+    sentinel_row[names.index("timestamp")] = max_ts + dt.timedelta(days=2)
+    if "event_id" in names:
+        sentinel_row[names.index("event_id")] = SENTINEL
+    if "item_id" in names:
+        sentinel_row[names.index("item_id")] = SENTINEL
+    if "interaction_type" in names:
+        sentinel_row[names.index("interaction_type")] = "flush"
+    spark.createDataFrame([tuple(sentinel_row)], schema=schema).coalesce(
+        1
+    ).write.mode("append").parquet(replay)
+    return base, replay
+
+
+@register(
+    "streaming_dedup_user_counts",
+    f"""
+    SELECT make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US}) AS window_start,
+           make_timestamp(((epoch_us(ts) // {_WIN_US}) + 1) * {_WIN_US}) AS window_end,
+           'user_' || CAST(user_id AS VARCHAR) AS user_id,
+           count(*) AS total_interactions
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="exactly-once under at-least-once delivery: every event replayed "
+    "TWICE in one batch, dropDuplicatesWithinWatermark(event_id) chained "
+    "into the tumbling-window agg (two stateful ops, one query) — counts "
+    "must equal the clean single-copy batch aggregation",
+    tags=("streaming",),
+)
+def q_streaming_dedup_user_counts(spark, sf_dir):
+    events = _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
+
+    base, replay = _replay_dir(events, spark, DEDUP_SCHEMA, duplicate=True)
+    stream = file_replay_stream(spark, replay, DEDUP_SCHEMA, max_files_per_trigger=1)
+    deduped = stream.withWatermark("timestamp", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = windowed_stream_counts(deduped, "user_id", slide=None, watermark=None)
+    table = UpsertTable(spark, os.path.join(base, "table"), KEYS)
+    q = start_upsert_query(
+        agg,
+        table,
+        os.path.join(base, "ckpt"),
+        "dedup_user_counts",
+        trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read().where(F.col("user_id") != SENTINEL)
+
+
+@register(
+    "streaming_running_user_totals",
+    """
+    SELECT 'user_' || CAST(user_id AS VARCHAR) AS user_id,
+           count(*) AS total_interactions
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="custom stateful operator: applyInPandasWithState lifetime "
+    "per-user counter (state the built-in windowed aggs cannot express), "
+    "update-mode emission into the keyed upsert sink; final state equals "
+    "the batch groupBy count",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_running_user_totals(spark, sf_dir):
+    from realtime_data_pipeline_spark.streaming.stateful import running_user_totals
+
+    events = _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
+
+    base, replay = _replay_dir(events, spark, DEDUP_SCHEMA)
+    stream = file_replay_stream(spark, replay, DEDUP_SCHEMA, max_files_per_trigger=1)
+    totals = running_user_totals(stream)
+    table = UpsertTable(spark, os.path.join(base, "table"), ["user_id"])
+    q = start_upsert_query(
+        totals,
+        table,
+        os.path.join(base, "ckpt"),
+        "running_user_totals",
+        trigger_available_now=True,
+        output_mode="update",
     )
     while q.isActive:
         q.awaitTermination(5)

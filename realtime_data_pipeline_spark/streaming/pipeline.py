@@ -83,13 +83,16 @@ def windowed_stream_counts(
     ts_col: str = "timestamp",
     window: str = "10 minutes",
     slide: str | None = "5 minutes",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """W1+A1/A2: watermarked sliding-window count per key
     (consumer/consumer.py:112-140).
 
     Works identically on batch DataFrames (withWatermark is a no-op in
-    batch) — the basis of the batch–stream parity tests.
+    batch) — the basis of the batch–stream parity tests.  Pass
+    watermark=None when the input already carries one (an upstream
+    stateful operator such as dropDuplicatesWithinWatermark) — Spark
+    forbids redefining it.
     """
     win = (
         F.window(F.col(ts_col), window, slide)
@@ -97,7 +100,7 @@ def windowed_stream_counts(
         else F.window(F.col(ts_col), window)
     )
     return (
-        events.withWatermark(ts_col, watermark)
+        (events.withWatermark(ts_col, watermark) if watermark else events)
         .groupBy(win.alias("window"), F.col(key_col))
         .agg(F.count("*").alias("total_interactions"))
         .select(

@@ -109,12 +109,18 @@ def start_upsert_query(
     checkpoint_dir: str,
     query_name: str,
     trigger_available_now: bool = False,
+    output_mode: str = "append",
 ):
-    """W3+W4: append-mode (finalized windows only) streaming write into
-    the keyed-upsert table, checkpointed for exactly-once-ish replay
-    (consumer/consumer.py:147-159)."""
+    """W3+W4: streaming write into the keyed-upsert table, checkpointed
+    for exactly-once-ish replay (consumer/consumer.py:147-159).
+
+    append (default) emits finalized windows only; update is for
+    arbitrary-stateful operators (applyInPandasWithState) that re-emit
+    a key's latest value each batch — the keyed merge makes either mode
+    last-write-wins idempotent.
+    """
     writer = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(upsert_sink(table))

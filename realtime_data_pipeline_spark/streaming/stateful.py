@@ -1,0 +1,54 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference keeps all streaming state inside Spark's built-in
+windowed aggregation (consumer/consumer.py:116-140); these are the
+north-star "custom stateful operator" slot — per-key state the built-in
+operators cannot express, held in the state store, updated with
+Arrow-batched pandas (never row-at-a-time Python).
+
+Scale posture: state is one tiny tuple per key, partitioned by the
+grouping key across executors; with high key cardinality switch the
+session to the RocksDB state store provider.  Output mode is `update`
+(each batch re-emits only keys it touched), paired with the keyed
+upsert sink for last-write-wins serving.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = "user_id string, total_interactions long"
+_STATE_SCHEMA = "cnt long"
+
+
+def _update_running_total(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (cnt,) = state.get if state.exists else (0,)
+    for pdf in batches:
+        cnt += len(pdf)
+    state.update((cnt,))
+    yield pd.DataFrame({"user_id": [key[0]], "total_interactions": [cnt]})
+
+
+def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Lifetime interaction count per user, updated incrementally per batch.
+
+    Unlike the windowed aggregations, this state never expires — it is
+    a running *all-time* counter, which `groupBy(window(...))` cannot
+    express (every window is time-bounded).  Equivalent batch semantics:
+    `events.groupBy(user_id).count()` — the parity oracle.
+    """
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update_running_total,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

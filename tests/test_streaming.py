@@ -157,3 +157,43 @@ def test_synthetic_source_shape(spark):
 
     doc = json.loads(payload[0].value)
     assert set(doc) == {"user_id", "item_id", "interaction_type", "timestamp"}
+
+
+def test_stateful_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState running totals: state persists across a
+    query restart (checkpoint recovery) and keeps accumulating."""
+    import time
+
+    from realtime_data_pipeline_spark.streaming.stateful import running_user_totals
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    replay = str(tmp_path / "replay")
+    ckpt = str(tmp_path / "ckpt")
+    table = UpsertTable(spark, str(tmp_path / "table"), ["user_id"])
+
+    def run():
+        stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+        totals = running_user_totals(stream)
+        q = start_upsert_query(
+            totals, table, ckpt, "totals",
+            trigger_available_now=True, output_mode="update",
+        )
+        q.awaitTermination(120)
+
+    rows1 = [("user_1", "i", "click", t0), ("user_1", "i", "view", t0),
+             ("user_2", "i", "click", t0)]
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(replay)
+    run()
+    got1 = {r.user_id: r.total_interactions for r in table.read().collect()}
+    assert got1 == {"user_1": 2, "user_2": 1}
+
+    time.sleep(1.1)  # distinct mtime for the second file
+    rows2 = [("user_1", "i", "purchase", t0), ("user_3", "i", "click", t0)]
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(replay)
+    run()  # restart from the same checkpoint — state must carry over
+    got2 = {r.user_id: r.total_interactions for r in table.read().collect()}
+    assert got2 == {"user_1": 3, "user_2": 1, "user_3": 1}
