@@ -186,3 +186,104 @@ def q_approx_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           round(quantile_cont(value, 0.999), 4) AS p999
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles per event type (Spark percentile ≙ "
+    "DuckDB quantile_cont); the approximate scale path is "
+    "approx_percentile with the same call shape",
+)
+def q_value_percentiles(spark, sf_dir):
+    agg = [
+        F.round(F.expr(f"percentile(value, {q})"), 4).alias(name)
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"), (0.999, "p999"))
+    ]
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(*agg)
+    )
+
+
+@register(
+    "status_priority_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS (beyond the cube/rollup fill-ins) with "
+    "grouping_id disambiguation — one shuffle, Expand-based plan",
+)
+def q_status_priority_grouping_sets(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price"
+        )
+    )
+
+
+@register(
+    "small_order_parts_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    WHERE l_quantity < (
+        SELECT 0.2 * avg(l_quantity)
+        FROM lineitem i WHERE i.l_partkey = l.l_partkey
+    )
+    """,
+    doc="correlated-subquery pattern (TPC-H Q17 shape): revenue from "
+    "below-one-fifth-of-average-quantity lineitems.  Spark side is "
+    "DECORRELATED into a per-part window average — one shuffle on "
+    "l_partkey, no self-join, no per-row subquery execution",
+)
+def q_small_order_parts_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )

@@ -492,3 +492,32 @@ def q_order_price_bands(spark, sf_dir):
             ).alias("avg_price"),
         )
     )
+
+
+@register(
+    "salted_segment_counts",
+    """
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    doc="skew-salted fact-dim join (operators/skew.py): left rows salted, "
+    "right replicated 16x, join on (key, salt) — result provably equals "
+    "the plain join (this oracle), hot keys spread over 16 partitions",
+    tags=("skew",),
+)
+def q_salted_segment_counts(spark, sf_dir):
+    from realtime_data_pipeline_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).withColumnRenamed("user_id", "c_custkey")
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        salted_join(ev, cu.select("c_custkey", "c_mktsegment"), ["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("c_custkey").alias("n_users"),
+        )
+    )
