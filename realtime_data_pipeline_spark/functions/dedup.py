@@ -112,10 +112,15 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
 
 
 def minhash_candidates(
-    docs: DataFrame, n_perms: int = N_PERMS, limit: int = 1000
+    docs: DataFrame,
+    n_perms: int = N_PERMS,
+    limit: int | None = 1000,
+    min_est_jaccard: float | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (bands of 1 row) with the signature-
-    agreement Jaccard estimate.  Output capped deterministically."""
+    agreement Jaccard estimate.  Output capped deterministically when
+    `limit` is set; `min_est_jaccard` filters to strong candidates
+    (the edge set for dedup clustering)."""
     # Persist the signatures: the LSH bucket join is a SELF-join, and
     # without materialization the whole tokenize→shingle→hash subtree
     # runs once per side.  At 100 TB this is a real signature table
@@ -151,7 +156,7 @@ def minhash_candidates(
             F.zip_with("l.sigs", "r.sigs", lambda x, y: x == y), lambda m: m
         )
     )
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -164,9 +169,14 @@ def minhash_candidates(
             F.round(agree / float(n_perms), 4).alias("est_jaccard"),
         )
         .distinct()
-        .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
-        .limit(limit)
     )
+    if min_est_jaccard is not None:
+        pairs = pairs.where(F.col("est_jaccard") >= min_est_jaccard)
+    if limit is not None:
+        pairs = pairs.orderBy(
+            F.desc("est_jaccard"), "doc_a", "doc_b"
+        ).limit(limit)
+    return pairs
 
 
 SIMHASH_BITS = 32

@@ -1,0 +1,79 @@
+"""Iterative graph operators: connected components by min-label
+propagation — the dedup-clustering endgame (near-dup PAIRS become
+duplicate GROUPS so a pipeline can keep one canonical doc per group).
+
+This is the one genuinely iterative algorithm in the engine.  Each
+iteration is fully distributed (a join + groupBy min); only the
+convergence test touches the driver (a count).  Lineage is cut per
+iteration with localCheckpoint — without it the plan doubles every
+round and the job dies on plan-compile time long before data size
+matters.  The same loop shape is how GraphX/GraphFrames implement
+label propagation; iteration count is bounded by the component
+diameter (near-dup clusters are shallow — a handful of rounds).
+
+At 100 TB: edges are the MinHash candidate pairs (already sparse,
+cost ∝ LSH bucket collisions); labels are (node, bigint) — two
+columns, shuffle-partitioned on node.  Replace localCheckpoint with a
+checkpoint dir (or write labels to a table per round) on a real
+cluster for fault tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (node, component) where component = the smallest node id
+    reachable from `node` — the unique fixpoint, independent of
+    iteration order.  Nodes with no edges are absent (singletons carry
+    no dedup signal); union them in with component = node if needed.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().persist()
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Candidate label for each node: min over neighbours' labels.
+        neigh_min = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neigh_component", "component"),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -287,3 +287,56 @@ def q_small_order_parts_revenue(spark, sf_dir):
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "json_wire_roundtrip",
+    """
+    SELECT count(*) AS n_rows,
+           count(*) AS n_user_match,
+           count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                      THEN 1 END) AS n_item_match,
+           count(*) AS n_ts_match
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    """,
+    doc="S3+P2 batch path: events serialized to the reference's Kafka wire "
+    "format (to_json + ISO-8601 µs render) then parsed back with the "
+    "declared schema (from_json) — every field must survive the "
+    "round-trip bit-exactly (the oracle counts prove losslessness)",
+)
+def q_json_wire_roundtrip(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    user = F.concat(F.lit("user_"), F.col("user_id").cast("string"))
+    item = F.get_json_object("props", "$.k")
+    wire = ev.withColumn(
+        "wire",
+        F.to_json(
+            F.struct(
+                user.alias("user_id"),
+                item.alias("item_id"),
+                F.col("event_type").alias("interaction_type"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+                    "timestamp"
+                ),
+            )
+        ),
+    )
+    parsed = wire.withColumn(
+        "p",
+        F.from_json(
+            "wire",
+            "user_id string, item_id string, interaction_type string, "
+            "timestamp timestamp_ntz",
+        ),
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("p.user_id") == user, 1)).alias("n_user_match"),
+        F.count(F.when(F.col("p.item_id") == item, 1)).alias("n_item_match"),
+        F.count(F.when(F.col("p.timestamp") == F.col("ts"), 1)).alias(
+            "n_ts_match"
+        ),
+    )

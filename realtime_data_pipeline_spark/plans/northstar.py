@@ -184,10 +184,10 @@ _AGREE = " + ".join(
 )
 
 
-@register(
-    "minhash_dedup_candidates",
-    f"""
-    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+# Shared CTE chain: documents → token-hash lists → minhash signatures →
+# banded buckets → candidate pairs with agreement estimate.  Reused by
+# the candidates query and the clustering query.
+_MINHASH_CTES = f"""t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id,
                   list_transform({D_SHINGLES},
                                  x -> {D_HASH32.format(t='x')}) AS h
@@ -199,11 +199,19 @@ _AGREE = " + ".join(
            FROM sig, (VALUES {_BAND_VALUES}) j(band)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bk a JOIN bk b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, round(({_AGREE}) / {float(dedup.N_PERMS)}, 4) AS est_jaccard
-    FROM cand
-    JOIN sig x ON x.doc_id = doc_a
-    JOIN sig y ON y.doc_id = doc_b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b,
+                     round(({_AGREE}) / {float(dedup.N_PERMS)}, 4) AS est_jaccard
+              FROM cand
+              JOIN sig x ON x.doc_id = doc_a
+              JOIN sig y ON y.doc_id = doc_b)"""
+
+
+@register(
+    "minhash_dedup_candidates",
+    f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, est_jaccard FROM pairs
     ORDER BY est_jaccard DESC, doc_a, doc_b
     LIMIT 1000
     """,
@@ -214,6 +222,41 @@ _AGREE = " + ".join(
 )
 def q_minhash_dedup_candidates(spark, sf_dir):
     return dedup.minhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+CLUSTER_MIN_EST = 0.5
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= {CLUSTER_MIN_EST}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM strong
+              UNION SELECT doc_b, doc_a FROM strong),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e
+        ON e.u = r.node WHERE r.label < e.v
+    )
+    SELECT node AS doc_id, min(label) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="iterative dedup clustering: strong MinHash pairs (est >= "
+    f"{CLUSTER_MIN_EST}) → connected components by distributed min-label "
+    "propagation (operators/graph.py; oracle = recursive CTE) — near-dup "
+    "PAIRS become duplicate GROUPS with a canonical min-doc_id label",
+    tags=("iterative",),
+)
+def q_dedup_clusters(spark, sf_dir):
+    from realtime_data_pipeline_spark.operators.graph import connected_components
+
+    edges = dedup.minhash_candidates(
+        _t(spark, sf_dir, "documents"), limit=None, min_est_jaccard=CLUSTER_MIN_EST
+    )
+    cc = connected_components(edges, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
 
 
 @register(

@@ -200,3 +200,85 @@ def q_streaming_running_user_totals(spark, sf_dir):
     while q.isActive:
         q.awaitTermination(5)
     return table.read().where(F.col("user_id") != SENTINEL)
+
+
+@register(
+    "streaming_click_purchase_join",
+    """
+    SELECT CAST(c.event_id AS VARCHAR) AS click_id,
+           CAST(p.event_id AS VARCHAR) AS purchase_id,
+           'user_' || CAST(c.user_id AS VARCHAR) AS user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.user_id IS NOT NULL AND c.ts IS NOT NULL AND p.ts IS NOT NULL
+    """,
+    doc="stream-stream inner join (reference has none, SURVEY §2.5): "
+    "clicks joined to same-user purchases within 30 minutes, watermarks "
+    "on BOTH sides bound the join state; availableNow replay equals the "
+    "batch interval join",
+    tags=("streaming",),
+)
+def q_streaming_click_purchase_join(spark, sf_dir):
+    events = _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
+
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    events.coalesce(1).write.mode("overwrite").parquet(replay)
+    # Sentinel rows pass BOTH event-type filters so the watermark of each
+    # join side advances past every real event (a filtered-out sentinel
+    # would advance nothing: Catalyst pushes filters below the watermark
+    # operator).  They join only each other; excluded on read-back.
+    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    flush_ts = max_ts + dt.timedelta(days=2)
+    sentinel = spark.createDataFrame(
+        [(SENTINEL, SENTINEL, "click", flush_ts),
+         (SENTINEL, SENTINEL, "purchase", flush_ts)],
+        schema=DEDUP_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(replay)
+
+    stream = file_replay_stream(spark, replay, DEDUP_SCHEMA, max_files_per_trigger=1)
+    clicks = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .where(F.col("interaction_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("timestamp").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .where(F.col("interaction_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("timestamp").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+    table = UpsertTable(spark, os.path.join(base, "table"), ["click_id", "purchase_id"])
+    q = start_upsert_query(
+        joined,
+        table,
+        os.path.join(base, "ckpt"),
+        "click_purchase_join",
+        trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read().where(F.col("user_id") != SENTINEL)
