@@ -16,6 +16,8 @@ are stable across engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -151,4 +153,49 @@ def lsh_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+# --- Arrow-batched pandas-UDF path ----------------------------------------
+
+
+def pandas_topk(vectors: DataFrame, query_pred, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k with the dot product computed in a
+    vectorized pandas UDF (numpy over Arrow batches) instead of SQL
+    higher-order functions.
+
+    This is the escape hatch for kernels built-ins can't express
+    (learned metrics, quantized distances): same join/rank plan, the
+    scoring column swaps to Python.  numpy accumulates in a different
+    order than a sequential fold, so ranking uses the ROUNDED score
+    (6 digits) to stay deterministic across engines.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype("float64")
+        bm = np.stack(b.to_numpy()).astype("float64")
+        num = (am * bm).sum(axis=1)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(num / den)
+
+    q = vectors.where(query_pred).alias("q")
+    c = vectors.alias("c")
+    pairs = F.broadcast(q).join(
+        c, F.col("q.vec_id") != F.col("c.vec_id")
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(_cos(F.col("q.embedding"), F.col("c.embedding")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
     )

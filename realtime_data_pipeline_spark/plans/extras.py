@@ -340,3 +340,43 @@ def q_json_wire_roundtrip(spark, sf_dir):
             "n_ts_match"
         ),
     )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id,
+           arg_max(event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                             || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS last_event_id,
+           arg_max(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                               || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS last_event_type,
+           max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="A6-family argmax as a single-pass aggregate: max_by/arg_max over a "
+    "fixed-width (ts, event_id) string key — deterministic tie-break, no "
+    "window function, ONE shuffle (the rank-based alternative needs a "
+    "per-key sort)",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    order_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", order_key).alias("last_event_id"),
+            F.max_by("event_type", order_key).alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+        )
+    )

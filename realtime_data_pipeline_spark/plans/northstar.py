@@ -453,3 +453,27 @@ def q_embedding_near_dups(spark, sf_dir):
 def q_multimodal_byte_histogram(spark, sf_dir):
     docs = multimodal.attach_media(_t(spark, sf_dir, "documents"))
     return multimodal.byte_histogram_by_lang(docs)
+
+
+@register(
+    "ann_pandas_topk",
+    f"""
+    WITH e AS ({_D_E}),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_D_COS}, 6) AS cos_sim
+          FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, rnk, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= 10
+    """,
+    doc="the Arrow/pandas-UDF scoring path: same join/rank plan as "
+    "ann_bruteforce_topk but the cosine kernel is vectorized numpy over "
+    "Arrow batches — the pattern for metrics built-ins can't express; "
+    "ranking on the rounded score keeps cross-engine determinism",
+)
+def q_ann_pandas_topk(spark, sf_dir):
+    return similarity.pandas_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=10
+    )

@@ -197,3 +197,36 @@ def test_stateful_totals_survive_restart(spark, tmp_path):
     run()  # restart from the same checkpoint — state must carry over
     got2 = {r.user_id: r.total_interactions for r in table.read().collect()}
     assert got2 == {"user_1": 3, "user_2": 1, "user_3": 1}
+
+
+def test_multi_query_fanout(spark, tmp_path):
+    """W5: one replayed source powering TWO concurrent streaming queries
+    (user + item aggregations) with separate checkpoints — the
+    reference's consumer topology (consumer/consumer.py:143-174)."""
+    events = _ref_shaped_events(spark)
+    replay = str(tmp_path / "replay")
+    _write_replay_fixture(spark, events, replay)
+
+    tables, queries = [], []
+    for key in ("user_id", "item_id"):
+        stream = file_replay_stream(spark, replay, EVENT_SCHEMA, max_files_per_trigger=1)
+        agg = windowed_stream_counts(stream, key)
+        table = UpsertTable(
+            spark, str(tmp_path / f"table_{key}"),
+            ["window_start", "window_end", key],
+        )
+        q = start_upsert_query(
+            agg, table, str(tmp_path / f"ckpt_{key}"), f"fanout_{key}",
+            trigger_available_now=True,
+        )
+        tables.append((key, table))
+        queries.append(q)
+    for q in queries:  # both run CONCURRENTLY; wait for both
+        q.awaitTermination(120)
+
+    for key, table in tables:
+        streamed = {
+            tuple(r) for r in table.read().where(F.col(key) != SENTINEL).collect()
+        }
+        batch = {tuple(r) for r in windowed_stream_counts(events, key).collect()}
+        assert streamed == batch and len(streamed) > 0, key
