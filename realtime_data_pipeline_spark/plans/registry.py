@@ -73,9 +73,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load_events(spark, sf_dir)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     _session.tune(spark)
-    return tables.load_table(spark, sf_dir, name)
+    return tables.load_table(spark, sf_dir, name, widen=widen)
 
 
 def user_key() -> Column:

@@ -55,7 +55,9 @@ def _revenue_col():
     bench=True,
 )
 def q_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").where(
+    # widen: 8 aggregates/row make the map side CPU-bound — see
+    # tables._widen_scan (no-op when the scan already parallelizes).
+    li = _t(spark, sf_dir, "lineitem", widen=True).where(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
     )
     cnt = F.count("*")

@@ -32,6 +32,35 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Only widen scans of files at least this large — repartitioning tiny
+# dimension tables costs more than the parallelism is worth (and they
+# should broadcast anyway).
+_MIN_WIDEN_BYTES = 4 << 20
+
+
+def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Parallelize a scan that parquet row-group layout has serialized.
+
+    The testdata files are single-row-group, so Spark gives the whole
+    scan ONE task and every downstream map-side stage (partial
+    aggregation, expression evaluation) runs serially no matter how
+    many cores exist.  A round-robin repartition to the default
+    parallelism fixes that for a small shuffle of the pruned columns.
+
+    Scale behavior: at real data sizes a scan yields many splits
+    (multiple files / row groups), the condition is false, and this is
+    a NO-OP — predicate pushdown and column pruning still reach the
+    scan either way (Catalyst pushes both through Repartition).
+    """
+    n = spark.sparkContext.defaultParallelism
+    try:
+        small = os.path.getsize(path) < _MIN_WIDEN_BYTES
+    except OSError:
+        small = False
+    if small or df.rdd.getNumPartitions() >= max(2, n // 4):
+        return df
+    return df.repartition(n)
+
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events(event_id, ts: timestamp_ntz, user_id, event_type, value, props).
@@ -44,7 +73,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    df = spark.read.parquet(path)
     # ns → µs truncation; integer `div` (a double division would lose
     # precision above 2^53 ns). timestamp_micros gives an instant; the
     # NTZ cast is exact because the session timezone is pinned to UTC.
@@ -53,10 +83,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
+    """`widen=True` parallelizes a row-group-serialized scan — opt in
+    for queries whose map side is CPU-heavy (many aggregates or
+    expressions per row).  Leave off for broadcast-probe plans, where
+    the extra exchange of pruned rows costs more than the parallelism
+    returns."""
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    return _widen_scan(spark, df, path) if widen else df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
