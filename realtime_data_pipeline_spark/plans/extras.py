@@ -380,3 +380,101 @@ def q_latest_event_per_user(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "segment_event_pivot",
+    f"""
+    SELECT c_mktsegment,
+           {', '.join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in EVENT_TYPES)}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="pivot: event counts per segment spread into one column per event "
+    "type (explicit value list so the plan needs no extra distinct pass)",
+)
+def q_segment_event_pivot(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "top_terms",
+    """
+    SELECT token, count(*) AS doc_freq
+    FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+    doc="term statistics: explode distinct tokens per doc, document "
+    "frequency per term, top-50 — the inverted-index/vocabulary-build "
+    "shape (explode → one shuffle on token)",
+)
+def q_top_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.array_distinct(F.split(F.trim("text"), r"\s+"))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "priority_metrics_unpivot",
+    """
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 4) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'avg_price', avg_price FROM m
+    """,
+    doc="unpivot/melt: wide per-priority metrics to long (metric, value) "
+    "rows via DataFrame.unpivot — the serving-layer reshape",
+)
+def q_priority_metrics_unpivot(spark, sf_dir):
+    sum_price = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            F.round(sum_price.cast("double"), 2).alias("total_price"),
+            F.round(sum_price.cast("double") / F.count("*"), 4).alias(
+                "avg_price"
+            ),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "value",
+    )
