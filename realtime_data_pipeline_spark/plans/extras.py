@@ -156,35 +156,66 @@ def q_iso_timestamp_render(spark, sf_dir):
 
 @register(
     "synthetic_events_sample",
-    None,  # random generator — rows-only check (S1/S2)
+    # Randomness has no value-level SQL oracle; the oracle instead pins
+    # the INVARIANTS the reference's generator guarantees
+    # (producer/producer.py:15-23): exact row count, key ranges, the
+    # 5-valued interaction-type domain, wire-shape key prefixes.
+    """
+    SELECT 10000 AS n_rows, TRUE AS users_in_range, TRUE AS items_in_range,
+           TRUE AS types_in_domain, TRUE AS keys_wire_shaped
+    """,
     doc="S1/S2 producer/producer.py:17-23 — distributed synthetic event "
-    "source: spark.range + rand() expressions (no driver loop); "
-    "rows-only because randomness has no SQL oracle",
+    "source: spark.range + rand() expressions (no driver loop); oracle "
+    "checks the generator's invariants (counts, key ranges, type domain)",
 )
 def q_synthetic_events_sample(spark, sf_dir):
     from realtime_data_pipeline_spark.sources.synthetic import (
+        INTERACTION_TYPES,
         synthetic_events_batch,
     )
 
     df = synthetic_events_batch(spark, 10_000, user_range=1000, item_range=100)
-    return df.groupBy("interaction_type").agg(
-        F.count("*").alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
+    user_n = F.substring("user_id", 6, 12).cast("long")
+    item_n = F.substring("item_id", 6, 12).cast("long")
+    types = F.array(*[F.lit(t) for t in INTERACTION_TYPES])
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        ((F.min(user_n) >= 1) & (F.max(user_n) <= 1000)).alias("users_in_range"),
+        ((F.min(item_n) >= 1) & (F.max(item_n) <= 100)).alias("items_in_range"),
+        F.every(F.array_contains(types, F.col("interaction_type"))).alias(
+            "types_in_domain"
+        ),
+        F.every(
+            F.col("user_id").startswith("user_")
+            & F.col("item_id").startswith("item_")
+        ).alias("keys_wire_shaped"),
     )
 
 
 @register(
     "approx_distinct_users",
-    None,  # HLL sketch values are engine-specific — rows-only check
+    # HLL sketch estimates are engine-specific, so the oracle pins the
+    # exact cardinality plus the estimate's documented error envelope
+    # (rsd=0.01 → assert within 5%, generous vs the 1% target).
+    """
+    SELECT count(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct
+    FROM events
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
-    "cardinality (fixed-size sketch, mergeable across partitions); "
-    "rows-only because sketch estimates differ across engines",
+    "cardinality (fixed-size sketch, mergeable across partitions); the "
+    "oracle asserts the estimate lands within 5% of the exact count",
 )
 def q_approx_distinct_users(spark, sf_dir):
     ev = _events(spark, sf_dir)
+    exact = F.countDistinct("user_id")
+    est = F.approx_count_distinct("user_id", rsd=0.01)
     return ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        (
+            F.abs(est.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

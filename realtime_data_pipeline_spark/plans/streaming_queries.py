@@ -282,3 +282,73 @@ def q_streaming_click_purchase_join(spark, sf_dir):
     while q.isActive:
         q.awaitTermination(5)
     return table.read().where(F.col("user_id") != SENTINEL)
+
+
+@register(
+    "streaming_session_counts",
+    """
+    WITH x AS (
+        SELECT 'user_' || CAST(user_id AS VARCHAR) AS user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM x
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+    doc="STREAMING session windows: merging session state per key under a "
+    "watermark (gap 30 min), append-mode emission of closed sessions — "
+    "equals the batch sessionization (lag+cumsum oracle)",
+    tags=("streaming",),
+)
+def q_streaming_session_counts(spark, sf_dir):
+    events = _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
+
+    base, replay = _replay_dir(events, spark, DEDUP_SCHEMA)
+    stream = file_replay_stream(spark, replay, DEDUP_SCHEMA, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .groupBy(
+            F.session_window("timestamp", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    table = UpsertTable(
+        spark,
+        os.path.join(base, "table"),
+        ["session_start", "session_end", "user_id"],
+    )
+    q = start_upsert_query(
+        agg,
+        table,
+        os.path.join(base, "ckpt"),
+        "session_counts",
+        trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read().where(F.col("user_id") != SENTINEL)
