@@ -477,3 +477,96 @@ def q_ann_pandas_topk(spark, sf_dir):
     return similarity.pandas_topk(
         _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=10
     )
+
+
+@register(
+    "corpus_curation_stats",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= {CLUSTER_MIN_EST}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM strong
+              UNION SELECT doc_b, doc_a FROM strong),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e
+        ON e.u = r.node WHERE r.label < e.v
+    ),
+    cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    near_dupes AS (SELECT node FROM cc WHERE component != node),
+    exact_canon AS (
+        SELECT doc_id,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canon
+        FROM documents
+    ),
+    kept AS (
+        SELECT d.doc_id, d.lang, d.text, {D_TOKS} AS toks
+        FROM documents d
+        JOIN exact_canon e ON e.doc_id = d.doc_id AND e.is_canon
+        LEFT JOIN near_dupes nd ON nd.node = d.doc_id
+        WHERE nd.node IS NULL
+    ),
+    scored AS (
+        SELECT lang, len(toks) AS n_tokens,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                     + 0.4 * (1.0 - CAST(len(list_filter(toks, t -> list_contains([{_ALL_STOP}], t))) AS DOUBLE)
+                                    / CAST(len(toks) AS DOUBLE))
+                     + 0.2 * least((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                    / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0),
+                     4) AS quality
+        FROM kept
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM scored
+    WHERE quality >= 0.5
+    GROUP BY lang
+    """,
+    doc="the LLM training-data curation pipeline END TO END: exact dedup "
+    "(keep min-doc_id per content hash) → near-dup removal (MinHash-LSH "
+    "pairs → connected components, drop non-canonical members) → quality "
+    "filter (score >= 0.5) → per-language corpus stats.  One query "
+    "composing dedup.py + graph.py + text.py, fully oracle-checked",
+    tags=("pipeline",),
+)
+def q_corpus_curation_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from realtime_data_pipeline_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # Near-dup removal: every cluster member except the canonical
+    # (min-doc_id) node.
+    strong = dedup.minhash_candidates(
+        docs, limit=None, min_est_jaccard=CLUSTER_MIN_EST
+    )
+    cc = connected_components(strong, "doc_a", "doc_b")
+    near_dupes = cc.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    # Exact dedup: keep the min doc_id of each identical-text group.
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    kept = (
+        docs.withColumn("is_canon", F.col("doc_id") == F.min("doc_id").over(w))
+        .where("is_canon")
+        .join(near_dupes, "doc_id", "left_anti")
+    )
+
+    scored = kept.select(
+        "lang",
+        text.token_count().alias("n_tokens"),
+        text.quality_score().alias("quality"),
+    )
+    return (
+        scored.where(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
