@@ -28,11 +28,15 @@ from pyspark.sql import functions as F
 N_PERMS = 12  # MinHash permutations; bands of 1 row → high recall
 
 # Affine permutation family over ONE 32-bit base hash per shingle:
-#   sig_j = min over shingles of (A[j]·hash32(s) + B[j]) mod MINHASH_P
-# One md5 per shingle instead of N_PERMS — the md5 is the expensive part.
-# A[j] < 2^28 and hash32 < 2^32 keep A·h + B < 2^63 (no int64 overflow),
-# so Spark and DuckDB produce bit-identical signatures.
+#   sig_j = min over shingles of (A[j]·h(s) + B[j]) mod MINHASH_P
+# The shingle hash h(s) is itself a polynomial combination of the
+# PER-TOKEN md5 hashes (see minhash_signatures) — md5 runs once per
+# token, not once per 3-word shingle string, and no shingle strings are
+# ever materialized.  A[j] < 2^28 and h < P ≈ 2^32 keep every product
+# below 2^63 (no int64 overflow), so Spark and DuckDB produce
+# bit-identical signatures.
 MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+SHINGLE_B = 1_000_003  # polynomial base; (P-1)·B < 2^63
 
 def _perm_const(tag: str, j: int, mod: int) -> int:
     return int(hashlib.md5(f"{tag}{j}".encode()).hexdigest()[:15], 16) % mod
@@ -82,23 +86,41 @@ def with_shingles(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     """One min-hash column per permutation via the affine family:
-    sig_j = min over shingles of (A[j]·hash32(shingle) + B[j]) mod P.
+    sig_j = min over shingles of (A[j]·h(shingle) + B[j]) mod P.
 
-    The md5 base hash is computed ONCE per shingle (`shingle_hashes`);
-    each permutation is then integer arithmetic over the cached array —
-    n_perms× cheaper than hashing per permutation.  Still CPU-heavy, so
+    Hashing plan (cheapest to most derived):
+      1. md5 once PER TOKEN → 32-bit `th` array (short strings, one
+         pass — never per shingle, never per permutation);
+      2. shingle hash = rolling polynomial over the 3 token hashes,
+         ((th[i]·B + th[i+1]) mod P · B + th[i+2]) mod P — pure int64;
+      3. each permutation = affine transform of the shingle hash.
+    No shingle strings are materialized at all.  Still CPU-heavy, so
     repartition first: test parquet is single-row-group (one scan task),
     and at scale upstream partitioning rarely matches the CPU-bound
     stage's ideal width.  The tiny shuffle buys a fully parallel map
     stage.
     """
     n = docs.sparkSession.sparkContext.defaultParallelism
-    out = with_shingles(docs.repartition(n, "doc_id")).withColumn(
-        "shingle_hashes",
-        F.expr(
-            "transform(shingles, s -> "
-            "cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
-        ),
+    out = (
+        docs.repartition(n, "doc_id")
+        .withColumn("toks", F.expr(TOKENS_EXPR))
+        .where(F.size("toks") >= 3)
+        .withColumn(
+            "th",
+            F.expr(
+                "transform(toks, t -> "
+                "cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn(
+            "shingle_hashes",
+            F.expr(
+                f"transform(sequence(1, size(th) - 2), i -> "
+                f"(((element_at(th, i) * {SHINGLE_B} + element_at(th, i + 1))"
+                f" % {MINHASH_P}) * {SHINGLE_B} + element_at(th, i + 2))"
+                f" % {MINHASH_P})"
+            ),
+        )
     )
     for j in range(n_perms):
         out = out.withColumn(
@@ -108,7 +130,7 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
                 f"h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}))"
             ),
         )
-    return out.drop("shingles", "shingle_hashes")
+    return out.drop("toks", "th", "shingle_hashes")
 
 
 def minhash_candidates(

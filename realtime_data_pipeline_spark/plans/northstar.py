@@ -184,14 +184,21 @@ _AGREE = " + ".join(
 )
 
 
-# Shared CTE chain: documents → token-hash lists → minhash signatures →
-# banded buckets → candidate pairs with agreement estimate.  Reused by
-# the candidates query and the clustering query.
+# Shared CTE chain: documents → per-token md5 hashes → polynomial
+# shingle hashes → minhash signatures → banded buckets → candidate
+# pairs with agreement estimate.  Mirrors dedup.minhash_signatures
+# step for step (same constants); reused by the candidates query and
+# the clustering query.
 _MINHASH_CTES = f"""t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id,
-                  list_transform({D_SHINGLES},
-                                 x -> {D_HASH32.format(t='x')}) AS h
+    tk AS (SELECT doc_id,
+                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
            FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, len(th) - 1),
+                      i -> (((th[i] * {dedup.SHINGLE_B} + th[i + 1])
+                             % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + th[i + 2])
+                           % {dedup.MINHASH_P}) AS h
+           FROM tk),
     sig AS (SELECT doc_id,
         {_SIG_COLS}
         FROM sh),
