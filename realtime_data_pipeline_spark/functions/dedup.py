@@ -234,38 +234,99 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bit_chunks(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split `bits` into `n_chunks` contiguous (offset, width) chunks."""
+    base, extra = divmod(bits, n_chunks)
+    chunks, off = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < extra else 0)
+        chunks.append((off, width))
+        off += width
+    return chunks
+
+
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 8, limit: int = 1000
 ) -> DataFrame:
-    """Pairs within Hamming distance `max_hamming`.  All-pairs compare is
-    fine at test scale; at 100 TB, pre-bucket by bit-chunks (pigeonhole:
-    distance ≤ d → some ⌈bits/(d+1)⌉-bit chunk is equal) to get an
-    equi-join prefilter, same shape as the MinHash band join."""
-    # Persist for the same reason as minhash_candidates: the pair join
+    """Pairs within Hamming distance `max_hamming`, via pigeonhole
+    bucketing: the signature splits into max_hamming+1 bit-chunks, and
+    any pair within distance d must agree on at least one chunk (d
+    differing bits cannot touch all d+1 chunks).  Candidates come from
+    an equi-join on (chunk index, chunk value) — the same shuffle shape
+    as the MinHash band join, RECALL 1.0 by construction — then the
+    exact Hamming filter runs only on candidates.  All-pairs never
+    happens at any scale."""
+    # Persist for the same reason as minhash_candidates: the chunk join
     # is a self-join and the signature subtree would otherwise run twice.
     sigs = simhash_signatures(docs).select("doc_id", "simhash").persist()
-    a, b = sigs.alias("a"), sigs.alias("b")
+    chunks = _bit_chunks(SIMHASH_BITS, max_hamming + 1)
+    buckets = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.expr(
+                        f"(simhash >> {off}) & {(1 << width) - 1}"
+                    ).alias("val"),
+                )
+                for i, (off, width) in enumerate(chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    a, b = buckets.alias("a"), buckets.alias("b")
     dist = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             dist.alias("hamming_dist"),
         )
         .where(F.col("hamming_dist") <= max_hamming)
+        .distinct()
         .orderBy("hamming_dist", "doc_a", "doc_b")
         .limit(limit)
     )
 
 
+SHINGLE_HASHES_EXPR = (
+    f"transform(sequence(1, size(th) - 2), i -> "
+    f"(((element_at(th, i) * {SHINGLE_B} + element_at(th, i + 1))"
+    f" % {MINHASH_P}) * {SHINGLE_B} + element_at(th, i + 2))"
+    f" % {MINHASH_P})"
+)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, min_jaccard: float = 0.02, limit: int = 1000
 ) -> DataFrame:
-    """Exact 3-gram Jaccard on candidate pairs from a sparse
-    shared-shingle equi-join (cost ∝ shingle collisions, never n²)."""
-    sh = with_shingles(docs).select(
-        "doc_id", F.array_distinct("shingles").alias("sh")
+    """3-gram Jaccard on candidate pairs from a sparse shared-shingle
+    equi-join (cost ∝ shingle collisions, never n²).  Shingles are the
+    same polynomial token-hash values MinHash uses — the explode/join
+    shuffles int64 keys, not 3-word strings (~10× smaller shuffle
+    payload; both engines hash identically so Jaccard over hash sets
+    equals Jaccard over string sets modulo shared ~2^-32 collisions)."""
+    sh = (
+        docs.withColumn("toks", F.expr(TOKENS_EXPR))
+        .where(F.size("toks") >= 3)
+        .withColumn(
+            "th",
+            F.expr(
+                "transform(toks, t -> "
+                "cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(SHINGLE_HASHES_EXPR)).alias("sh"),
+        )
     )
     sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
     exploded = sized.select(

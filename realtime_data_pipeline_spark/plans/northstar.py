@@ -284,7 +284,8 @@ def q_dedup_clusters(spark, sf_dir):
     LIMIT 1000
     """,
     doc="SimHash near-dups: 32-bit frequency-weighted signatures, pairs "
-    "within Hamming distance 8 (scale path: pigeonhole bit-chunk buckets)",
+    "within Hamming distance 8 via pigeonhole bit-chunk bucketing "
+    "(9 chunks → equi-join prefilter with recall 1.0, never all-pairs)",
 )
 def q_simhash_near_dups(spark, sf_dir):
     df = dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
@@ -295,8 +296,15 @@ def q_simhash_near_dups(spark, sf_dir):
     "ngram_jaccard_pairs",
     f"""
     WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, list_distinct({D_SHINGLES}) AS s
+    tk AS (SELECT doc_id,
+                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
            FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(th) - 1),
+                      i -> (((th[i] * {dedup.SHINGLE_B} + th[i + 1])
+                             % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + th[i + 2])
+                           % {dedup.MINHASH_P})) AS s
+           FROM tk),
     sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
     ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM sz),
     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
@@ -310,8 +318,10 @@ def q_simhash_near_dups(spark, sf_dir):
     ORDER BY jaccard DESC, doc_a, doc_b
     LIMIT 1000
     """,
-    doc="exact n-gram Jaccard on sparse shared-shingle candidate pairs "
-    "(explode→equi-join→count, never an n² cross join)",
+    doc="n-gram Jaccard on sparse shared-shingle candidate pairs "
+    "(explode→equi-join→count, never an n² cross join); shingles are "
+    "int64 polynomial token-hashes, so the shuffle carries 8-byte keys "
+    "instead of 3-word strings",
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
