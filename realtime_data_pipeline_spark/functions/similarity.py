@@ -86,11 +86,39 @@ def near_dup_pairs(
     vectors: DataFrame, min_cosine: float, limit: int = 500
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_id asc ordered pair).
-    All-pairs at test scale; at 100 TB run it per LSH bucket."""
+    All-pairs at test scale; at 100 TB run it per LSH bucket
+    (near_dup_pairs_lsh)."""
     e = with_norm(vectors)
     q, c = e.alias("q"), e.alias("c")
     return (
         q.join(c, F.col("q.vec_id") < F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.round(_cosine(), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(limit)
+    )
+
+
+def near_dup_pairs_lsh(
+    vectors: DataFrame, min_cosine: float, limit: int = 500
+) -> DataFrame:
+    """The 100 TB near-dup shape: pairs compared only within their LSH
+    sign bucket — the pair join is an equi-join on `bucket`, cost
+    ∝ Σ bucket², never n².  Trades recall (similar vectors split by a
+    hyperplane are missed) for the scalable shuffle; raise recall with
+    multi-probe or more bucket families, not a wider join."""
+    e = with_lsh_bucket(with_norm(vectors))
+    q, c = e.alias("q"), e.alias("c")
+    return (
+        q.join(
+            c,
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") < F.col("c.vec_id")),
+        )
         .select(
             F.col("q.vec_id").alias("vec_a"),
             F.col("c.vec_id").alias("vec_b"),

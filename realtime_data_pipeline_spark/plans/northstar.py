@@ -587,3 +587,28 @@ def q_corpus_curation_stats(spark, sf_dir):
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+@register(
+    "embedding_near_dups_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_D_NORM.format(a='embedding')} AS nrm,
+                      {_D_BUCKET} AS bucket
+               FROM embeddings),
+    p AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+                 round({_D_COS}, 6) AS cos_sim
+          FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM p
+    WHERE cos_sim >= 0.45
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT 500
+    """,
+    doc="embedding near-dups at the 100 TB shuffle shape: pair join is an "
+    "equi-join on the LSH sign bucket (cost ∝ Σ bucket², never n²); "
+    "recall traded for scalability vs embedding_near_dups",
+)
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    return similarity.near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.45
+    )
