@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_PERMS = 12  # MinHash permutations; bands of 1 row → high recall
@@ -45,21 +45,7 @@ MINHASH_A = tuple(_perm_const("a", j, 1 << 28) | 1 for j in range(N_PERMS))
 MINHASH_B = tuple(_perm_const("b", j, MINHASH_P) for j in range(N_PERMS))
 
 
-def _hash60_expr(seed: int, s: str) -> str:
-    """60-bit hash from md5 — identical in DuckDB via hex cast."""
-    return f"cast(conv(substr(md5('{seed}:' || {s}), 1, 15), 16, 10) as bigint)"
-
-
 TOKENS_EXPR = "split(trim(text), '\\\\s+')"
-# Shingles are built from a materialized `toks` COLUMN, not the split
-# expression inline: referencing split() inside the transform lambda
-# defeats Spark's common-subexpression elimination and re-tokenizes per
-# shingle element.
-SHINGLES_EXPR = (
-    "transform(sequence(1, size(toks) - 2), "
-    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
-    "element_at(toks, i + 2)))"
-)
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -70,17 +56,6 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("canonical_doc_id"),
         )
-    )
-
-
-def with_shingles(docs: DataFrame) -> DataFrame:
-    """3-word shingles; docs shorter than 3 tokens are dropped (they
-    have no shingle signal)."""
-    return (
-        docs.withColumn("toks", F.expr(TOKENS_EXPR))
-        .where(F.size("toks") >= 3)
-        .withColumn("shingles", F.expr(SHINGLES_EXPR))
-        .drop("toks")
     )
 
 

@@ -27,15 +27,7 @@ from realtime_data_pipeline_spark.plans.registry import _t, register
 # ---------------------------------------------------------------------------
 
 D_TOKS = "string_split_regex(trim(text), '\\s+')"
-D_SHINGLES = (
-    "list_transform(range(1, len(toks) - 1), "
-    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
-)
 D_HASH32 = "(('0x' || substr(md5({t}), 1, 8))::BIGINT)"
-
-
-def _d_hash60(seed: int, s: str) -> str:
-    return f"(('0x' || substr(md5('{seed}:' || {s}), 1, 15))::BIGINT)"
 
 
 def _d_lex(lang: str) -> str:
