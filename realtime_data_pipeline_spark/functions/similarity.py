@@ -227,3 +227,42 @@ def pandas_topk(vectors: DataFrame, query_pred, k: int = 10) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cos_sim")
     )
+
+
+def lsh_multiprobe_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus the
+    N_PLANES buckets at Hamming distance 1 (one hyperplane flipped).
+    Recovers most of the recall single-probe loses to near-boundary
+    vectors, while the candidate join stays an EQUI-join on bucket —
+    the query side just explodes ×(N_PLANES+1), which is the bounded
+    (small) side.  Probe values are distinct, so no candidate pair
+    duplicates."""
+    e = with_lsh_bucket(with_norm(vectors))
+    q = e.where(query_pred).withColumn(
+        "probe",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.expr(f"bucket ^ {1 << p}")
+                    for p in range(N_PLANES)
+                ],
+            )
+        ),
+    ).alias("q")
+    c = e.alias("c")
+    pairs = F.broadcast(q).join(
+        c,
+        (F.col("q.probe") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        _cosine().alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )

@@ -604,3 +604,37 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     return similarity.near_dup_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), min_cosine=0.45
     )
+
+
+_D_PROBES = ", ".join(["(-1)"] + [f"({p})" for p in range(similarity.N_PLANES)])
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_D_NORM.format(a='embedding')} AS nrm,
+                      {_D_BUCKET} AS bucket
+               FROM embeddings),
+    probes AS (SELECT vec_id, embedding, nrm,
+                      CASE WHEN pb.b = -1 THEN bucket
+                           ELSE xor(bucket, (1::BIGINT << pb.b)) END AS probe
+               FROM e, (VALUES {_D_PROBES}) pb(b)
+               WHERE vec_id < 8),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cs
+          FROM probes q JOIN e c
+          ON q.probe = c.bucket AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= 5
+    """,
+    doc="multi-probe LSH ANN: query probes its bucket + all Hamming-1 "
+    "buckets (query side explodes ×9, candidate join stays an equi-join) "
+    "— recovers near-boundary recall single-probe LSH loses",
+)
+def q_ann_lsh_multiprobe_topk(spark, sf_dir):
+    return similarity.lsh_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
+    )
