@@ -52,3 +52,81 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful-processor API) -----------
+#
+# Gated on BOTH the PySpark API and a functional google.protobuf: the
+# TransformWithStateInPySpark runner speaks protobuf to the JVM, and
+# this container ships a broken protobuf install (descriptor module
+# missing).  applyInPandasWithState above is the dependency-free
+# fallback covering the same custom-stateful slot.
+
+
+def tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False
+    return True
+
+
+try:  # API exists in Spark 4.0+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        """Per-user lifetime (total interactions, purchases) via explicit
+        ValueState — the modern replacement for applyInPandasWithState
+        (typed state handles, timers, TTL).  Requires the RocksDB state
+        store provider."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getValueState(
+                "counts", "total BIGINT, purchases BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, purchases = (
+                tuple(self._counts.get()) if self._counts.exists() else (0, 0)
+            )
+            for pdf in rows:
+                total += len(pdf)
+                purchases += int((pdf["interaction_type"] == "purchase").sum())
+            self._counts.update((total, purchases))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_interactions": [total],
+                    "n_purchases": [purchases],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_TWS = False
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def user_stats_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """transformWithStateInPandas pipeline stage (requires RocksDB state
+    store — set spark.sql.streaming.stateStore.providerClass)."""
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType="user_id string, total_interactions bigint, "
+        "n_purchases bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
