@@ -28,16 +28,26 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
 def main() -> None:
     n = default_parallelism()
     spark = get_spark(
         app_name="rdp-bench", master=f"local[{n}]", shuffle_partitions=n
     )
-    # Warm the JVM / parquet footers so per-query numbers reflect the
-    # engine, not first-job startup.
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
-
     bench_specs = [s for s in REGISTRY.values() if s.bench]
+
+    # Warm-up: execute every bench query once at the smallest scale
+    # factor so whole-stage codegen, Python worker pools, and parquet
+    # footers are hot — the timed numbers then measure the engine's
+    # steady state, not first-run JIT.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    for spec in bench_specs:
+        spec.fn(spark, WARMUP_SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     for spec in bench_specs:
         df = spec.fn(spark, SF_DIR)
