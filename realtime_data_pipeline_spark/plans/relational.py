@@ -523,3 +523,49 @@ def q_salted_segment_counts(spark, sf_dir):
             F.countDistinct("c_custkey").alias("n_users"),
         )
     )
+
+
+@register(
+    "customer_spend_distribution",
+    """
+    WITH spend AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, round(total_spend, 2) AS total_spend,
+           ntile(4) OVER w AS spend_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend, c_custkey)
+    """,
+    doc="distribution window functions (ntile / percent_rank / cume_dist) "
+    "over per-customer spend — global-order window, deterministic "
+    "tie-break on the unique key; at scale a single-partition window "
+    "sort is the known cost (range-partition + offset merge if needed)",
+)
+def q_customer_spend_distribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    spend = (
+        cu.join(od, od.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
