@@ -638,3 +638,64 @@ def q_ann_lsh_multiprobe_topk(spark, sf_dir):
     return similarity.lsh_multiprobe_topk(
         _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
     )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({D_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+                   AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, rnk, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: term counts → document "
+    "frequency (one shuffle each) → smoothed-idf score → per-doc rank. "
+    "Ranking uses the ROUNDED score + token tie-break so cross-engine "
+    "1-ulp ln() differences cannot flip ranks",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "token", "rnk", "tfidf")
+    )
