@@ -352,3 +352,68 @@ def q_streaming_session_counts(spark, sf_dir):
     while q.isActive:
         q.awaitTermination(5)
     return table.read().where(F.col("user_id") != SENTINEL)
+
+
+@register(
+    "streaming_json_wire_counts",
+    f"WITH {USER_AGG_CTE} SELECT * FROM user_agg",
+    doc="the reference's FULL wire path under streaming (P1-P4 + W1-W4): "
+    "events serialized as JSON lines (the Kafka value payload), text "
+    "stream source, CAST->from_json(declared schema)->flatten->null "
+    "filter (pipeline.parse_events), then watermark + sliding windows + "
+    "upsert sink — equals batch A1",
+    tags=("streaming",),
+)
+def q_streaming_json_wire_counts(spark, sf_dir):
+    from realtime_data_pipeline_spark.streaming.pipeline import parse_events
+
+    events = _events(spark, sf_dir).select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.get_json_object("props", "$.k").alias("item_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("item_id").isNotNull()
+        & F.col("timestamp").isNotNull()
+    )
+
+    def to_wire(df):
+        return df.select(
+            F.to_json(
+                F.struct(
+                    "user_id",
+                    "item_id",
+                    "interaction_type",
+                    F.date_format(
+                        "timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                    ).alias("timestamp"),
+                )
+            ).alias("value")
+        )
+
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    to_wire(events).coalesce(1).write.mode("overwrite").text(replay)
+    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(SENTINEL, SENTINEL, "flush", max_ts + dt.timedelta(days=2))],
+        schema=EVENT_SCHEMA,
+    )
+    to_wire(sentinel).coalesce(1).write.mode("append").text(replay)
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", "1").text(replay)
+    )
+    agg = windowed_stream_counts(parse_events(raw), "user_id")
+    table = UpsertTable(spark, os.path.join(base, "table"), KEYS)
+    q = start_upsert_query(
+        agg,
+        table,
+        os.path.join(base, "ckpt"),
+        "json_wire_counts",
+        trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read().where(F.col("user_id") != SENTINEL)
