@@ -1,0 +1,139 @@
+"""Scale-lever evidence tests: bucketed co-located joins (no shuffle),
+observe() metrics, single-query foreachBatch fan-out (W5 alternative).
+These pin the plan/behavior properties PLANS.md claims.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.tables import load_table
+
+from conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key co-locates them: the
+    sort-merge join reads bucket files directly — ZERO Exchange in the
+    joined plan.  At 100 TB this is the difference between shuffling
+    two fact tables per join and shuffling never."""
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    n_buckets = 8
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", lineitem, "l_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        # merge hint: at test size Spark would broadcast tiny orders;
+        # the property under test is the big-big (SMJ) case.
+        joined = bl.hint("merge").join(
+            bo, bl.l_orderkey == bo.o_orderkey
+        ).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # The join itself must be exchange-free; the groupBy
+        # aggregation after it is allowed its single exchange.
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, join_part[:2000]
+        # Sanity: result matches the unbucketed join.
+        expected = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_observe_metrics(spark):
+    """df.observe(): accumulator-style metrics collected during a batch
+    action — the engine-side observability hook (W6 family)."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, SF_DIR, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("user_id")).alias("n_user_rows"),
+    )
+    n = observed.count()
+    metrics = obs.get
+    assert metrics["n_rows"] == n
+    assert 0 < metrics["n_user_rows"] <= n
+
+
+def test_foreachbatch_double_write(spark, tmp_path):
+    """W5 alternative (SURVEY §2.5): ONE streaming query feeding BOTH
+    aggregate tables via a double-writing foreachBatch — halves the
+    source reads vs two independent queries."""
+    import datetime as dt
+
+    from realtime_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        file_replay_stream,
+        windowed_stream_counts,
+    )
+    from realtime_data_pipeline_spark.streaming.sinks import UpsertTable
+
+    events = load_table(spark, SF_DIR, "events").select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.get_json_object("props", "$.k").alias("item_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
+    replay = str(tmp_path / "replay")
+    events.coalesce(1).write.mode("overwrite").parquet(replay)
+    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    spark.createDataFrame(
+        [("__sentinel__", "__sentinel__", "flush", max_ts + dt.timedelta(days=2))],
+        schema=EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(replay)
+
+    user_table = UpsertTable(
+        spark, str(tmp_path / "ut"), ["window_start", "window_end", "user_id"]
+    )
+    item_table = UpsertTable(
+        spark, str(tmp_path / "it"), ["window_start", "window_end", "item_id"]
+    )
+
+    def double_write(batch_df, batch_id):
+        batch_df.persist()
+        user_table.merge(windowed_stream_counts(batch_df, "user_id", watermark=None))
+        item_table.merge(windowed_stream_counts(batch_df, "item_id", watermark=None))
+        batch_df.unpersist()
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(double_write)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    for table, key in ((user_table, "user_id"), (item_table, "item_id")):
+        got = {
+            tuple(r)
+            for r in table.read().where(F.col(key) != "__sentinel__").collect()
+        }
+        want = {
+            tuple(r)
+            for r in windowed_stream_counts(events, key).collect()
+        }
+        assert got == want and len(got) > 0, key
