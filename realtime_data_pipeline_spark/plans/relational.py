@@ -407,7 +407,8 @@ def q_event_user_segment_counts(spark, sf_dir):
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-           click_id, click_ts
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE(click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
     FROM w WHERE event_type = 'purchase'
     """,
     doc="as-of (backward) join: each purchase attributed to the user's "
@@ -432,12 +433,17 @@ def q_purchase_click_attribution(spark, sf_dir):
         keys=["user_id"], left_ts="ts", right_ts="ts",
         payload_cols=["event_id"],
     )
+    # COALESCE null as-of misses to sentinels: null timestamps render
+    # as NaT through pandas/arrow, which value-hash normalizations may
+    # treat differently than SQL NULL.
     return joined.select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
-        F.col("asof.event_id").alias("click_id"),
-        F.col("asof.ts").alias("click_ts"),
+        F.coalesce("asof.event_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            "asof.ts", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("click_ts"),
     )
 
 

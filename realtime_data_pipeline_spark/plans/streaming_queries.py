@@ -417,3 +417,98 @@ def q_streaming_json_wire_counts(spark, sf_dir):
     while q.isActive:
         q.awaitTermination(5)
     return table.read().where(F.col("user_id") != SENTINEL)
+
+
+@register(
+    "streaming_purchase_attribution_outer",
+    """
+    SELECT CAST(p.event_id AS VARCHAR) AS purchase_id,
+           'user_' || CAST(p.user_id AS VARCHAR) AS user_id,
+           p.ts AS purchase_ts,
+           COALESCE(CAST(c.event_id AS VARCHAR), '__none__') AS click_id,
+           COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+            AND user_id IS NOT NULL AND ts IS NOT NULL) p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+                 AND user_id IS NOT NULL AND ts IS NOT NULL) c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+    doc="stream-stream LEFT OUTER join: every purchase paired with each "
+    "same-user click in the prior 30 min, or emitted with NULLs once the "
+    "watermark proves no click can still arrive — the outer-emission "
+    "semantics only streaming state can provide",
+    tags=("streaming",),
+)
+def q_streaming_purchase_attribution_outer(spark, sf_dir):
+    events = _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
+
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    events.coalesce(1).write.mode("overwrite").parquet(replay)
+    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    flush_ts = max_ts + dt.timedelta(days=2)
+    # Sentinels pass both side filters so both watermarks advance and
+    # the unmatched-left rows flush; excluded on read-back.
+    spark.createDataFrame(
+        [(SENTINEL, SENTINEL, "click", flush_ts),
+         (SENTINEL, SENTINEL, "purchase", flush_ts)],
+        schema=DEDUP_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(replay)
+
+    stream = file_replay_stream(spark, replay, DEDUP_SCHEMA, max_files_per_trigger=1)
+    purchases = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .where(F.col("interaction_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("timestamp").alias("purchase_ts"),
+        )
+    )
+    clicks = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .where(F.col("interaction_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("timestamp").alias("click_ts"),
+        )
+    )
+    # COALESCE the null-match columns to sentinels: pandas/arrow round
+    # trips render null timestamps as NaT, which order-insensitive
+    # value-hash comparisons may normalize differently than SQL NULL.
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.coalesce("click_id", F.lit("__none__")).alias("click_id"),
+        F.coalesce(
+            "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("click_ts"),
+    )
+
+    table = UpsertTable(
+        spark, os.path.join(base, "table"), ["purchase_id", "click_id"]
+    )
+    q = start_upsert_query(
+        joined,
+        table,
+        os.path.join(base, "ckpt"),
+        "purchase_attribution_outer",
+        trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read().where(F.col("user_id") != SENTINEL)

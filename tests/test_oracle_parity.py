@@ -26,8 +26,9 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.10g}"
-    if hasattr(v, "isoformat"):  # datetime / date
-        return v.isoformat()
+    if hasattr(v, "isoformat"):  # datetime / date (pandas NaT → NULL)
+        s = v.isoformat()
+        return "NULL" if s == "NaT" else s
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
