@@ -1,0 +1,380 @@
+"""Classic decision-support query shapes (TPC-H Q7/Q10/Q12/Q13/Q14/
+Q16/Q18/Q19/Q22 analogues) adapted to the testdata's slim star schema.
+
+The reference implements zero joins (SURVEY §2.4 "Joins: none"); these
+extend the relational surface with the join/agg patterns any general
+analytics engine must plan well.  Each one exists to prove a distinct
+physical shape:
+
+  * bilateral_trade_volume      — same dim table joined twice (aliased)
+  * returned_revenue_top_customers — selective fact filter + 3-way join + top-k
+  * priority_shipping_stats     — conditional (CASE) aggregation over a join
+  * customer_order_count_histogram — OUTER join with join-side predicate,
+                                  two-level aggregation (agg of an agg)
+  * promo_revenue_share         — global conditional ratio (one row out)
+  * supplier_part_diversity     — distinct-agg over a join, IN-list pruning
+  * large_quantity_orders       — agg→HAVING→join back to the fact (Q18)
+  * brand_quantity_revenue      — disjunctive multi-column predicates (Q19)
+  * idle_rich_customers         — scalar-subquery threshold + anti join (Q22)
+
+Scale posture: dimensions broadcast; fact-fact joins shuffle on the
+join key once and aggregate partially map-side; top-k compiles to
+TakeOrderedAndProject; the disjunctive Q19 predicate stays inside the
+scan filter (pushed below the join by Catalyst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.plans.registry import _t, register
+from realtime_data_pipeline_spark.plans.relational import _revenue_col
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "bilateral_trade_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+       OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: nation dim joined twice under different roles "
+    "(customer side vs supplier side), per-year revenue between the pair",
+)
+def q_bilateral_trade_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_7")
+    ) | ((F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .where(pair)
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "returned_revenue_top_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer over one "
+    "quarter, top-20 via TakeOrderedAndProject",
+)
+def q_returned_revenue_top_customers(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "priority_shipping_stats",
+    """
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_priority_lines,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_priority_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipmode→returnflag on the slim schema): "
+    "conditional CASE counts split one pass over the join",
+)
+def q_priority_shipping_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_priority_lines"),
+            F.count(F.when(~high, F.lit(1))).alias("low_priority_lines"),
+        )
+    )
+
+
+@register(
+    "customer_order_count_histogram",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with a join-side (not WHERE) "
+    "predicate, then an aggregation of an aggregation — zero-order "
+    "customers must survive into the histogram",
+)
+def q_customer_order_count_histogram(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(
+            o,
+            (cu.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                     ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE),
+                 4) AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: global conditional-revenue ratio (promo share), "
+    "single output row, decimal partial sums then one double division",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue_col()).otherwise(
+        F.lit(0).cast("decimal(28,10)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(_revenue_col()).cast("double"),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "supplier_part_diversity",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem stands in for partsupp): distinct "
+    "suppliers per (brand, size) with IN-list + inequality dim pruning",
+)
+def q_supplier_part_diversity(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "large_quantity_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: aggregate the fact, HAVING-filter the groups, "
+    "join the surviving keys back to orders/customer — the agg-side "
+    "filter shrinks the join input before any wide join happens",
+)
+def q_large_quantity_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("total_qty")
+        )
+        .where(F.col("total_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "brand_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 36 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-column predicates spanning "
+    "both join sides — Catalyst splits the OR into per-side pushable "
+    "conjuncts (brand/size prune the part scan) before the join",
+)
+def q_brand_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(20, 36)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    WITH avg_bal AS (
+        SELECT round(avg(c_acctbal), 2) AS threshold
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > threshold
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row "
+    "cross join) + anti join against recent orders (every testdata "
+    "customer has SOME order, so the recency filter keeps the anti join "
+    "non-trivial), per-nation rollup; the threshold is rounded to cents "
+    "so both engines agree exactly",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    threshold = (
+        cu.where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("threshold"))
+    )
+    return (
+        cu.crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("total_acctbal"),
+        )
+    )
