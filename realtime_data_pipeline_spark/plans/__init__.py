@@ -9,3 +9,68 @@ from realtime_data_pipeline_spark.plans import streaming_queries  # noqa: F401
 from realtime_data_pipeline_spark.plans import northstar  # noqa: F401
 from realtime_data_pipeline_spark.plans import tpch_shapes  # noqa: F401
 from realtime_data_pipeline_spark.plans import extras  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering (VERDICT r1 item 3).
+#
+# The external correctness driver hash-checks the FIRST 50 registered
+# queries; the rest only get the (now driver-strength, sf0.01) local
+# parity suite.  So registration order is a budget: the 50 slots go to
+# the queries that carry the §2 operator inventory, the streaming
+# parity proofs, the LLM-data operators, and the physically-distinct
+# TPC-H shapes.  Demoted below slot 50 (deliberately, each with a
+# reason):
+#   * customers_without_orders / click_not_error_users — 0 rows at
+#     sf0.01, a vacuous hash match; the anti-join/EXCEPT operators are
+#     still pytest-checked and anti-join is driver-covered via
+#     idle_rich_customers.
+#   * event_user_segment_counts — same join+rollup as
+#     salted_segment_counts (which also proves the skew-salting
+#     equivalence, so it keeps the slot).
+#   * embedding_near_dups — the all-pairs O(n²) variant; the
+#     scale-shaped LSH variant keeps the slot.
+#   * ann_pandas_topk — same query as ann_bruteforce_topk, different
+#     kernel (Arrow pandas-UDF); the built-in-expression variant keeps
+#     the slot.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    # §2 reference operators (registry.py)
+    "sliding_user_counts", "sliding_item_counts", "tumbling_user_counts",
+    "kpi_avg_user_interactions", "kpi_item_extrema", "top_users",
+    "latest_window_top_items", "recent_user_windows", "null_hygiene_count",
+    "cast_hygiene", "event_type_stats",
+    # relational surface
+    "pricing_summary", "revenue_by_nation", "top_unshipped_orders",
+    "customers_with_orders", "order_priority_rollup", "nation_top_customers",
+    "customer_running_spend", "part_type_revenue_share",
+    "click_and_purchase_users", "purchase_click_attribution",
+    "order_price_bands", "salted_segment_counts",
+    "customer_spend_distribution",
+    # streaming parity (batch-replayed)
+    "streaming_replay_user_counts", "streaming_dedup_user_counts",
+    "streaming_running_user_totals", "streaming_click_purchase_join",
+    "streaming_session_counts", "streaming_json_wire_counts",
+    "streaming_purchase_attribution_outer",
+    # LLM-data operators (northstar.py)
+    "text_metrics", "language_id", "doc_fingerprints", "exact_dedup_groups",
+    "minhash_dedup_candidates", "dedup_clusters", "simhash_near_dups",
+    "ngram_jaccard_pairs", "ann_bruteforce_topk", "ann_ivf_topk_by_label",
+    "ann_lsh_topk", "ann_lsh_multiprobe_topk", "embedding_near_dups_lsh",
+    "multimodal_byte_histogram", "corpus_curation_stats", "tfidf_top_terms",
+    # physically-distinct TPC-H shapes (tpch_shapes.py)
+    "customer_order_count_histogram", "large_quantity_orders",
+    "idle_rich_customers",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"window names drifted from registrations: {missing}"
+    assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) == 50
+    rest = [n for n in REGISTRY if n not in set(_DRIVER_WINDOW)]
+    for name in [*_DRIVER_WINDOW, *rest]:
+        REGISTRY[name] = REGISTRY.pop(name)  # re-insert in priority order
+
+
+_reorder_registry()

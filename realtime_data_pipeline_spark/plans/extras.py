@@ -81,7 +81,7 @@ def q_event_dedup_counts(spark, sf_dir):
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -94,7 +94,7 @@ def q_status_priority_cube(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_price"),
         )
     )
@@ -254,7 +254,7 @@ def q_value_percentiles(spark, sf_dir):
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus, o_orderpriority) AS gid,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -273,7 +273,7 @@ def q_status_priority_grouping_sets(spark, sf_dir):
             F.grouping_id().alias("gid"),
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_price"),
         )
         .select(
@@ -432,7 +432,7 @@ def q_segment_event_pivot(spark, sf_dir):
     ev = _events(spark, sf_dir)
     cu = _t(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        ev.join(cu, ev.user_id == cu.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("event_type", list(EVENT_TYPES))
         .count()

@@ -528,7 +528,8 @@ def q_ann_pandas_topk(spark, sf_dir):
     SELECT lang,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(avg(quality), 4) AS avg_quality
+           round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_quality
     FROM scored
     WHERE quality >= 0.5
     GROUP BY lang
@@ -576,7 +577,14 @@ def q_corpus_curation_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            # quality is round(·,4) per row → the decimal(18,4) cast is
+            # exact; decimal-sum/count is partition-order independent,
+            # avg(double) is not.
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_quality"),
         )
     )
 

@@ -307,24 +307,28 @@ def q_cast_hygiene(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
-           round(avg(value), 4) AS avg_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY event_type
     """,
-    doc="A3-style rollup on raw events: count/sum(decimal)/avg/distinct per type",
+    doc="A3-style rollup on raw events: count/sum(decimal)/avg/distinct per "
+    "type.  avg = decimal-sum/count, never avg(double) — a double sum is "
+    "partition-order dependent at local[32] and flips the 4th digit "
+    "between engines (round-1 hash failure)",
 )
 def q_event_type_stats(spark, sf_dir):
+    sum_dec = F.sum(F.col("value").cast("decimal(18,2)"))
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            sum_dec.cast("double").alias("sum_value"),
+            F.round(
+                sum_dec.cast("double") / F.count(F.col("value")), 4
+            ).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )

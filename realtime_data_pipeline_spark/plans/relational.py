@@ -15,11 +15,26 @@ AQE for skew; top-k compiles to TakeOrderedAndProject.
 Cross-engine exactness: money aggregates go through DECIMAL (order-
 independent), averages divide a decimal sum cast to double (single
 deterministic division), ratios round to 4 digits.
+
+Output-type convention (round-2 driver fix): NO DecimalType ever leaves
+a query.  Decimals are internal only — they make the sum exact and
+order-independent — and every money output is rounded to ≤2 digits
+while still decimal, then cast to DOUBLE.  Rationale, verified
+empirically: (a) DuckDB's pandas conversion renders DECIMAL columns as
+float64 while Spark's toPandas yields decimal.Decimal objects, so a
+decimal output can never value-hash-match across engines; (b) a
+DECIMAL(38,10) money sum has more significant digits than float64
+holds, so the two engines' decimal→double conversions differ by 1 ulp.
+Rounding to scale 2 first makes the scaled integer < 2^53 — the cast is
+then exact on every conversion path.  On the SQL side use
+round(decimal, 2) (half-away-from-zero, same as Spark's HALF_UP for
+our positive money values) — NOT a decimal→decimal CAST, which DuckDB
+truncates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.plans.registry import _events, _t, register
@@ -35,14 +50,25 @@ def _revenue_col():
     )
 
 
+def money(sum_col: Column) -> Column:
+    """Exact decimal aggregate → exact double output (see module doc).
+
+    SQL-side twin in the oracles: ``CAST(round(<sum>, 2) AS DOUBLE)``
+    (DuckDB's round on decimal is half-away-from-zero, matching Spark's
+    HALF_UP for positive money; DuckDB's decimal→decimal CAST truncates
+    and must not be used).
+    """
+    return F.round(sum_col, 2).cast("double")
+
+
 @register(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_charge,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
            round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
@@ -65,18 +91,18 @@ def q_pricing_summary(spark, sf_dir):
     sum_price = F.sum(F.col("l_extendedprice").cast(_DEC))
     sum_disc = F.sum(F.col("l_discount").cast("decimal(18,4)"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        sum_qty.cast("decimal(38,2)").alias("sum_qty"),
-        sum_price.cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(_revenue_col()).cast("decimal(38,10)").alias("sum_disc_price"),
-        F.sum(
-            (
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ).cast("decimal(28,10)")
-        )
-        .cast("decimal(38,10)")
-        .alias("sum_charge"),
+        sum_qty.cast("double").alias("sum_qty"),
+        sum_price.cast("double").alias("sum_base_price"),
+        money(F.sum(_revenue_col())).alias("sum_disc_price"),
+        money(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(28,10)")
+            )
+        ).alias("sum_charge"),
         F.round(sum_qty.cast("double") / cnt, 4).alias("avg_qty"),
         F.round(sum_price.cast("double") / cnt, 4).alias("avg_price"),
         F.round(sum_disc.cast("double") / cnt, 4).alias("avg_disc"),
@@ -88,7 +114,7 @@ def q_pricing_summary(spark, sf_dir):
     "revenue_by_nation",
     """
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -101,8 +127,11 @@ def q_pricing_summary(spark, sf_dir):
       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5-style multiway join: fact tables shuffle on keys, all "
-    "dimensions broadcast (no fact-table shuffle for enrichment)",
+    doc="TPC-H Q5-style multiway join: fact tables shuffle on keys, true "
+    "dimensions broadcast; customer carries NO broadcast hint — it is a "
+    "fact-sized table at real scale, so Catalyst's size stats / AQE "
+    "decide (they still broadcast it at test scale, asserted in "
+    "tests/test_scale_levers.py)",
     bench=True,
 )
 def q_revenue_by_nation(spark, sf_dir):
@@ -117,7 +146,7 @@ def q_revenue_by_nation(spark, sf_dir):
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey),
@@ -126,7 +155,7 @@ def q_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"),
+            money(F.sum(_revenue_col())).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -136,16 +165,20 @@ def q_revenue_by_nation(spark, sf_dir):
     "top_unshipped_orders",
     """
     SELECT o_orderkey,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           CAST(round(revenue0, 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY o_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderkey ASC
+    FROM (
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue0
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    )
+    ORDER BY revenue0 DESC, o_orderkey ASC
     LIMIT 10
     """,
     doc="TPC-H Q3-style: selective dim filter broadcast into fact join, "
@@ -158,12 +191,19 @@ def q_top_unshipped_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .agg(F.sum(_revenue_col()).alias("revenue0"))
+        # top-k on the EXACT decimal (tie-break on the unique key), then
+        # project the rounded double — rounding must not affect selection.
+        .orderBy(F.desc("revenue0"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "o_orderkey",
+            money(F.col("revenue0")).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
@@ -204,7 +244,7 @@ def q_customers_without_orders(spark, sf_dir):
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -217,7 +257,7 @@ def q_order_priority_rollup(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast(_DEC))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_price"),
         )
     )
@@ -257,7 +297,7 @@ def q_nation_top_customers(spark, sf_dir):
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-                AS DECIMAL(38,2)) AS running_spend,
+                AS DOUBLE) AS running_spend,
            lag(o_totalprice) OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey) AS prev_order_price,
            row_number() OVER (PARTITION BY o_custkey
@@ -278,7 +318,7 @@ def q_customer_running_spend(spark, sf_dir):
             "o_orderdate",
             F.sum(F.col("o_totalprice").cast(_DEC))
             .over(w)
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("running_spend"),
             F.lag("o_totalprice").over(w).alias("prev_order_price"),
             F.row_number().over(w).alias("order_seq"),
@@ -291,12 +331,14 @@ def q_customer_running_spend(spark, sf_dir):
     """
     WITH rev AS (
         SELECT p_type,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue0
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type
     )
-    SELECT p_type, revenue,
-           round(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER () AS DOUBLE), 4) AS revenue_share
+    SELECT p_type,
+           CAST(round(revenue0, 2) AS DOUBLE) AS revenue,
+           round(CAST(round(revenue0, 2) AS DOUBLE)
+                 / CAST(round(sum(revenue0) OVER (), 2) AS DOUBLE), 4) AS revenue_share
     FROM rev
     """,
     doc="agg + unbounded analytic window: per-type revenue and global share",
@@ -307,15 +349,19 @@ def q_part_type_revenue_share(spark, sf_dir):
     rev = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_type")
-        .agg(F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"))
+        .agg(F.sum(_revenue_col()).alias("revenue0"))
     )
+    # numerator and denominator both go decimal→round(2)→double before
+    # the one division, so the ratio's inputs are bit-identical in both
+    # engines (an exact (38,10) decimal does NOT convert to double
+    # identically across engines — that was round 1's hash failure).
     w = Window.partitionBy()
     return rev.select(
         "p_type",
-        "revenue",
+        money(F.col("revenue0")).alias("revenue"),
         F.round(
-            F.col("revenue").cast("double")
-            / F.sum("revenue").over(w).cast("double"),
+            money(F.col("revenue0"))
+            / money(F.sum("revenue0").over(w)),
             4,
         ).alias("revenue_share"),
     )
@@ -369,7 +415,7 @@ def q_event_user_segment_counts(spark, sf_dir):
     ev = _events(spark, sf_dir)
     cu = _t(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        ev.join(cu, ev.user_id == cu.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
@@ -463,7 +509,7 @@ _BAND_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
     f"""
     SELECT band,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*), 4) AS avg_price
     FROM orders
@@ -491,7 +537,7 @@ def q_order_price_bands(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast(_DEC))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_price"),
             F.round(
                 F.sum(F.col("o_totalprice").cast(_DEC)).cast("double")

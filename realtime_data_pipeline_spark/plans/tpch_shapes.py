@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.plans.registry import _t, register
-from realtime_data_pipeline_spark.plans.relational import _revenue_col
+from realtime_data_pipeline_spark.plans.relational import _revenue_col, money
 
 _DEC = "decimal(18,2)"
 
@@ -38,7 +38,7 @@ _DEC = "decimal(18,2)"
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -69,7 +69,7 @@ def q_bilateral_trade_volume(spark, sf_dir):
     ) | ((F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -78,7 +78,7 @@ def q_bilateral_trade_volume(spark, sf_dir):
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"),
+            money(F.sum(_revenue_col())).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -88,16 +88,20 @@ def q_bilateral_trade_volume(spark, sf_dir):
     "returned_revenue_top_customers",
     """
     SELECT c_custkey, c_name, n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey ASC
+           CAST(round(revenue0, 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT c_custkey, c_name, n_name,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue0
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+    )
+    ORDER BY revenue0 DESC, c_custkey ASC
     LIMIT 20
     """,
     doc="TPC-H Q10 shape: returned-item revenue per customer over one "
@@ -113,12 +117,17 @@ def q_returned_revenue_top_customers(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
         .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum(_revenue_col()).alias("revenue0"))
+        # select top-k on the exact decimal, then project the rounded
+        # double (see relational.money) — rounding must not pick rows.
+        .orderBy(F.desc("revenue0"), F.asc("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name", money(F.col("revenue0")).alias("revenue")
+        )
     )
 
 
@@ -187,10 +196,10 @@ def q_customer_order_count_histogram(spark, sf_dir):
 @register(
     "promo_revenue_share",
     """
-    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+    SELECT round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
-                     ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE),
+                     ELSE CAST(0 AS DECIMAL(28,10)) END), 2) AS DOUBLE)
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE),
                  4) AS promo_revenue_pct,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -213,9 +222,7 @@ def q_promo_revenue_share(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0
-                * F.sum(promo).cast("double")
-                / F.sum(_revenue_col()).cast("double"),
+                100.0 * money(F.sum(promo)) / money(F.sum(_revenue_col())),
                 4,
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_lines"),
@@ -253,7 +260,7 @@ def q_supplier_part_diversity(spark, sf_dir):
     """
     WITH big AS (
         SELECT l_orderkey,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         FROM lineitem
         GROUP BY l_orderkey
         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
@@ -275,7 +282,7 @@ def q_large_quantity_orders(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(
             F.sum(F.col("l_quantity").cast(_DEC))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_qty")
         )
         .where(F.col("total_qty") > 200)
@@ -284,7 +291,7 @@ def q_large_quantity_orders(spark, sf_dir):
     cu = _t(spark, sf_dir, "customer")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",
@@ -297,7 +304,7 @@ def q_large_quantity_orders(spark, sf_dir):
 @register(
     "brand_quantity_revenue",
     """
-    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 AND 11)
@@ -328,7 +335,7 @@ def q_brand_quantity_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
-            F.sum(_revenue_col()).cast("decimal(38,10)").alias("revenue"),
+            money(F.sum(_revenue_col())).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -338,12 +345,13 @@ def q_brand_quantity_revenue(spark, sf_dir):
     "idle_rich_customers",
     """
     WITH avg_bal AS (
-        SELECT round(avg(c_acctbal), 2) AS threshold
+        SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 2) AS threshold
         FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey,
            count(*) AS n_customers,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer, avg_bal
     WHERE c_acctbal > threshold
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -354,8 +362,10 @@ def q_brand_quantity_revenue(spark, sf_dir):
     doc="TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row "
     "cross join) + anti join against recent orders (every testdata "
     "customer has SOME order, so the recency filter keeps the anti join "
-    "non-trivial), per-nation rollup; the threshold is rounded to cents "
-    "so both engines agree exactly",
+    "non-trivial), per-nation rollup; the threshold is a decimal-sum/"
+    "count average rounded to cents — an avg(double) would be partition-"
+    "order dependent and could flip the selected row SET, not just a "
+    "cell (ADVICE r1)",
 )
 def q_idle_rich_customers(spark, sf_dir):
     cu = _t(spark, sf_dir, "customer")
@@ -364,7 +374,13 @@ def q_idle_rich_customers(spark, sf_dir):
     )
     threshold = (
         cu.where(F.col("c_acctbal") > 0)
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count("*"),
+                2,
+            ).alias("threshold")
+        )
     )
     return (
         cu.crossJoin(F.broadcast(threshold))
@@ -374,7 +390,7 @@ def q_idle_rich_customers(spark, sf_dir):
         .agg(
             F.count("*").alias("n_customers"),
             F.sum(F.col("c_acctbal").cast(_DEC))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_acctbal"),
         )
     )

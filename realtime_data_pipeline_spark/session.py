@@ -30,6 +30,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas interchange / pandas UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # S6 (reference consumer/consumer.py:96): commit Kafka source offsets
+    # back to the group on stop — a Kafka-connector-facing conf, inert
+    # without a broker but part of the reference's contract.
+    "spark.sql.streaming.kafka.commitOffsetsOnStop": "true",
+    # S9 (reference consumer/consumer.py:39-43): checkpoint/state
+    # retention as CONFIG, which is what makes the reference's
+    # cleanup_checkpoints.py scripts unnecessary in this engine.
+    "spark.sql.streaming.minBatchesToRetain": "20",
+    "spark.sql.streaming.maxBatchesToRetain": "100",
+    "spark.sql.streaming.stateStore.compression.codec": "lz4",
 }
 
 

@@ -16,6 +16,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
+    # Oracle views at sf0.01 — the DRIVER'S scale.  Round 1 ran parity
+    # at sf0.001 and the smaller data masked hash divergence the driver
+    # then caught (VERDICT item 2).
     import duckdb
 
     con = duckdb.connect()
@@ -24,7 +27,7 @@ def duck():
         "documents embeddings".split()
     ):
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR_MID}/{name}.parquet')"
         )
     yield con
     con.close()

@@ -1,6 +1,16 @@
 """Local emulation of the driver's correctness gate: run every registry
-query on Spark and its DuckDB oracle side by side at sf0.001; compare
-row count, column names, and order-insensitive exact values.
+query on Spark and its DuckDB oracle side by side at sf0.01 (the
+driver's scale) and compare row count, column names, and
+order-insensitive BYTE-EXACT values.
+
+Round-1 lesson (VERDICT item 2): the old normalizer collapsed
+Decimal→float and formatted floats with %.10g, which masked exactly
+the two failure modes the driver's hash catches — (a) a Decimal output
+on one side vs float64 on the other (DuckDB's pandas conversion
+renders decimals as float64, Spark's as decimal.Decimal), and (b)
+1-ulp float64 differences from cross-engine decimal→double conversion.
+Now: Decimals keep their type tag and scale, floats compare by full
+repr.  Local green must imply driver green.
 """
 
 from __future__ import annotations
@@ -12,20 +22,23 @@ import pytest
 
 from realtime_data_pipeline_spark.plans.registry import REGISTRY
 
-from conftest import SF_DIR
+from conftest import SF_DIR, SF_DIR_MID
 
 
 def _norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        # Deliberately NOT converted to float: a Decimal output is a
+        # cross-engine hash hazard and must fail loudly against the
+        # oracle's float64.
+        return f"dec:{v}"
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, float):
+    if isinstance(v, float):  # includes np.float64
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return repr(float(v))  # shortest round-trip repr — ulp-exact
     if hasattr(v, "isoformat"):  # datetime / date (pandas NaT → NULL)
         s = v.isoformat()
         return "NULL" if s == "NaT" else s
@@ -50,7 +63,7 @@ ORACLE_SPECS = [
 
 @pytest.mark.parametrize("name,spec", ORACLE_SPECS, ids=[n for n, _ in ORACLE_SPECS])
 def test_oracle_parity(spark, duck, name, spec):
-    sdf = spec.fn(spark, SF_DIR).toPandas()
+    sdf = spec.fn(spark, SF_DIR_MID).toPandas()
     ddf = duck.execute(spec.oracle).df()
     s_cols, s_rows = _norm_frame(sdf)
     d_cols, d_rows = _norm_frame(ddf)

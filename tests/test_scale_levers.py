@@ -137,3 +137,31 @@ def test_foreachbatch_double_write(spark, tmp_path):
             for r in windowed_stream_counts(events, key).collect()
         }
         assert got == want and len(got) > 0, key
+
+
+def test_session_sets_reference_confs(spark):
+    """S6/S9 (reference consumer/consumer.py:38-43,96): offset commit on
+    stop and checkpoint/state retention live as session confs — the
+    config-as-code replacement for the reference's cleanup scripts."""
+    expected = {
+        "spark.sql.streaming.kafka.commitOffsetsOnStop": "true",
+        "spark.sql.streaming.minBatchesToRetain": "20",
+        "spark.sql.streaming.maxBatchesToRetain": "100",
+        "spark.sql.streaming.stateStore.compression.codec": "lz4",
+    }
+    for k, v in expected.items():
+        assert spark.conf.get(k) == v, k
+
+
+def test_unhinted_customer_join_broadcasts_at_test_scale(spark):
+    """VERDICT r1: customer-sized tables carry NO F.broadcast hint (at
+    real scale customer is a fact; an unconditional hint would OOM the
+    driver).  This pins the flip side: at test scale Catalyst's parquet
+    size stats / AQE still choose a broadcast join on their own, so
+    dropping the hint costs nothing where it used to help."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["revenue_by_nation"].fn(spark, SF_DIR)
+    df.collect()  # let AQE finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
