@@ -108,16 +108,31 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     return out.drop("toks", "th", "shingle_hashes")
 
 
+MAX_BUCKET_WIDTH = 128  # LSH buckets wider than this are boilerplate
+
+
 def minhash_candidates(
     docs: DataFrame,
     n_perms: int = N_PERMS,
     limit: int | None = 1000,
     min_est_jaccard: float | None = None,
+    max_bucket_width: int | None = MAX_BUCKET_WIDTH,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (bands of 1 row) with the signature-
     agreement Jaccard estimate.  Output capped deterministically when
     `limit` is set; `min_est_jaccard` filters to strong candidates
-    (the edge set for dedup clustering)."""
+    (the edge set for dedup clustering).
+
+    `max_bucket_width` is the skew guard (PLANS.md's boilerplate
+    hazard): a bucket shared by B docs yields B²/2 candidate pairs, so
+    one boilerplate string repeated 10⁶ times would emit 5·10¹¹ pairs
+    from a single bucket.  Buckets wider than the cap are dropped
+    BEFORE the self-join via a broadcast anti-join against the (tiny by
+    definition) hot-bucket list — organic near-dup buckets measure ≲22
+    wide at sf0.1, so 128 only ever removes degenerate boilerplate.
+    Docs in a dropped bucket still pair through their other n_perms-1
+    band buckets.  The DuckDB oracle mirrors the cap
+    (plans/northstar.py _MINHASH_CTES)."""
     # Persist the signatures: the LSH bucket join is a SELF-join, and
     # without materialization the whole tokenize→shingle→hash subtree
     # runs once per side.  At 100 TB this is a real signature table
@@ -146,6 +161,18 @@ def minhash_candidates(
             ])
         ).alias("b"),
     ).select("doc_id", "sigs", "b.band", "b.bucket")
+    if max_bucket_width is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .count()
+            .where(F.col("count") > max_bucket_width)
+            .select("band", "bucket")
+        )
+        # partial (map-side) agg keeps the count pass cheap; the hot
+        # list is small by construction, so the anti-join broadcasts.
+        buckets = buckets.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
     left = buckets.alias("l")
     right = buckets.alias("r")
     agree = F.size(

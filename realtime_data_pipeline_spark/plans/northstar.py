@@ -194,8 +194,16 @@ _MINHASH_CTES = f"""t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
     sig AS (SELECT doc_id,
         {_SIG_COLS}
         FROM sh),
-    bk AS (SELECT doc_id, j.band, {_BAND_CASE} AS bucket
-           FROM sig, (VALUES {_BAND_VALUES}) j(band)),
+    bk0 AS (SELECT doc_id, j.band, {_BAND_CASE} AS bucket
+            FROM sig, (VALUES {_BAND_VALUES}) j(band)),
+    -- skew guard, mirroring dedup.minhash_candidates: buckets wider
+    -- than MAX_BUCKET_WIDTH are boilerplate and join nothing
+    bk AS (SELECT bk0.* FROM bk0
+           WHERE NOT EXISTS (
+               SELECT 1 FROM bk0 h
+               WHERE h.band = bk0.band AND h.bucket = bk0.bucket
+               GROUP BY h.band, h.bucket
+               HAVING count(*) > {dedup.MAX_BUCKET_WIDTH})),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bk a JOIN bk b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -596,9 +604,13 @@ def q_corpus_curation_stats(spark, sf_dir):
                       {_D_NORM.format(a='embedding')} AS nrm,
                       {_D_BUCKET} AS bucket
                FROM embeddings),
+    -- Spark runs this as a multi-probe EQUI-join (probe = bucket ^ one
+    -- bit); candidate-set semantics are exactly "signatures within
+    -- Hamming distance 1", which the oracle states directly.
     p AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
                  round({_D_COS}, 6) AS cos_sim
-          FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+          FROM e q JOIN e c
+          ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id < c.vec_id)
     SELECT vec_a, vec_b, cos_sim FROM p
     WHERE cos_sim >= 0.45
     ORDER BY cos_sim DESC, vec_a, vec_b

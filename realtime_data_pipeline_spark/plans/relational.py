@@ -593,13 +593,15 @@ def q_salted_segment_counts(spark, sf_dir):
     FROM spend
     WINDOW w AS (ORDER BY total_spend, c_custkey)
     """,
-    doc="distribution window functions (ntile / percent_rank / cume_dist) "
-    "over per-customer spend — global-order window, deterministic "
-    "tie-break on the unique key; at scale a single-partition window "
-    "sort is the known cost (range-partition + offset merge if needed)",
+    doc="distribution functions (ntile / percent_rank / cume_dist) over "
+    "per-customer spend — NO global-order Window (a no-partitionBy "
+    "window is a one-task sort at scale); instead the two-pass "
+    "range-partitioned global row number (operators/ranks.py) plus "
+    "arithmetic: under the total order (total_spend, c_custkey) the "
+    "three distribution functions are pure (rank, N) formulas",
 )
 def q_customer_spend_distribution(spark, sf_dir):
-    from pyspark.sql import Window
+    from realtime_data_pipeline_spark.operators import ranks
 
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
@@ -612,12 +614,15 @@ def q_customer_spend_distribution(spark, sf_dir):
             .alias("total_spend")
         )
     )
-    w = Window.orderBy("total_spend", "c_custkey")
-    return spend.select(
+    ranked, n = ranks.with_global_row_number(
+        spend, ["total_spend", "c_custkey"], rn_col="rn"
+    )
+    rn = F.col("rn")
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
         F.round("total_spend", 2).alias("total_spend"),
-        F.ntile(4).over(w).alias("spend_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        ranks.ntile_expr(rn, n, 4).alias("spend_quartile"),
+        F.round(ranks.percent_rank_expr(rn, n), 6).alias("pct_rank"),
+        F.round(ranks.cume_dist_expr(rn, n), 6).alias("cume_dist"),
     )

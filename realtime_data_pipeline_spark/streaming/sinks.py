@@ -1,97 +1,174 @@
 """Keyed-upsert sink — the reference's Mongo upsert semantics
 (consumer/consumer.py:147-174: operationType=update, upsertDocument,
 composite idFieldList) re-implemented Mongo-free as a foreachBatch
-MERGE into a versioned parquet table.
+MERGE into a hash-bucketed, per-bucket-versioned parquet table.
 
-Why versioned directories: Spark cannot safely overwrite a parquet
-path it is reading in the same job.  Each merge writes a new
-`v=<n>` directory and then atomically flips a `_CURRENT` pointer
-file; readers resolve the pointer.  Checkpoint replay of a micro-batch
-re-merges the same rows under the same keys — idempotent, exactly the
-property the reference gets from Mongo upsert (SURVEY §1.4.3).
+Layout and why:
+
+* rows hash-partition into N_BUCKETS buckets on the composite key
+  (Murmur3 `F.hash`, seed-stable across runs and engines' sessions);
+* a merge rewrites ONLY the buckets containing the batch's keys —
+  an untouched bucket's files are never touched again (asserted by
+  `test_upsert_untouched_buckets_not_rewritten`).  Round 1 rewrote the
+  ENTIRE table per micro-batch, which is quadratic-over-time I/O at any
+  real sink volume (VERDICT item 6);
+* Spark cannot safely overwrite a parquet path it is reading in the
+  same job, so each touched bucket gets a new `v=<n>/__bucket=<k>`
+  directory and a `_CURRENT` JSON manifest (bucket → version) flips
+  atomically via os.replace.  Checkpoint replay of a micro-batch
+  re-merges the same rows under the same keys — idempotent, exactly the
+  property the reference gets from Mongo upsert (SURVEY §1.4.3).
 
 At scale this slot is filled by a real table format (Delta/Iceberg
-MERGE INTO, which is the same keyed upsert executed with file-level
-pruning); the interface here is format-agnostic on purpose.
+MERGE INTO — the same keyed upsert with file-level pruning; their
+data-skipping plays the role the bucket hash plays here); the interface
+is format-agnostic on purpose.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CURRENT = "_CURRENT"
+_BUCKET = "__bucket"
+N_BUCKETS = 16
 
 
 class UpsertTable:
     """A parquet table with composite-key upsert and snapshot reads."""
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        n_buckets: int = N_BUCKETS,
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
 
-    # -- pointer management -------------------------------------------------
-    def _current_version(self) -> int | None:
+    # -- manifest management --------------------------------------------
+    def _manifest(self) -> dict | None:
+        """{"version": int, "buckets": {bucket(str): version(int)}}"""
         try:
             with open(os.path.join(self.path, _CURRENT)) as f:
-                return int(f.read().strip())
+                m = json.load(f)
         except (FileNotFoundError, ValueError):
             return None
+        if m.get("n_buckets") != self.n_buckets:
+            raise ValueError(
+                f"table at {self.path} was written with "
+                f"n_buckets={m.get('n_buckets')}, opened with {self.n_buckets}"
+            )
+        return m
 
-    def _flip(self, version: int) -> None:
+    def _flip(self, manifest: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, _CURRENT + ".tmp")
         with open(tmp, "w") as f:
-            f.write(str(version))
+            json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.path, _CURRENT))
 
-    def _vdir(self, version: int) -> str:
-        return os.path.join(self.path, f"v={version}")
+    def _leaf(self, version: int, bucket: int | str) -> str:
+        return os.path.join(self.path, f"v={version}", f"{_BUCKET}={bucket}")
 
-    # -- reads --------------------------------------------------------------
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
+
+    # -- reads ------------------------------------------------------------
     def read(self) -> DataFrame | None:
-        v = self._current_version()
-        if v is None:
+        m = self._manifest()
+        if m is None:
             return None
-        return self.spark.read.parquet(self._vdir(v))
+        paths = [self._leaf(v, b) for b, v in sorted(m["buckets"].items())]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
 
     # -- merge --------------------------------------------------------------
     def merge(self, batch: DataFrame) -> None:
-        """Upsert: delete-matching-keys then insert (last write wins).
+        """Upsert: delete-matching-keys then insert (last write wins),
+        rewriting only the hash buckets the batch's keys land in.
 
         Within one batch, duplicate keys collapse to an arbitrary single
         row via dropDuplicates on the key — the streaming engine never
         emits duplicate finalized windows in one batch, so this only
         guards replay edge cases.
         """
-        batch = batch.dropDuplicates(self.key_cols)
-        current = self.read()
-        if current is None:
-            merged = batch
-        else:
+        batch = batch.dropDuplicates(self.key_cols).withColumn(
+            _BUCKET, self._bucket_col()
+        )
+        # ≤ n_buckets values — O(1) driver-side, not a collect of data.
+        touched = sorted(
+            r[0] for r in batch.select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return
+        m = self._manifest() or {
+            "version": 0,
+            "buckets": {},
+            "n_buckets": self.n_buckets,
+        }
+        current_parts = []
+        for b in touched:
+            v = m["buckets"].get(str(b))
+            if v is not None:
+                current_parts.append(
+                    self.spark.read.parquet(self._leaf(v, b)).withColumn(
+                        _BUCKET, F.lit(b)
+                    )
+                )
+        merged = batch
+        if current_parts:
+            current = current_parts[0]
+            for part in current_parts[1:]:
+                current = current.unionByName(part)
             merged = current.join(
                 batch.select(self.key_cols), self.key_cols, "left_anti"
             ).unionByName(batch)
-        v_new = (self._current_version() or 0) + 1
-        merged.write.mode("overwrite").parquet(self._vdir(v_new))
-        self._flip(v_new)
-        self._vacuum(keep=2)
+        v_new = m["version"] + 1
+        # one job: partitionBy fans the touched buckets into their
+        # v=<n>/__bucket=<k> leaves
+        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
+            os.path.join(self.path, f"v={v_new}")
+        )
+        m["version"] = v_new
+        for b in touched:
+            m["buckets"][str(b)] = v_new
+        self._flip(m)
+        self._vacuum(m)
 
-    def _vacuum(self, keep: int) -> None:
-        import shutil
-
-        v = self._current_version() or 0
+    def _vacuum(self, manifest: dict) -> None:
+        """Drop bucket leaves no manifest entry references (keeping the
+        immediately-previous version of each bucket for in-flight
+        readers) and any version root emptied by that."""
+        keep = {
+            (v, b) for b, v in manifest["buckets"].items()
+        }  # (version, bucket-str)
+        grace = manifest["version"] - 1
         for name in os.listdir(self.path):
-            if name.startswith("v="):
-                try:
-                    ver = int(name.split("=", 1)[1])
-                except ValueError:
+            if not name.startswith("v="):
+                continue
+            try:
+                ver = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            root = os.path.join(self.path, name)
+            for leaf in os.listdir(root):
+                if not leaf.startswith(f"{_BUCKET}="):
                     continue
-                if ver <= v - keep:
-                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                b = leaf.split("=", 1)[1]
+                if (ver, b) not in keep and ver < grace:
+                    shutil.rmtree(os.path.join(root, leaf), ignore_errors=True)
+            if not any(e.startswith(f"{_BUCKET}=") for e in os.listdir(root)):
+                shutil.rmtree(root, ignore_errors=True)
 
 
 def upsert_sink(table: UpsertTable):

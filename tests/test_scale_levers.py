@@ -165,3 +165,122 @@ def test_unhinted_customer_join_broadcasts_at_test_scale(spark):
     df.collect()  # let AQE finalize the adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_global_rank_two_pass_no_single_partition_sort(spark):
+    """operators/ranks.py: the range-partitioned two-pass global row
+    number must (a) equal the single-window ground truth, including
+    NTILE's uneven-bucket distribution, and (b) plan WITHOUT an
+    `Exchange SinglePartition` under the window — the whole point is
+    that no task ever sorts the full input."""
+    from pyspark.sql import Window
+
+    from realtime_data_pipeline_spark.operators import ranks
+
+    # 1003 rows (not divisible by 4), duplicate order values → the
+    # unique id column is load-bearing as the tie-break.
+    df = spark.range(1003).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    ranked, n = ranks.with_global_row_number(df, ["v", "id"], rn_col="rn")
+    assert n == 1003
+    got = ranked.select(
+        "id",
+        "rn",
+        ranks.ntile_expr(F.col("rn"), n, 4).alias("q4"),
+        F.round(ranks.percent_rank_expr(F.col("rn"), n), 9).alias("pr"),
+        F.round(ranks.cume_dist_expr(F.col("rn"), n), 9).alias("cd"),
+    )
+    w = Window.orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("q4"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    ground_truth_plan = want._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in ground_truth_plan  # the anti-pattern
+
+
+def test_minhash_bucket_cap_bounds_boilerplate_blowup(spark):
+    """functions/dedup.py skew guard: 200 copies of one boilerplate
+    string put 200 docs in the same bucket in EVERY band — uncapped
+    that's C(200,2) = 19,900 candidate pairs from junk.  With the width
+    cap the boilerplate contributes zero pairs while a genuine near-dup
+    pair (unique text, narrow buckets) is still found."""
+    from realtime_data_pipeline_spark.functions import dedup
+
+    boiler = [(i, "click here to accept all cookies and continue") for i in range(200)]
+    near_a = (1000, "the quick brown fox jumps over the lazy dog tonight")
+    near_b = (1001, "the quick brown fox jumps over the lazy dog today")
+    distinct = [
+        (2000 + i, f"totally unrelated document number {i} about topic {i * 7}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        boiler + [near_a, near_b] + distinct, "doc_id long, text string"
+    )
+
+    uncapped = dedup.minhash_candidates(
+        docs, limit=None, max_bucket_width=None
+    ).count()
+    assert uncapped >= 19900  # the blowup is real
+
+    capped = dedup.minhash_candidates(docs, limit=None, max_bucket_width=50)
+    rows = capped.collect()
+    # exactly the 200-wide boilerplate clique is removed; every pair
+    # from narrow (≤cap) buckets survives
+    assert len(rows) == uncapped - (200 * 199) // 2, len(rows)
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in rows}
+    assert all(a >= 1000 for a, _ in pairs)  # no boilerplate id remains
+    assert (1000, 1001) in pairs  # genuine near-dups survive the cap
+    assert pairs[(1000, 1001)] >= 0.5
+
+
+def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
+    """streaming/sinks.UpsertTable: a merge must rewrite only the hash
+    buckets containing the batch's keys.  Round 1 rewrote the whole
+    table per micro-batch — quadratic-over-time I/O at sink volume."""
+    import os
+
+    from realtime_data_pipeline_spark.streaming.sinks import UpsertTable
+
+    t = UpsertTable(spark, str(tmp_path / "t"), ["k"], n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"val_{i}") for i in range(200)], "k long, payload string"
+    )
+    t.merge(base)
+
+    def leaf_files():
+        out = {}
+        for root, _, files in os.walk(str(tmp_path / "t")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = leaf_files()
+    # single-key batch → exactly one bucket touched
+    t.merge(spark.createDataFrame([(7, "updated")], "k long, payload string"))
+    after = leaf_files()
+
+    surviving = set(before) & set(after)
+    assert surviving, "merge must not rewrite every bucket"
+    for p in surviving:
+        assert before[p] == after[p], f"untouched file rewritten: {p}"
+    # at most one of 8 buckets rewritten
+    assert len(set(before) - set(after)) <= len(before) // 4
+
+    got = {(r.k, r.payload) for r in t.read().collect()}
+    want = {(i, f"val_{i}") for i in range(200) if i != 7} | {(7, "updated")}
+    assert got == want
+
+    # replaying the same batch is idempotent
+    t.merge(spark.createDataFrame([(7, "updated")], "k long, payload string"))
+    assert {(r.k, r.payload) for r in t.read().collect()} == want
