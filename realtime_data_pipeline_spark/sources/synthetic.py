@@ -79,12 +79,15 @@ def synthetic_events_batch(
 
 def to_kafka_payload(events: DataFrame) -> DataFrame:
     """S3: JSON-serialize the event struct into a Kafka `value` column
-    (producer/producer.py:29-31 → F.to_json).  ISO-8601 timestamps render
-    via the session's UTC timezone."""
+    (producer/producer.py:29-31 → F.to_json).  Timestamps render as
+    ISO-8601 with MICROSECONDS — the reference wire format is
+    `datetime.utcnow().isoformat()` (producer/producer.py:22), and the
+    default millisecond format would silently truncate on the wire."""
     return events.select(
         F.col("user_id").cast("string").alias("key"),
         F.to_json(
-            F.struct("user_id", "item_id", "interaction_type", "timestamp")
+            F.struct("user_id", "item_id", "interaction_type", "timestamp"),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
         ).alias("value"),
     )
 

@@ -40,6 +40,25 @@ EVENT_SCHEMA = StructType(
 )
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int = 10_000,
+) -> dict[str, str]:
+    """S5 option contract (reference consumer/consumer.py:88-94), as a
+    pure function so the plumbing is testable without a broker: all
+    values stringified, admission control and lossy-recovery tolerance
+    always present."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "failOnDataLoss": "false",
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -50,15 +69,12 @@ def kafka_stream(
     """S5: Kafka source with admission control (maxOffsetsPerTrigger) and
     lossy-recovery tolerance, as the reference configures it
     (consumer/consumer.py:88-94)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-        .option("failOnDataLoss", "false")
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        brokers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def parse_events(raw: DataFrame, schema: StructType = EVENT_SCHEMA) -> DataFrame:
