@@ -290,7 +290,8 @@ def q_status_priority_grouping_sets(spark, sf_dir):
            count(*) AS n_lineitems
     FROM lineitem l
     WHERE l_quantity < (
-        SELECT 0.2 * avg(l_quantity)
+        SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*))
         FROM lineitem i WHERE i.l_partkey = l.l_partkey
     )
     """,
@@ -304,8 +305,15 @@ def q_small_order_parts_revenue(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey")
+    # decimal-sum/count, not avg(double): a double window sum follows
+    # arbitrary partition layout order, and a 1-ulp threshold shift
+    # could flip the row SET selected by the comparison below.
+    part_avg = (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
     return (
-        li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        li.withColumn("part_avg_qty", part_avg)
         .where(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
         .agg(
             F.round(
