@@ -111,6 +111,62 @@ def byte_histogram(media_docs: DataFrame) -> DataFrame:
     return flat.mapInPandas(_extract, schema=_HIST_SCHEMA)
 
 
+FRAME_BYTES = 32  # bytes sampled per frame
+FRAME_STRIDE = 64  # stride between frame starts
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_energy", LongType()),
+    ]
+)
+
+
+def frame_sample_stats(media_docs: DataFrame) -> DataFrame:
+    """Strided frame sampling over binary payloads via mapInPandas —
+    the video-frame-extraction plumbing with a codec-free kernel:
+    every FRAME_STRIDE bytes, sample a FRAME_BYTES window; emit the
+    frame count and the summed byte values ("energy") of the sampled
+    windows.  A real deployment swaps the numpy kernel for a decoder
+    (see sample_frames stub) — schema, Arrow batching, and the
+    metadata-first projection stay identical.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n_frames, energy = [], []
+            for data in pdf["data"]:
+                arr = np.frombuffer(data, dtype=np.uint8)
+                mask = (np.arange(arr.size) % FRAME_STRIDE) < FRAME_BYTES
+                n_frames.append((arr.size + FRAME_STRIDE - 1) // FRAME_STRIDE)
+                energy.append(int(arr[mask].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "n_frames": n_frames,
+                    "frame_energy": energy,
+                }
+            )
+
+    flat = media_docs.select("doc_id", "lang", F.col("media.data").alias("data"))
+    return flat.mapInPandas(_extract, schema=_FRAME_SCHEMA)
+
+
+def frame_stats_by_lang(media_docs: DataFrame) -> DataFrame:
+    """decode→frame-sample→rollup pipeline shape, per language."""
+    s = frame_sample_stats(media_docs)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("frame_energy").alias("total_energy"),
+    )
+
+
 def byte_histogram_by_lang(media_docs: DataFrame) -> DataFrame:
     """Aggregate the pandas-UDF features per language — the typical
     decode→extract→rollup pipeline shape."""

@@ -70,6 +70,71 @@ def brute_force_topk(
     )
 
 
+def ivf_assigned_topk(
+    vectors: DataFrame, query_pred, centroid_pred, k: int = 5
+) -> DataFrame:
+    """IVF with REAL centroid assignment (not a precomputed label):
+
+    1. centroid table = the vectors matching `centroid_pred` (stand-in
+       for an offline k-means codebook — at 100 TB the codebook is
+       exactly such a small table, broadcast to every executor);
+    2. assignment = argmax cosine over the broadcast centroids, via
+       max_by over a struct (rounded cosine, then smallest centroid id
+       as tie-break — deterministic cross-engine);
+    3. ANN probe = equi-join on the assigned cell + exact rerank.
+
+    Cost: |V|·|C| vectorized cosines map-side (no shuffle — centroids
+    broadcast), one shuffle on vec_id to attach cells, then the pruned
+    cell equi-join.  Never an n² pair compare.
+    """
+    e = with_norm(vectors)
+    cents = F.broadcast(
+        e.where(centroid_pred).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    cc = F.round(
+        F.expr(DOT_EXPR.format(a="embedding", b="cent_emb"))
+        / (F.col("nrm") * F.col("cent_nrm")),
+        6,
+    )
+    assign = (
+        e.select("vec_id", "embedding", "nrm")
+        .crossJoin(cents)
+        .select("vec_id", cc.alias("cc"), "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cc"), (-F.col("cent_id")).alias("nid"))
+            ).alias("cell")
+        )
+    )
+    ea = e.join(assign, "vec_id")
+    q = ea.where(query_pred).alias("q")
+    c = ea.alias("c")
+    pairs = F.broadcast(q).join(
+        c,
+        (F.col("q.cell") == F.col("c.cell"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("q.cell").alias("cell"),
+        _cosine().alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cell", "rnk",
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )
+
+
 def ivf_topk_by_label(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
     """IVF-shaped ANN: probe only the query's coarse cell (`label`).
     Same plan as brute force but the join carries the cell equality —

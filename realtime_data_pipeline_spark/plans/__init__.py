@@ -32,6 +32,9 @@ from realtime_data_pipeline_spark.plans import extras  # noqa: F401
 #   * ann_pandas_topk — same query as ann_bruteforce_topk, different
 #     kernel (Arrow pandas-UDF); the built-in-expression variant keeps
 #     the slot.
+#   * ann_ivf_topk_by_label — its cell is a precomputed column;
+#     ann_ivf_assigned_topk (real broadcast-codebook argmax assignment)
+#     supersedes it in the slot.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -55,7 +58,7 @@ _DRIVER_WINDOW = [
     # LLM-data operators (northstar.py)
     "text_metrics", "language_id", "doc_fingerprints", "exact_dedup_groups",
     "minhash_dedup_candidates", "dedup_clusters", "simhash_near_dups",
-    "ngram_jaccard_pairs", "ann_bruteforce_topk", "ann_ivf_topk_by_label",
+    "ngram_jaccard_pairs", "ann_bruteforce_topk", "ann_ivf_assigned_topk",
     "ann_lsh_topk", "ann_lsh_multiprobe_topk", "embedding_near_dups_lsh",
     "multimodal_byte_histogram", "corpus_curation_stats", "tfidf_top_terms",
     # physically-distinct TPC-H shapes (tpch_shapes.py)

@@ -389,6 +389,49 @@ def q_ann_ivf_topk_by_label(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_assigned_topk",
+    f"""
+    WITH e AS ({_D_E}),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+              FROM e WHERE vec_id >= 8 AND vec_id < 16),
+    scored AS (SELECT v.vec_id, c.cent_id,
+                      round({_D_DOT.format(a='v.embedding', b='c.cent_emb')}
+                            / (v.nrm * c.cent_nrm), 6) AS cc
+               FROM e v, cents c),
+    asg AS (SELECT vec_id, cent_id AS cell
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cc DESC, cent_id) AS rn
+                  FROM scored)
+            WHERE rn = 1),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 qa.cell, {_D_COS} AS cs
+          FROM e q JOIN asg qa ON qa.vec_id = q.vec_id
+          JOIN asg ca ON ca.cell = qa.cell
+          JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id
+          WHERE q.vec_id < 8)
+    SELECT query_id, neighbor_id, cell, rnk, round(cs, 6) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= 5
+    """,
+    doc="IVF with REAL centroid assignment: vectors 8-15 form the codebook "
+    "(stand-in for offline k-means), every vector argmax-assigns to its "
+    "nearest centroid over a BROADCAST codebook (max_by on rounded "
+    "cosine, centroid-id tie-break — deterministic cross-engine), then "
+    "the ANN probe equi-joins on the assigned cell and reranks exactly — "
+    "closes the ann_ivf_topk_by_label gap where `label` was precomputed",
+)
+def q_ann_ivf_assigned_topk(spark, sf_dir):
+    return similarity.ivf_assigned_topk(
+        _t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 8,
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16),
+        k=5,
+    )
+
+
 _D_PLANE = (
     "(('0x' || substr(md5('hp_' || p || '_' || d), 1, 15))::BIGINT"
     " / CAST(576460752303423488 AS DOUBLE) - 1.0)"
@@ -470,6 +513,29 @@ def q_embedding_near_dups(spark, sf_dir):
 def q_multimodal_byte_histogram(spark, sf_dir):
     docs = multimodal.attach_media(_t(spark, sf_dir, "documents"))
     return multimodal.byte_histogram_by_lang(docs)
+
+
+@register(
+    "multimodal_frame_stats",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum((length(text) + {multimodal.FRAME_STRIDE - 1})
+                    // {multimodal.FRAME_STRIDE}) AS BIGINT) AS total_frames,
+           CAST(sum(list_sum(list_transform(range(1, length(text) + 1),
+                p -> CASE WHEN ((p - 1) % {multimodal.FRAME_STRIDE})
+                               < {multimodal.FRAME_BYTES}
+                          THEN ord(substr(text, p, 1)) ELSE 0 END)))
+                AS BIGINT) AS total_energy
+    FROM documents GROUP BY lang
+    """,
+    doc="multimodal frame-sampling plumbing: strided fixed-width windows "
+    "over the binary payload (every 64 bytes, sample 32) in an Arrow "
+    "mapInPandas kernel — the video-frame-extraction shape with a "
+    "codec-free deterministic kernel; rollup by metadata lang",
+)
+def q_multimodal_frame_stats(spark, sf_dir):
+    docs = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_stats_by_lang(docs)
 
 
 @register(
