@@ -97,3 +97,20 @@ def test_entry_smoke(spark):
         "user_id",
         "total_interactions",
     }
+
+
+def test_no_decimal_output_columns(spark):
+    """Output-type contract (round-2): DecimalType never leaves a query.
+    DuckDB's pandas conversion renders decimals as float64 while Spark
+    yields decimal.Decimal objects, so ANY decimal output column is a
+    guaranteed driver hash mismatch.  Schema-only — runs off the
+    analyzed plan, no execution."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        schema = spec.fn(spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                offenders.append(f"{name}.{f.name}: {f.dataType}")
+    assert not offenders, offenders
