@@ -261,3 +261,55 @@ def test_transform_with_state_user_stats(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(tuple(r) for r in table.read().collect())
     assert got == [("user_1", 2, 1), ("user_2", 1, 0)]
+
+
+def test_windowed_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state path: the same watermark+window+upsert pipeline
+    must produce identical results on the RocksDB state store provider
+    (bounded memory, spill-to-disk state) as on the default in-memory
+    HDFS-backed provider.  PLANS.md names RocksDB as the high-key-
+    cardinality posture — this pins that it actually works."""
+    from realtime_data_pipeline_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(key)
+    events = _ref_shaped_events(spark).limit(2000)
+    replay = str(tmp_path / "replay")
+    _write_replay_fixture(spark, events, replay)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        table = _run_replay(
+            spark, replay, str(tmp_path / "table"), str(tmp_path / "ckpt")
+        )
+        streamed = {
+            tuple(r)
+            for r in table.read().where(F.col("user_id") != SENTINEL).collect()
+        }
+    finally:
+        spark.conf.set(key, default_provider)
+    batch = {tuple(r) for r in windowed_stream_counts(events, "user_id").collect()}
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_serving_queries_over_streamed_sink_table(spark, parity_setup):
+    """SURVEY §7 step 4: the dashboard queries (A3-A6, T1-T3) are
+    library functions over the SINK tables — the end-to-end contract is
+    stream → keyed-upsert table → serving query, and it must agree with
+    the same serving query over the batch aggregation (whose own
+    correctness the DuckDB oracles pin)."""
+    from realtime_data_pipeline_spark.operators import kpis
+
+    events, table, _, _ = parity_setup
+    sink = table.read().where(F.col("user_id") != SENTINEL)
+    batch = windowed_stream_counts(events, "user_id")
+
+    for fn in (
+        kpis.avg_interactions,
+        kpis.interaction_extrema,
+        lambda a: kpis.top_rows(a, "user_id", 20),
+        lambda a: kpis.latest_window_top(a, "user_id", 20),
+        lambda a: kpis.recent_rows(a, "user_id", 100),
+    ):
+        got = sorted(map(tuple, fn(sink).collect()))
+        want = sorted(map(tuple, fn(batch).collect()))
+        assert got == want and len(got) > 0, fn
