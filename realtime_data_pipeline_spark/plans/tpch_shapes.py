@@ -16,6 +16,10 @@ physical shape:
   * large_quantity_orders       — agg→HAVING→join back to the fact (Q18)
   * brand_quantity_revenue      — disjunctive multi-column predicates (Q19)
   * idle_rich_customers         — scalar-subquery threshold + anti join (Q22)
+  * top_revenue_suppliers       — argmax-over-aggregate via 1-row max
+                                  equality join-back (Q15)
+  * sole_late_suppliers         — correlated EXISTS/NOT-EXISTS pair
+                                  decorrelated into one per-order agg (Q21)
 
 Scale posture: dimensions broadcast; fact-fact joins shuffle on the
 join key once and aggregate partially map-side; top-k compiles to
@@ -393,4 +397,101 @@ def q_idle_rich_customers(spark, sf_dir):
             .cast("double")
             .alias("total_acctbal"),
         )
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier view): per-supplier quarterly "
+    "revenue, then select the rows EQUAL to the global max — an "
+    "argmax-over-aggregate realized as a broadcast 1-row max joined "
+    "back by equality (ties all surface, no arbitrary pick).  The "
+    "equality compares the round(·,2)-double money values, which are "
+    "bit-identical in both engines by the output-type contract",
+)
+def q_top_revenue_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        money(F.sum(_revenue_col())).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "sole_late_suppliers",
+    """
+    SELECT s_suppkey, s_name, count(*) AS n_late_lines
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                      ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who ALONE shipped late on a multi-"
+    "supplier order): the correlated EXISTS / NOT-EXISTS pair is "
+    "DECORRELATED into one per-order aggregate — n_suppliers and "
+    "n_late_suppliers per order from a single groupBy — then a filter "
+    "(n_suppliers > 1 AND n_late_suppliers = 1) joined back to the "
+    "late lines.  One shuffle on l_orderkey instead of two correlated "
+    "per-row subquery probes of the fact table",
+)
+def q_sole_late_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    sole = per_order.where(
+        (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+    )
+    return (
+        lo.where("late")
+        .join(sole, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_late_lines"))
     )
