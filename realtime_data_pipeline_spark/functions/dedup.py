@@ -306,16 +306,11 @@ SHINGLE_HASHES_EXPR = (
 )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, min_jaccard: float = 0.02, limit: int = 1000
-) -> DataFrame:
-    """3-gram Jaccard on candidate pairs from a sparse shared-shingle
-    equi-join (cost ∝ shingle collisions, never n²).  Shingles are the
-    same polynomial token-hash values MinHash uses — the explode/join
-    shuffles int64 keys, not 3-word strings (~10× smaller shuffle
-    payload; both engines hash identically so Jaccard over hash sets
-    equals Jaccard over string sets modulo shared ~2^-32 collisions)."""
-    sh = (
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<int64>, n_sh): each document's DISTINCT 3-gram
+    shingle hashes — the polynomial token-hash values MinHash uses, so
+    the shuffle payload is 8-byte ints, never 3-word strings."""
+    return (
         docs.withColumn("toks", F.expr(TOKENS_EXPR))
         .where(F.size("toks") >= 3)
         .withColumn(
@@ -329,8 +324,20 @@ def ngram_jaccard_pairs(
             "doc_id",
             F.array_distinct(F.expr(SHINGLE_HASHES_EXPR)).alias("sh"),
         )
+        .withColumn("n_sh", F.size("sh"))
     )
-    sized = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, min_jaccard: float = 0.02, limit: int = 1000
+) -> DataFrame:
+    """3-gram Jaccard on candidate pairs from a sparse shared-shingle
+    equi-join (cost ∝ shingle collisions, never n²).  Shingles are the
+    same polynomial token-hash values MinHash uses — the explode/join
+    shuffles int64 keys, not 3-word strings (~10× smaller shuffle
+    payload; both engines hash identically so Jaccard over hash sets
+    equals Jaccard over string sets modulo shared ~2^-32 collisions)."""
+    sized = shingle_sets(docs)
     exploded = sized.select(
         "doc_id", F.col("n_sh"), F.explode("sh").alias("shingle")
     )
@@ -358,4 +365,44 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= min_jaccard)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(limit)
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_pred,
+    min_overlap_ratio: float = 0.05,
+) -> DataFrame:
+    """Decontamination: which corpus documents share 3-gram shingles
+    with a benchmark/eval set?  The benchmark's DISTINCT shingle hashes
+    are a small set by construction (eval sets are tiny next to a
+    training corpus), so the overlap probe is a BROADCAST semi-join on
+    the int64 shingle key against the exploded corpus — map-side
+    pruning, then ONE shuffle on doc_id to count hits per document.
+    Never a corpus×corpus or corpus×benchmark pair join."""
+    sh = shingle_sets(docs)
+    bench = (
+        sh.where(bench_pred)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.where(~bench_pred)
+    hits = (
+        corpus.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ratio = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_sh"), 4
+    )
+    return (
+        hits.select(
+            "doc_id",
+            F.col("n_sh").alias("n_shingles"),
+            "n_overlap",
+            ratio.alias("overlap_ratio"),
+        )
+        .where(F.col("overlap_ratio") >= min_overlap_ratio)
+        .orderBy(F.desc("overlap_ratio"), "doc_id")
     )

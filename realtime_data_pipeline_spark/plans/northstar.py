@@ -785,3 +785,155 @@ def q_tfidf_top_terms(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("doc_id", "token", "rnk", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: sequence bucketing, decontamination,
+# quality-aware canonical selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, len({D_TOKS}) AS n FROM documents),
+    b AS (SELECT n, length(bin(n)) - 1 AS bucket FROM t WHERE n > 0)
+    SELECT bucket,
+           CAST(1::BIGINT << bucket AS BIGINT) AS min_tokens,
+           CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS max_tokens,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM b GROUP BY bucket
+    """,
+    doc="sequence-length bucketing (training-batch packing shape): docs "
+    "binned into power-of-2 token-count buckets.  The bucket index is "
+    "length(bin(n))-1 — pure INTEGER bit arithmetic, deliberately not "
+    "floor(log2(n)), whose float rounding can disagree across engines "
+    "exactly at the power-of-2 boundaries",
+)
+def q_doc_length_buckets(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        docs.select(text.token_count().alias("n"))
+        .where(F.col("n") > 0)
+        .withColumn("bucket", F.length(F.bin("n")).cast("int") - 1)
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            F.expr("cast(shiftleft(1L, bucket) as bigint)").alias("min_tokens"),
+            F.expr("cast(shiftleft(1L, bucket + 1) - 1 as bigint)").alias(
+                "max_tokens"
+            ),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+CONTAMINATION_BENCH_MAX_ID = 10  # docs below this id play the eval set
+CONTAMINATION_MIN_RATIO = 0.05
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+    tk AS (SELECT doc_id,
+                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
+           FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(th) - 1),
+                      i -> (((th[i] * {dedup.SHINGLE_B} + th[i + 1])
+                             % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + th[i + 2])
+                           % {dedup.MINHASH_P})) AS s
+           FROM tk),
+    bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+              WHERE doc_id < {CONTAMINATION_BENCH_MAX_ID}),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+           WHERE doc_id >= {CONTAMINATION_BENCH_MAX_ID}),
+    hits AS (SELECT doc_id, n_sh, count(*) AS n_overlap
+             FROM ex JOIN bench USING (shingle) GROUP BY 1, 2)
+    SELECT doc_id, n_sh AS n_shingles, n_overlap,
+           round(CAST(n_overlap AS DOUBLE) / n_sh, 4) AS overlap_ratio
+    FROM hits
+    WHERE round(CAST(n_overlap AS DOUBLE) / n_sh, 4) >= {CONTAMINATION_MIN_RATIO}
+    ORDER BY overlap_ratio DESC, doc_id
+    """,
+    doc="decontamination: corpus docs sharing 3-gram shingles with the "
+    "benchmark set (doc_id < 10 stands in for an eval suite).  The "
+    "benchmark's distinct shingle hashes broadcast (eval sets are tiny "
+    "vs the corpus), overlap counted via broadcast equi-join + one "
+    "doc_id shuffle — the standard pre-training leakage check, never a "
+    "pair join",
+)
+def q_benchmark_contamination(spark, sf_dir):
+    return dedup.benchmark_contamination(
+        _t(spark, sf_dir, "documents"),
+        F.col("doc_id") < CONTAMINATION_BENCH_MAX_ID,
+        min_overlap_ratio=CONTAMINATION_MIN_RATIO,
+    )
+
+
+_D_QUALITY = f"""round(0.4 * least(len(toks) / 100.0, 1.0)
+      + 0.4 * (1.0 - CAST(len(list_filter(toks, t -> list_contains([{_ALL_STOP}], t))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE))
+      + 0.2 * least((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0),
+      4)"""
+
+
+@register(
+    "curation_keep_best",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= {CLUSTER_MIN_EST}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM strong
+              UNION SELECT doc_b, doc_a FROM strong),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e
+        ON e.u = r.node WHERE r.label < e.v
+    ),
+    cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    q AS (SELECT doc_id, {_D_QUALITY} AS quality
+          FROM (SELECT doc_id, {D_TOKS} AS toks FROM documents)),
+    m AS (SELECT component, node, quality
+          FROM cc JOIN q ON q.doc_id = cc.node),
+    r AS (SELECT component, node, quality,
+                 count(*) OVER (PARTITION BY component) AS n_members,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY quality DESC, node ASC) AS rn
+          FROM m)
+    SELECT component, n_members, node AS keep_doc_id, quality AS keep_quality
+    FROM r WHERE rn = 1
+    """,
+    doc="quality-aware canonical selection: near-dup clusters (MinHash "
+    "pairs → connected components) keep their HIGHEST-QUALITY member "
+    "(argmax on rounded quality, smaller doc_id tie-break) instead of "
+    "the arbitrary min-id — what a production curation pass actually "
+    "does before dropping duplicates",
+    tags=("pipeline",),
+)
+def q_curation_keep_best(spark, sf_dir):
+    from realtime_data_pipeline_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    strong = dedup.minhash_candidates(
+        docs, limit=None, min_est_jaccard=CLUSTER_MIN_EST
+    )
+    cc = connected_components(strong, "doc_a", "doc_b")
+    quality = docs.select("doc_id", text.quality_score().alias("quality"))
+    m = cc.join(quality, cc.node == quality.doc_id)
+    order = F.struct(F.col("quality"), (-F.col("node")).alias("nid"))
+    return m.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.max_by("node", order).alias("keep_doc_id"),
+        F.max_by("quality", order).alias("keep_quality"),
+    )
