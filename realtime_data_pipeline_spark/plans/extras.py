@@ -517,3 +517,56 @@ def q_priority_metrics_unpivot(spark, sf_dir):
         "metric",
         "value",
     )
+
+
+@register(
+    "hll_partitioned_distinct",
+    # Sketch bytes are engine-specific, so the oracle pins the exact
+    # cardinality and the properties that make sketches THE 100 TB
+    # distinct-count path: per-group estimates and the union-of-sketches
+    # global estimate all land within the configured error envelope.
+    """
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS groups_within_5pct,
+           TRUE AS union_within_5pct
+    FROM events
+    """,
+    doc="mergeable-sketch distinct counting (Apache DataSketches HLL): "
+    "per-event-type hll_sketch_agg, then hll_union_agg merges the "
+    "fixed-size group sketches into the GLOBAL estimate without "
+    "re-scanning raw data — the re-aggregatable rollup pattern "
+    "(daily→monthly→all-time) that count(DISTINCT) cannot do at scale",
+)
+def q_hll_partitioned_distinct(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    per_group = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_g"),
+    )
+    grp_ok = per_group.select(
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)").cast("double")
+                - F.col("exact_g")
+            )
+            / F.col("exact_g")
+            <= 0.05
+        ).alias("ok")
+    ).agg(F.every("ok").alias("groups_within_5pct"))
+    union_est = per_group.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.crossJoin(grp_ok)
+        .crossJoin(union_est)
+        .select(
+            "exact_users",
+            "groups_within_5pct",
+            (
+                F.abs(F.col("est").cast("double") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("union_within_5pct"),
+        )
+    )

@@ -284,3 +284,28 @@ def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
     # replaying the same batch is idempotent
     t.merge(spark.createDataFrame([(7, "updated")], "k long, payload string"))
     assert {(r.k, r.payload) for r in t.read().collect()} == want
+
+
+def test_partition_pruning_reads_only_matching_partitions(spark, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter: the scan
+    must prune at PLANNING time (PartitionFilters on the FileScan, one
+    partition directory's files read) — at 100 TB this is the
+    difference between scanning one day and scanning the lake."""
+    ev = load_table(spark, SF_DIR, "events").where(F.col("event_type").isNotNull())
+    path = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    q = (
+        spark.read.parquet(path)
+        .where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan[:2000]
+
+    got = q.agg(F.sum("n")).collect()[0][0]
+    want = ev.where(F.col("event_type") == "click").count()
+    assert got == want > 0
