@@ -512,3 +512,97 @@ def q_streaming_purchase_attribution_outer(spark, sf_dir):
     while q.isActive:
         q.awaitTermination(5)
     return table.read().where(F.col("user_id") != SENTINEL)
+
+
+# ---------------------------------------------------------------------------
+# Streaming LLM-data curation: the text-analysis operators run unchanged
+# under Structured Streaming (they are pure JVM expressions), so a
+# document stream can be quality-filtered and rolled up incrementally.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import LongType  # noqa: E402
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("lang", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+@register(
+    "streaming_doc_quality_counts",
+    # Oracle = the batch curation rollup (same quality formula the
+    # northstar queries mirror); update-mode streaming state converges
+    # to exactly this after the availableNow replay drains.
+    None,  # set immediately below — needs northstar's SQL fragments
+    doc="STREAMING curation: documents replayed as a stream, quality-"
+    "scored with the same JVM expressions the batch path uses (no UDF, "
+    "no watermark — an unwindowed update-mode agg keyed on lang), "
+    "filtered at quality >= 0.5, counts+tokens upserted per language; "
+    "equals the batch rollup",
+    tags=("streaming",),
+)
+def q_streaming_doc_quality_counts(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import text
+    from realtime_data_pipeline_spark.plans.registry import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    # two files → two micro-batches, so the update-mode upsert provably
+    # overwrites batch-1 partials with the converged totals
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    half.coalesce(1).write.mode("overwrite").parquet(replay)
+    docs.subtract(half).coalesce(1).write.mode("append").parquet(replay)
+
+    stream = file_replay_stream(spark, replay, DOC_SCHEMA, max_files_per_trigger=1)
+    agg = (
+        stream.select(
+            "lang",
+            text.token_count().alias("n_tokens"),
+            text.quality_score().alias("quality"),
+        )
+        .where(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    table = UpsertTable(spark, os.path.join(base, "table"), ["lang"])
+    q = start_upsert_query(
+        agg,
+        table,
+        os.path.join(base, "ckpt"),
+        "doc_quality_counts",
+        trigger_available_now=True,
+        output_mode="update",
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read()
+
+
+def _attach_doc_quality_oracle() -> None:
+    """The oracle reuses northstar's quality-formula SQL fragments;
+    imported lazily here to keep module import order irrelevant."""
+    from dataclasses import replace
+
+    from realtime_data_pipeline_spark.plans import northstar
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    sql = f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+    FROM (SELECT lang, {northstar.D_TOKS} AS toks FROM documents)
+    WHERE {northstar._D_QUALITY} >= 0.5
+    GROUP BY lang
+    """
+    REGISTRY["streaming_doc_quality_counts"] = replace(
+        REGISTRY["streaming_doc_quality_counts"], oracle=sql
+    )
+
+
+_attach_doc_quality_oracle()
