@@ -44,9 +44,15 @@ def _windowed_counts(
     )
     return (
         events
+        # Materialize the (possibly derived, e.g. JSON-extracted) key
+        # ONCE before using it twice — referenced directly in both the
+        # filter and the group key, get_json_object would be evaluated
+        # twice per row (~20% of A2's runtime at sf0.1).  Also prunes
+        # the scan to exactly (ts, key).
+        .select(F.col(ts_col), key.alias(key_name))
         # P4: null hygiene before aggregation (key or ts null → drop)
-        .where(F.col(ts_col).isNotNull() & key.isNotNull())
-        .groupBy(win.alias("window"), key.alias(key_name))
+        .where(F.col(ts_col).isNotNull() & F.col(key_name).isNotNull())
+        .groupBy(win.alias("window"), F.col(key_name))
         .agg(F.count("*").alias(count_name))
         # P5: flatten the window struct with the reference's column names
         .select(
