@@ -111,7 +111,11 @@ def ivf_assigned_topk(
             ).alias("cell")
         )
     )
-    ea = e.join(assign, "vec_id")
+    # persist: the assigned table feeds BOTH sides of the probe join —
+    # without it the |V|·|C| scoring subtree runs twice (at 100 TB the
+    # assignment is a materialized table next to the vectors, exactly
+    # like the MinHash signature table).
+    ea = e.join(assign, "vec_id").persist()
     q = ea.where(query_pred).alias("q")
     c = ea.alias("c")
     pairs = F.broadcast(q).join(
@@ -148,14 +152,14 @@ def ivf_topk_by_label(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
 
 
 def near_dup_pairs(
-    vectors: DataFrame, min_cosine: float, limit: int = 500
+    vectors: DataFrame, min_cosine: float, limit: int | None = 500
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_id asc ordered pair).
     All-pairs at test scale; at 100 TB run it per LSH bucket
     (near_dup_pairs_lsh)."""
     e = with_norm(vectors)
     q, c = e.alias("q"), e.alias("c")
-    return (
+    out = (
         q.join(c, F.col("q.vec_id") < F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("vec_a"),
@@ -164,12 +168,12 @@ def near_dup_pairs(
         )
         .where(F.col("cos_sim") >= min_cosine)
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
-        .limit(limit)
     )
+    return out.limit(limit) if limit is not None else out
 
 
 def near_dup_pairs_lsh(
-    vectors: DataFrame, min_cosine: float, limit: int = 500
+    vectors: DataFrame, min_cosine: float, limit: int | None = 500
 ) -> DataFrame:
     """The 100 TB near-dup shape: candidate pairs are vectors whose LSH
     sign signatures differ by AT MOST ONE plane (Hamming ≤ 1),
@@ -194,7 +198,7 @@ def near_dup_pairs_lsh(
         ),
     ).alias("q")
     c = e.alias("c")
-    return (
+    out = (
         # probes are distinct values, so each (a, b) pair with
         # hamming(sig_a, sig_b) <= 1 matches exactly one probe — no
         # dedup pass needed.
@@ -210,8 +214,8 @@ def near_dup_pairs_lsh(
         )
         .where(F.col("cos_sim") >= min_cosine)
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
-        .limit(limit)
     )
+    return out.limit(limit) if limit is not None else out
 
 
 # --- random-hyperplane LSH -------------------------------------------------

@@ -937,3 +937,42 @@ def q_curation_keep_best(spark, sf_dir):
         F.max_by("node", order).alias("keep_doc_id"),
         F.max_by("quality", order).alias("keep_quality"),
     )
+
+
+@register(
+    "embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding,
+                      {_D_NORM.format(a='embedding')} AS nrm,
+                      {_D_BUCKET} AS bucket
+               FROM embeddings),
+    p AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM e q JOIN e c
+          ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id < c.vec_id
+          WHERE round({_D_COS}, 6) >= 0.3),
+    edges AS (SELECT vec_a AS u, vec_b AS v FROM p
+              UNION SELECT vec_b, vec_a FROM p),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT ed.v, r.label FROM reach r JOIN edges ed
+        ON ed.u = r.node WHERE r.label < ed.v
+    )
+    SELECT node AS vec_id, min(label) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="dedup clustering generalized to the EMBEDDING modality: "
+    "multi-probe LSH near-dup pairs (Hamming<=1 equi-join, cos >= 0.3) "
+    "become duplicate groups via the same distributed min-label "
+    "connected components the document pipeline uses — one clustering "
+    "operator, two modalities",
+    tags=("iterative",),
+)
+def q_embedding_dedup_clusters(spark, sf_dir):
+    from realtime_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = similarity.near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.3, limit=None
+    ).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    return cc.select(F.col("node").alias("vec_id"), "component")
