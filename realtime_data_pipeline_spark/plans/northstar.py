@@ -976,3 +976,114 @@ def q_embedding_dedup_clusters(spark, sf_dir):
     ).select("vec_a", "vec_b")
     cc = connected_components(pairs, "vec_a", "vec_b")
     return cc.select(F.col("node").alias("vec_id"), "component")
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+_SPARK_TH = (
+    "transform(split(trim(text), '\\\\s+'), "
+    "t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+)
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+    tk AS (SELECT doc_id, len(toks) AS n,
+                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
+           FROM t),
+    c AS (SELECT doc_id, n, th, unnest(range(1, n + 1, {CHUNK_STRIDE})) AS s
+          FROM tk)
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, n - s + 1) AS BIGINT) AS n_chunk_tokens,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_slice(th, s, least(s + {CHUNK_TOKENS} - 1, n))),
+               (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD}
+           ) AS chunk_fingerprint
+    FROM c
+    """,
+    doc="RAG-style document chunking: overlapping token windows "
+    f"({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE}) emitted one row per "
+    "chunk with a rolling-hash fingerprint — pure higher-order "
+    "expressions (sequence → explode → slice → fold), no UDF, scales as "
+    "a map-only stage",
+)
+def q_doc_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # build the start-index list then explode; the fingerprint folds
+    # over the token hashes of each slice
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(_SPARK_TH).alias("th"),
+        )
+        .withColumn("n", F.size("th"))
+        .select(
+            "doc_id",
+            "n",
+            "th",
+            F.explode(F.expr(f"sequence(1, n, {CHUNK_STRIDE})")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.expr(
+                f"aggregate(slice(th, s, {CHUNK_TOKENS}), cast(0 as bigint), "
+                f"(acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"
+            ).alias("chunk_fingerprint"),
+        )
+    )
+
+
+@register(
+    "doc_repetition_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+    tk AS (SELECT doc_id,
+                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
+           FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, len(th) - 1),
+                      i -> (((th[i] * {dedup.SHINGLE_B} + th[i + 1])
+                             % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + th[i + 2])
+                           % {dedup.MINHASH_P}) AS h
+           FROM tk),
+    ex AS (SELECT doc_id, unnest(h) AS shingle FROM sh),
+    per AS (SELECT doc_id, shingle, count(*) AS c FROM ex GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_shingles,
+           CAST(max(c) AS BIGINT) AS top_shingle_count,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS repetition_ratio
+    FROM per GROUP BY doc_id
+    """,
+    doc="repetition/boilerplate detector (the C4/Gopher-style quality "
+    "rule): per document, the most frequent 3-gram's share of all "
+    "3-grams — high ratio = template/repeated text.  Shingles WITH "
+    "multiplicity (unlike the dedup set variant); explode → count → max, "
+    "two keyed shuffles, no UDF",
+)
+def q_doc_repetition_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.expr(_SPARK_TH).alias("th"))
+        .where(F.size("th") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(dedup.SHINGLE_HASHES_EXPR)).alias("shingle"),
+        )
+    )
+    per = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        F.max("c").cast("bigint").alias("top_shingle_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias(
+            "repetition_ratio"
+        ),
+    )
