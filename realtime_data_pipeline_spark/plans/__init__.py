@@ -9,6 +9,7 @@ from realtime_data_pipeline_spark.plans import streaming_queries  # noqa: F401
 from realtime_data_pipeline_spark.plans import northstar  # noqa: F401
 from realtime_data_pipeline_spark.plans import tpch_shapes  # noqa: F401
 from realtime_data_pipeline_spark.plans import extras  # noqa: F401
+from realtime_data_pipeline_spark.plans import training  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r1 item 3).

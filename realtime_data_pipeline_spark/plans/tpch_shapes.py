@@ -495,3 +495,119 @@ def q_sole_late_suppliers(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_late_lines"))
     )
+
+
+@register(
+    "nation_year_profit",
+    """
+    SELECT n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,10))), 2) AS DOUBLE) AS profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-line profit by supplier nation and "
+    "year): a 5-way star join where the part filter (LIKE on a dim "
+    "column) prunes the fact rows.  part/supplier/nation broadcast; "
+    "the LIKE-filtered part dim shrinks the probe before the orders "
+    "join, so the only fact-fact shuffle (lineitem⋈orders on "
+    "l_orderkey) moves pre-filtered rows",
+)
+def q_nation_year_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            money(F.sum(_revenue_col())).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "region_market_share",
+    """
+    SELECT o_year,
+           CAST(round(CAST(focal_vol AS DOUBLE) / total_vol, 4) AS DOUBLE)
+               AS mkt_share,
+           CAST(round(total_vol, 2) AS DOUBLE) AS total_volume
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               sum(CASE WHEN sn.n_name = 'NATION_7'
+                        THEN CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(28,10))
+                        ELSE CAST(0 AS DECIMAL(28,10)) END) AS focal_vol,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,10))) AS total_vol
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region    ON cn.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    )
+    """,
+    doc="TPC-H Q8 shape (market share of one supplier nation inside a "
+    "region's demand, per year): nation joined twice under different "
+    "roles, region-restricted on the CUSTOMER side only, and the "
+    "share computed as a conditional decimal sum over the SAME "
+    "aggregate pass (no second scan).  The share divides two exact "
+    "decimal sums once, then rounds — order-independent",
+)
+def q_region_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue_col()
+    focal = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+        F.lit(0).cast("decimal(28,10)")
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(focal).alias("focal_vol"),
+            F.sum(vol).alias("total_vol"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("focal_vol").cast("double") / F.col("total_vol"), 4)
+        .alias("mkt_share"),
+        money(F.col("total_vol")).alias("total_volume"),
+    )

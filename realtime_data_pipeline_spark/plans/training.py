@@ -1,0 +1,432 @@
+"""Training-data pipeline + behavioral-analytics queries.
+
+Extends the north-star LLM-data surface (northstar.py) with the
+dataset-assembly operators a pretraining pipeline runs after curation:
+
+  * train_split_counts    — deterministic hash split into train/val/test
+  * mixture_sample_stats  — per-source rate sampling (data-mixture weights)
+  * sequence_packing_stats — concat-and-chunk packing of docs into
+                            fixed-capacity context windows
+  * vocab_oov_rates       — top-K vocabulary build + out-of-vocabulary
+                            rate per language
+  * shard_skew_stats      — hash-shard balance audit (write skew)
+
+plus two event-stream behavioral shapes the reference's dashboard
+family implies but never builds (reporting/reporting.py:94-191 stops at
+single-table KPIs):
+
+  * funnel_conversion        — staged view→click→purchase funnel with
+                               strict event-time ordering
+  * weekly_cohort_retention  — first-seen weekly cohorts × activity week
+
+Cross-engine determinism: every selector is md5-hex based (identical
+hex both engines — same trick as northstar.py's D_HASH32), every ratio
+divides exact integer/decimal sums once and rounds to 4 digits, and
+every ordering has a total tie-break.
+
+Scale posture (100 TB): the hash split/sample/shard operators are
+embarrassingly parallel single-pass map-side expressions followed by
+one partial+final aggregation — no joins, no skew (md5 is uniform).
+Packing windows partition by `lang` (at real scale: by shard key), so
+no global sort exists.  The vocabulary join broadcasts a top-K that is
+small by construction.  The funnel's two joins share the `user_id`
+shuffle key, so the exchange is reused across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from realtime_data_pipeline_spark.functions import text
+from realtime_data_pipeline_spark.plans.northstar import D_TOKS
+from realtime_data_pipeline_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# Shared hash selectors (Spark expr + DuckDB twin generated from the
+# same constants so the two sides cannot drift)
+# ---------------------------------------------------------------------------
+
+# train/val/test split by lexicographic thresholds on the md5 hex of
+# the doc id: hex chars are uniform, so 'd0' ≈ 81.25 %, 'e8' ≈ 90.6 %.
+SPLIT_THRESHOLDS = (("train", "d0"), ("val", "e8"))
+
+# data-mixture sampling: source tier → keep percentage.
+MIXTURE_TIERS = ((5, 100), (10, 50), (15, 25))  # index <5→100%, <10→50%, <15→25%
+MIXTURE_DEFAULT_PCT = 10
+
+PACK_CAPACITY = 256  # tokens per packed context window
+VOCAB_TOP_K = 8  # top-K vocabulary size (31 distinct tokens at sf0.01)
+N_SHARDS = 64
+
+
+def _doc_hash_col():
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+_D_DOC_HASH = "md5(CAST(doc_id AS VARCHAR))"
+
+
+def _split_col():
+    h = _doc_hash_col()
+    c = F.when(h < SPLIT_THRESHOLDS[0][1], SPLIT_THRESHOLDS[0][0])
+    for name, bound in SPLIT_THRESHOLDS[1:]:
+        c = c.when(h < bound, name)
+    return c.otherwise("test")
+
+
+_D_SPLIT = (
+    "CASE "
+    + " ".join(f"WHEN h < '{b}' THEN '{n}'" for n, b in SPLIT_THRESHOLDS)
+    + " ELSE 'test' END"
+)
+
+
+@register(
+    "train_split_counts",
+    f"""
+    SELECT {_D_SPLIT} AS split, lang,
+           count(*) AS n_docs,
+           CAST(sum(len({D_TOKS})) AS BIGINT) AS total_tokens
+    FROM (SELECT *, {_D_DOC_HASH} AS h FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="deterministic train/val/test split: lexicographic thresholds on "
+    "md5(doc_id) hex — a pure map-side selector (no shuffle beyond the "
+    "final rollup), reproducible across runs and engines, stratified "
+    "report per language",
+)
+def q_train_split_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            _split_col().alias("split"),
+            "lang",
+            text.token_count().alias("nt"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def _src_index():
+    return F.substring(F.col("source"), 4, 8).cast("int")
+
+
+def _rate_pct_col():
+    idx = _src_index()
+    c = F.when(idx < MIXTURE_TIERS[0][0], MIXTURE_TIERS[0][1])
+    for bound, pct in MIXTURE_TIERS[1:]:
+        c = c.when(idx < bound, pct)
+    return c.otherwise(MIXTURE_DEFAULT_PCT)
+
+
+_D_RATE = (
+    "CASE "
+    + " ".join(
+        f"WHEN CAST(substr(source, 4) AS INTEGER) < {b} THEN {p}"
+        for b, p in MIXTURE_TIERS
+    )
+    + f" ELSE {MIXTURE_DEFAULT_PCT} END"
+)
+
+# sampling bucket: 4 hex chars of md5("<doc_id>:<source>") mod 100 —
+# uniform in [0,100), exact integer arithmetic on both engines.
+_D_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4))"
+    "::BIGINT % 100)"
+)
+
+
+def _bucket_col():
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 100
+
+
+@register(
+    "mixture_sample_stats",
+    f"""
+    SELECT source, rate_pct,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN bucket < rate_pct THEN nt ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM (SELECT source, {_D_RATE} AS rate_pct, {_D_BUCKET} AS bucket,
+                 len({D_TOKS}) AS nt
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="data-mixture sampling: per-source keep-rate tiers applied via a "
+    "deterministic hash bucket (md5 of doc_id:source mod 100) — the "
+    "standard reproducible downsampling used to hit mixture weights; "
+    "map-side only, one rollup shuffle",
+)
+def q_mixture_sample_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    kept = F.col("bucket") < F.col("rate_pct")
+    return (
+        docs.select(
+            "source",
+            _rate_pct_col().alias("rate_pct"),
+            _bucket_col().alias("bucket"),
+            text.token_count().alias("nt"),
+        )
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "sequence_packing_stats",
+    f"""
+    WITH t AS (
+        SELECT lang, doc_id, len({D_TOKS}) AS nt FROM documents
+    ), c AS (
+        SELECT lang, nt,
+               sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM t
+    ), b AS (
+        SELECT lang, nt, (cum - nt) // {PACK_CAPACITY} AS bin FROM c
+    )
+    SELECT lang,
+           count(DISTINCT bin) AS n_bins,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(round(CAST(count(*) AS DOUBLE) / count(DISTINCT bin), 4)
+                AS DOUBLE) AS avg_docs_per_bin,
+           CAST(round(CAST(sum(nt) AS DOUBLE)
+                      / (count(DISTINCT bin) * {PACK_CAPACITY}), 4)
+                AS DOUBLE) AS avg_bin_fill
+    FROM b GROUP BY lang
+    """,
+    doc=f"concat-and-chunk sequence packing: docs ordered by id within a "
+    f"language stream, assigned to the {PACK_CAPACITY}-token context "
+    "window containing their start offset (the standard pretraining "
+    "packing rule).  The running offset is a PARTITIONED window cumsum "
+    "— never a global single-partition sort; at real scale the "
+    "partition key is the shard id",
+)
+def q_sequence_packing_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = (
+        docs.select("lang", "doc_id", text.token_count().alias("nt"))
+        .withColumn("cum", F.sum("nt").over(w))
+        .withColumn("bin", F.expr(f"(cum - nt) div {PACK_CAPACITY}"))
+    )
+    n_bins = F.countDistinct("bin")
+    n_docs = F.count("*")
+    tot = F.sum("nt")
+    return b.groupBy("lang").agg(
+        n_bins.alias("n_bins"),
+        n_docs.alias("n_docs"),
+        tot.cast("bigint").alias("total_tokens"),
+        F.round(n_docs.cast("double") / n_bins, 4).alias("avg_docs_per_bin"),
+        F.round(tot.cast("double") / (n_bins * PACK_CAPACITY), 4).alias(
+            "avg_bin_fill"
+        ),
+    )
+
+
+@register(
+    "vocab_oov_rates",
+    f"""
+    WITH toks AS (
+        SELECT lang, unnest({D_TOKS}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok AS vtok
+        FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+              ORDER BY c DESC, tok ASC LIMIT {VOCAB_TOP_K})
+    )
+    SELECT lang,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(round(CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 4) AS DOUBLE) AS oov_rate
+    FROM toks LEFT JOIN vocab ON tok = vtok
+    GROUP BY lang
+    """,
+    doc=f"tokenizer-vocabulary coverage: build the top-{VOCAB_TOP_K} corpus "
+    "vocabulary (count desc, token asc tie-break), then per-language "
+    "out-of-vocabulary token rate via a BROADCAST left join of the "
+    "exploded token stream against the (small by construction) vocab.  "
+    "The rate divides two exact integer sums once — order-independent",
+)
+def q_vocab_oov_rates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(text.tokens()).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(VOCAB_TOP_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    oov = F.col("vtok").isNull().cast("int")
+    return (
+        toks.join(F.broadcast(vocab), toks.tok == F.col("vtok"), "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("oov_tokens"),
+            F.round(F.sum(oov).cast("double") / F.count("*"), 4).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "shard_skew_stats",
+    f"""
+    WITH s AS (
+        SELECT (('0x' || substr({_D_DOC_HASH}, 1, 4))::BIGINT % {N_SHARDS})
+                   AS shard,
+               count(*) AS n
+        FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS n_shards,
+           CAST(min(n) AS BIGINT) AS min_docs,
+           CAST(max(n) AS BIGINT) AS max_docs,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(round(CAST(max(n) * count(*) AS DOUBLE) / sum(n), 4)
+                AS DOUBLE) AS skew
+    FROM s
+    """,
+    doc=f"hash-shard balance audit for the {N_SHARDS}-way write layout: "
+    "docs-per-shard min/max and skew = max/mean — the number that says "
+    "whether a 1000-executor write stalls on a straggler shard.  Two "
+    "cheap aggregations; skew computed from exact integers",
+)
+def q_shard_skew_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(_doc_hash_col(), 1, 4), 16, 10).cast("bigint")
+        % N_SHARDS
+    )
+    per = docs.groupBy(shard.alias("shard")).agg(F.count("*").alias("n"))
+    n_shards = F.count("*")
+    return per.agg(
+        n_shards.alias("n_shards"),
+        F.min("n").cast("bigint").alias("min_docs"),
+        F.max("n").cast("bigint").alias("max_docs"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.round(
+            (F.max("n") * n_shards).cast("double") / F.sum("n"), 4
+        ).alias("skew"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral shapes over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ), p AS (
+        SELECT DISTINCT e.user_id
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view_users,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    doc="staged conversion funnel with strict event-time ordering: first "
+    "view, then a click after it, then a purchase after that.  Each "
+    "stage is a keyed min-aggregate joined to the next — all three "
+    "shuffles share the user_id key, so the exchange partitioning is "
+    "reused (no re-shuffle between stages at scale)",
+)
+def q_funnel_conversion(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count("*").alias("n_view_users"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    """
+    WITH wk AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), cohort AS (
+        SELECT user_id, min(activity_week) AS cohort_week FROM wk GROUP BY 1
+    )
+    SELECT cohort_week, activity_week, count(DISTINCT wk.user_id) AS n_users
+    FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+    doc="weekly cohort retention: users bucketed by first-seen week, "
+    "counted per (cohort week, activity week).  The cohort aggregate "
+    "and the join both key on user_id (one shuffle, reused); the final "
+    "rollup groups a small (weeks × weeks) result.  Week start (Monday) "
+    "is computed with pure DATE arithmetic — `date_trunc` on a "
+    "timestamp routes through the session timezone in one engine and "
+    "not the other, so a tz-immune formulation is required for the "
+    "cross-engine hash",
+)
+def q_weekly_cohort_retention(spark, sf_dir):
+    d = F.to_date("ts")
+    monday = F.date_sub(d, (F.dayofweek(d) + F.lit(5)) % 7)
+    wk = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", monday.cast("timestamp_ntz").alias("activity_week"))
+    )
+    cohort = wk.groupBy("user_id").agg(
+        F.min("activity_week").alias("cohort_week")
+    )
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
