@@ -36,6 +36,18 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 #   * ann_ivf_topk_by_label — its cell is a precomputed column;
 #     ann_ivf_assigned_topk (real broadcast-codebook argmax assignment)
 #     supersedes it in the slot.
+#   * streaming_purchase_attribution_outer — same stream-stream interval
+#     join operator as streaming_click_purchase_join (outer vs inner
+#     variant); the inner variant keeps the slot, the outer stays
+#     pytest+parity covered.
+#   * ann_lsh_topk — single-probe LSH, strictly subsumed by
+#     ann_lsh_multiprobe_topk (same signature/bucket machinery plus the
+#     Hamming-1 probes).
+#   Promoted in their place (round 2): train_split_counts and
+#   sequence_packing_stats — dataset-assembly operators the north star
+#   grades as first-class (hash split and context packing), each a
+#   physically distinct plan (pure map-side selector; window-partition
+#   reuse into the rollup).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -55,13 +67,13 @@ _DRIVER_WINDOW = [
     "streaming_replay_user_counts", "streaming_dedup_user_counts",
     "streaming_running_user_totals", "streaming_click_purchase_join",
     "streaming_session_counts", "streaming_json_wire_counts",
-    "streaming_purchase_attribution_outer",
-    # LLM-data operators (northstar.py)
+    # LLM-data operators (northstar.py + training.py)
     "text_metrics", "language_id", "doc_fingerprints", "exact_dedup_groups",
     "minhash_dedup_candidates", "dedup_clusters", "simhash_near_dups",
     "ngram_jaccard_pairs", "ann_bruteforce_topk", "ann_ivf_assigned_topk",
-    "ann_lsh_topk", "ann_lsh_multiprobe_topk", "embedding_near_dups_lsh",
+    "ann_lsh_multiprobe_topk", "embedding_near_dups_lsh",
     "multimodal_byte_histogram", "corpus_curation_stats", "tfidf_top_terms",
+    "train_split_counts", "sequence_packing_stats",
     # physically-distinct TPC-H shapes (tpch_shapes.py)
     "customer_order_count_histogram", "large_quantity_orders",
     "idle_rich_customers",
