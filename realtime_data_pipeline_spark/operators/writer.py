@@ -1,0 +1,88 @@
+"""Partitioned, shard-bucketed corpus writer — the materialization step
+of the curation pipeline (write the curated dataset back out, laid out
+for the next consumer).
+
+The reference's only writers are Mongo upsert sinks
+(/root/reference/consumer/consumer.py:147-174); a training-data
+pipeline additionally needs a BATCH writer whose layout decisions are
+what make the 100 TB read-side work:
+
+  * directory partitioning on low-cardinality columns (`lang`,
+    `source`) → partition PRUNING: a reader filtering on those columns
+    never opens the other directories;
+  * a deterministic hash shard as a SUB-PARTITION directory
+    (`lang=en/shard=3/`) → bounded, uniform file count (`n_shards`
+    leaf directories per partition, one writer task each — no
+    tiny-file explosion, no straggler file) and a bucket-addressable
+    layout (a keyed reader or merge touches only the shard dirs its
+    keys hash to — same idea as the streaming UpsertTable buckets);
+  * rows sorted by key within each file → parquet min/max row-group
+    statistics are tight, so key-range predicates skip row groups
+    (data skipping without any table format);
+  * `maxRecordsPerFile` as the file-size backstop when a shard is
+    still too big.
+
+At 100 TB: `repartition(partition_cols…, shard)` is ONE shuffle that
+simultaneously (a) co-locates each output file's rows on one task,
+(b) bounds file count to partitions × n_shards, and (c) spreads write
+work uniformly (md5-uniform shard).  The same layout is what a
+bucketed reader joins against without re-shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SHARDS = 8
+DEFAULT_MAX_RECORDS_PER_FILE = 5_000_000
+
+
+def with_shard(df: DataFrame, key: str, n_shards: int) -> DataFrame:
+    """Deterministic uniform shard id from the md5 of the key (same
+    selector family as plans/training.py — reproducible across runs,
+    engines, and cluster sizes, unlike hash()/xxhash64 whose seeds are
+    engine-private)."""
+    h = F.md5(F.col(key).cast("string"))
+    return df.withColumn(
+        "shard", F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards
+    )
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    key: str = "doc_id",
+    n_shards: int = DEFAULT_SHARDS,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Write `df` as a partitioned + sharded + key-sorted parquet layout.
+
+    One shuffle: repartition on (partition_cols…, shard) puts each
+    output file's rows on exactly one task; sortWithinPartitions orders
+    rows by (partition_cols…, shard, key).  The partition columns MUST
+    lead the sort: FileFormatWriter requires task rows ordered by the
+    dynamic-partition columns and inserts its own (non-stable) sort if
+    they aren't — which would destroy the key order inside each file.
+    With the partition prefix already sorted, the planner's requirement
+    is satisfied and the key sort survives into the row groups.
+    """
+    out = with_shard(df, key, n_shards)
+    (
+        out.repartition(*[F.col(c) for c in partition_cols], F.col("shard"))
+        .sortWithinPartitions(*partition_cols, "shard", key)
+        .write.partitionBy(*partition_cols, "shard")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read the layout back.  Filters on the partition columns become
+    PartitionFilters (directory pruning — asserted by
+    tests/test_writer.py on the explain output), filters on `key`
+    reach the scan as PushedFilters and skip row groups via the
+    within-file sort."""
+    return spark.read.parquet(path)

@@ -1,0 +1,70 @@
+"""Corpus writer layout contract: directory partitioning, bounded
+shard file count, within-file key sort, and partition pruning on read.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.operators import writer
+
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_layout_partitions_and_shard_count(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    writer.write_corpus(_docs(spark), out, partition_cols=("lang",), n_shards=4)
+    part_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/lang=*")
+    )
+    langs = sorted(
+        r.lang for r in _docs(spark).select("lang").distinct().collect()
+    )
+    assert part_dirs == [f"lang={l}" for l in langs]
+    for d in part_dirs:
+        shard_dirs = glob.glob(f"{out}/{d}/shard=*")
+        # ≤ n_shards leaf dirs per partition (a shard can be empty), ≥ 1
+        assert 1 <= len(shard_dirs) <= 4, (d, shard_dirs)
+        for sd in shard_dirs:
+            assert glob.glob(f"{sd}/*.parquet"), sd
+
+
+def test_roundtrip_and_within_file_sort(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    writer.write_corpus(_docs(spark), out, partition_cols=("lang",), n_shards=4)
+    back = writer.read_corpus(spark, out)
+    assert back.count() == _docs(spark).count()
+    # every individual file is sorted by doc_id (tight row-group stats)
+    for f in glob.glob(f"{out}/lang=*/shard=*/*.parquet"):
+        ids = [r.doc_id for r in spark.read.parquet(f).select("doc_id").collect()]
+        assert ids == sorted(ids), f
+
+
+def test_partition_pruning_on_read(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    writer.write_corpus(_docs(spark), out, partition_cols=("lang",), n_shards=4)
+    q = writer.read_corpus(spark, out).where(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:2000]
+    # equality on the partition column must NOT appear as a data filter
+    oracle = (
+        _docs(spark).where(F.col("lang") == "en").count()
+    )
+    assert q.count() == oracle
+
+
+def test_key_predicate_pushed_to_scan(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    writer.write_corpus(_docs(spark), out, partition_cols=("lang",), n_shards=4)
+    q = writer.read_corpus(spark, out).where(F.col("doc_id") < 10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan, (
+        plan[:2000]
+    )
