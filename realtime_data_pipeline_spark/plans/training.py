@@ -430,3 +430,94 @@ def q_weekly_cohort_retention(spark, sf_dir):
         .groupBy("cohort_week", "activity_week")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+@register(
+    "user_session_stats",
+    f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS session_id
+        FROM e
+    ), per_sess AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(round(CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1e6), 4)
+                AS DOUBLE) AS avg_session_sec
+    FROM per_sess GROUP BY user_id
+    """,
+    doc=f"gap-based sessionization: a session break is a >"
+    f"{SESSION_GAP_MIN} min silence; session id = running sum of break "
+    "flags (lag + windowed cumsum — pure built-ins, ONE exchange on "
+    "user_id serving both window passes and the final rollup).  This "
+    "is the custom-session-id operator; F.session_window "
+    "(session_window_counts) is its aggregate-only sibling.  Durations "
+    "aggregate as exact integer µs and divide once at the end",
+)
+def q_user_session_stats(spark, sf_dir):
+    # exact integer µs (ts.cast("long") would truncate to SECONDS and
+    # disagree with the oracle's epoch_us); session tz is pinned UTC so
+    # the NTZ→instant cast is identity.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = us - F.lag(us).over(w)
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("us", us)
+        .withColumn(
+            "new_sess",
+            F.when(gap > SESSION_GAP_MIN * 60 * 1_000_000, 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(wcum))
+    )
+    per_sess = e.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.round(F.sum("dur_us").cast("double") / (F.count("*") * 1_000_000), 4)
+        .alias("avg_session_sec"),
+    )
+
+
+@register(
+    "ffd_packing_stats",
+    None,  # sequential per-group state — not SQL-expressible; the
+    # driver records the rows-only check and tests/test_packing.py
+    # pins the correctness envelope (bin loads ≤ capacity, bin-count
+    # bounds, determinism, a hand-computed case).
+    doc="first-fit-decreasing bin packing per language via the "
+    "applyInPandas grouped-map escape hatch (the no-split sibling of "
+    "sequence_packing_stats): inherently sequential per group, "
+    "parallel across groups — at scale the group key is (shard, lang)",
+)
+def q_ffd_packing_stats(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing.ffd_packing_stats(docs, PACK_CAPACITY)
