@@ -611,3 +611,39 @@ def q_region_market_share(spark, sf_dir):
         .alias("mkt_share"),
         money(F.col("total_vol")).alias("total_volume"),
     )
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (scan-only conditional revenue), deliberately "
+    "expressed through the spark.sql SQL SURFACE (temp view + ANSI SQL "
+    "string) rather than the DataFrame API — the one registry query "
+    "that proves the SQL entry point plans identically: no join, no "
+    "window, every predicate pushed into the parquet scan, one "
+    "map-side partial + one 1-row final aggregate.  Double-literal "
+    "BETWEEN bounds are bit-identical IEEE values in both engines",
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                                  AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
