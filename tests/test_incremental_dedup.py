@@ -1,0 +1,106 @@
+"""Incremental LSH dedup contract: cross-batch dedup against the
+signature store, in-batch first-writer-wins, store growth, and the
+streaming (foreachBatch, availableNow) end-to-end path."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from realtime_data_pipeline_spark.streaming import incremental_dedup as inc
+
+from conftest import SF_DIR
+
+UNIQUE_TEXT = "zzzqa yyqb xxqc wwqd vvqe uuqf ttqg ssqh"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _with_id_and_text(df, doc_id, text):
+    one = df.limit(1).drop("doc_id", "text")
+    return one.select(
+        F.lit(doc_id).cast("long").alias("doc_id"),
+        F.lit(text).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _copies_of(spark, base, new_ids):
+    """Exact text copies of the lowest-id docs under fresh ids."""
+    originals = base.orderBy("doc_id").limit(len(new_ids)).collect()
+    rows = []
+    for new_id, row in zip(new_ids, originals):
+        d = row.asDict()
+        d["doc_id"] = new_id
+        rows.append(d)
+    return spark.createDataFrame(rows, schema=base.schema)
+
+
+def test_cross_batch_dedup(spark, tmp_path):
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    base = _docs(spark)
+    batch1 = base.where(F.col("doc_id") < 30)
+    n1 = inc.dedup_batch(batch1, store, out)
+    out1 = spark.read.parquet(out)
+    assert out1.count() == n1 > 0
+    # lowest id always survives
+    assert out1.where(F.col("doc_id") == 0).count() == 1
+
+    copies = _copies_of(spark, batch1, [1000, 1001, 1002])
+    fresh = _with_id_and_text(base, 2000, UNIQUE_TEXT)
+    batch2 = (
+        base.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+        .unionByName(copies)
+        .unionByName(fresh)
+    )
+    inc.dedup_batch(batch2, store, out)
+    out2 = spark.read.parquet(out)
+    # exact copies of already-accepted docs are dropped
+    assert out2.where(F.col("doc_id").isin(1000, 1001, 1002)).count() == 0
+    # genuinely new text is accepted
+    assert out2.where(F.col("doc_id") == 2000).count() == 1
+    # the store grew with the accepted docs' band rows
+    store_docs = (
+        spark.read.parquet(store).select("doc_id").distinct().count()
+    )
+    assert store_docs == out2.count()
+
+
+def test_in_batch_first_writer_wins(spark, tmp_path):
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    base = _docs(spark)
+    a = _with_id_and_text(base, 2000, UNIQUE_TEXT)
+    b = _with_id_and_text(base, 2001, UNIQUE_TEXT)
+    inc.dedup_batch(a.unionByName(b), store, out)
+    got = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert got == [2000]
+
+
+def test_streaming_availablenow(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = _docs(spark)
+    batch = (
+        base.where(F.col("doc_id") < 20)
+        .unionByName(_copies_of(spark, base, [1000, 1001]))
+        .unionByName(_with_id_and_text(base, 2000, UNIQUE_TEXT))
+        .unionByName(_with_id_and_text(base, 2001, UNIQUE_TEXT))
+    )
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = inc.start_incremental_dedup(stream, store, out, ckpt)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    # originals beat their higher-id exact copies; one of the twin
+    # fresh docs survives (the lower id)
+    assert 0 in got and 1 in got
+    assert 1000 not in got and 1001 not in got
+    assert 2000 in got and 2001 not in got
