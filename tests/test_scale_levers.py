@@ -309,3 +309,38 @@ def test_partition_pruning_reads_only_matching_partitions(spark, tmp_path):
     got = q.agg(F.sum("n")).collect()[0][0]
     want = ev.where(F.col("event_type") == "click").count()
     assert got == want > 0
+
+
+def test_sequence_packing_single_exchange_no_global_sort(spark):
+    """The packing window partitions by lang and the rollup reuses that
+    partitioning: exactly ONE hash exchange, zero single-partition
+    exchanges (a global-sort formulation would need one)."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["sequence_packing_stats"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_vocab_join_broadcasts_topk(spark):
+    """The top-K vocabulary compiles to TakeOrderedAndProject (true
+    top-k, no full sort) and joins the token stream as a broadcast —
+    the exploded stream itself never shuffles for the join."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["vocab_oov_rates"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hash_split_is_map_side_only(spark):
+    """The train/val/test selector must add no exchange beyond the
+    single rollup of group partials."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["train_split_counts"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
