@@ -354,3 +354,79 @@ def lsh_multiprobe_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+# --- multi-table LSH -------------------------------------------------------
+
+N_TABLES = 4
+PLANES_PER_TABLE = 4
+
+
+def _table_bucket_expr(t: int, ppt: int = PLANES_PER_TABLE) -> str:
+    """Sign bucket over this table's OWN hyperplane family (global plane
+    index t·ppt + p — tables are independent because the md5 keys
+    differ)."""
+    lo = t * ppt
+    return f"""aggregate(
+    sequence(0, {ppt - 1}),
+    cast(0 as bigint),
+    (acc, p) -> acc + CASE WHEN
+        aggregate(sequence(1, {DIM}), cast(0.0 as double),
+                  (a, d) -> a + cast(element_at(embedding, d) as double)
+                              * ({_plane_component_expr(f'({lo} + p)', 'd')})) > 0
+        THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""
+
+
+def with_multitable_buckets(
+    vectors: DataFrame, n_tables: int = N_TABLES
+) -> DataFrame:
+    """One (t, bucket) row per vector per table — the standard
+    recall lever LSH theory prescribes: L independent coarse tables
+    beat one fine table (P(candidate found) = 1-(1-p^b)^L).  Row count
+    grows ×L but each table's join stays a bounded equi-join."""
+    e = with_norm(vectors)
+    tb = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(_table_bucket_expr(t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+    ).alias("tb")
+    return e.select("vec_id", "embedding", "nrm", tb).select(
+        "vec_id", "embedding", "nrm", "tb.t", "tb.bucket"
+    )
+
+
+def lsh_multitable_topk(
+    vectors: DataFrame, query_pred, k: int = 5, n_tables: int = N_TABLES
+) -> DataFrame:
+    """ANN over L independent LSH tables: candidates = union of the
+    query's bucket matches across tables (distinct pairs — a pair found
+    by several tables scores identically, so DISTINCT before ranking is
+    exact), then exact cosine rerank."""
+    e = with_multitable_buckets(vectors, n_tables)
+    q = e.where(query_pred).alias("q")
+    c = e.alias("c")
+    pairs = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.t") == F.col("c.t"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine().alias("cs"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )

@@ -1087,3 +1087,169 @@ def q_doc_repetition_scores(spark, sf_dir):
             "repetition_ratio"
         ),
     )
+
+
+
+
+def _d_table_bucket(t: int, ppt: int = similarity.PLANES_PER_TABLE) -> str:
+    """DuckDB twin of similarity._table_bucket_expr(t): sign bucket over
+    table t's own hyperplane family (global plane index t*ppt + p)."""
+    lo = t * ppt
+    plane = _D_PLANE.replace("md5('hp_' || p", f"md5('hp_' || ({lo} + p)")
+    return f"""CAST(list_sum(list_transform(range(0, {ppt}),
+    p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, {similarity.DIM + 1}),
+                      d -> CAST(embedding[d] AS DOUBLE) * {plane})),
+                  (a, x) -> a + x) > 0
+         THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"""
+
+
+_D_MT_TB = "\n          UNION ALL ".join(
+    f"SELECT vec_id, embedding, nrm, {t} AS t, {_d_table_bucket(t)} AS bucket FROM e"
+    for t in range(similarity.N_TABLES)
+)
+
+
+@register(
+    "ann_lsh_multitable_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_D_NORM.format(a='embedding')} AS nrm
+               FROM embeddings),
+    tb AS ({_D_MT_TB}),
+    p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_D_COS} AS cs
+          FROM tb q JOIN tb c
+          ON q.vec_id < 8 AND q.t = c.t AND q.bucket = c.bucket
+             AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM p)
+    WHERE rnk <= 5
+    """,
+    doc="multi-TABLE LSH ANN (the textbook recall lever: L independent "
+    "coarse tables, P(found) = 1-(1-p^b)^L beats one fine table): "
+    "candidates are the DISTINCT union of per-table bucket matches "
+    "(each table an equi-join on (t, bucket)), exact cosine rerank. "
+    "Measured against brute force by ann_recall_report",
+)
+def q_ann_lsh_multitable_topk(spark, sf_dir):
+    return similarity.lsh_multitable_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
+    )
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_D_NORM.format(a='embedding')} AS nrm,
+                      {_D_BUCKET} AS bucket
+               FROM embeddings),
+    ex AS (SELECT query_id, neighbor_id
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        row_number() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY {_D_COS} DESC, c.vec_id) AS rnk
+                 FROM e q JOIN e c
+                 ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+           WHERE rnk <= 5),
+    nex AS (SELECT count(*) AS n_exact FROM ex),
+    lsh AS (SELECT query_id, neighbor_id
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         row_number() OVER (
+                             PARTITION BY q.vec_id
+                             ORDER BY {_D_COS} DESC, c.vec_id) AS rnk
+                  FROM e q JOIN e c
+                  ON q.vec_id < 8 AND q.bucket = c.bucket
+                     AND c.vec_id != q.vec_id)
+            WHERE rnk <= 5),
+    probes AS (SELECT vec_id, embedding, nrm,
+                      CASE WHEN pb.b = -1 THEN bucket
+                           ELSE xor(bucket, (1::BIGINT << pb.b)) END AS probe
+               FROM e, (VALUES {_D_PROBES}) pb(b)
+               WHERE vec_id < 8),
+    mp AS (SELECT query_id, neighbor_id
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        row_number() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY {_D_COS} DESC, c.vec_id) AS rnk
+                 FROM probes q JOIN e c
+                 ON q.probe = c.bucket AND c.vec_id != q.vec_id)
+           WHERE rnk <= 5),
+    tb AS ({_D_MT_TB}),
+    mt AS (SELECT query_id, neighbor_id
+           FROM (SELECT query_id, neighbor_id,
+                        row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rnk
+                 FROM (SELECT DISTINCT q.vec_id AS query_id,
+                              c.vec_id AS neighbor_id, {_D_COS} AS cs
+                       FROM tb q JOIN tb c
+                       ON q.vec_id < 8 AND q.t = c.t AND q.bucket = c.bucket
+                          AND c.vec_id != q.vec_id))
+           WHERE rnk <= 5),
+    hits AS (
+        SELECT 'lsh' AS method,
+               (SELECT count(*) FROM lsh JOIN ex USING (query_id, neighbor_id))
+                   AS n_hits,
+               (SELECT count(*) FROM lsh) AS n_returned
+        UNION ALL
+        SELECT 'lsh_multiprobe',
+               (SELECT count(*) FROM mp JOIN ex USING (query_id, neighbor_id)),
+               (SELECT count(*) FROM mp)
+        UNION ALL
+        SELECT 'lsh_multitable',
+               (SELECT count(*) FROM mt JOIN ex USING (query_id, neighbor_id)),
+               (SELECT count(*) FROM mt)
+    )
+    SELECT method, n_hits, n_returned, n_exact,
+           CAST(round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS DOUBLE)
+               AS recall_at_5
+    FROM hits CROSS JOIN nex
+    """,
+    doc="self-measuring ANN quality gate: recall@5 of single-probe and "
+    "multi-probe LSH against the exact brute-force top-5, computed "
+    "in-engine (semi-join hit counts over the SAME deterministic "
+    "result sets the individual queries emit — exact integer counts, "
+    "one division at the end).  The number the 100 TB operator is "
+    "tuned by: more probes/planes move recall, and this query shows "
+    "the movement each round",
+)
+def q_ann_recall_report(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 8
+    exact5 = similarity.brute_force_topk(emb, pred, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact5.agg(F.count("*").alias("n_exact"))
+    methods = (
+        ("lsh", similarity.lsh_topk(emb, pred, k=5)),
+        ("lsh_multiprobe", similarity.lsh_multiprobe_topk(emb, pred, k=5)),
+        ("lsh_multitable", similarity.lsh_multitable_topk(emb, pred, k=5)),
+    )
+    reports = []
+    for name, res in methods:
+        res = res.select("query_id", "neighbor_id")
+        hits = res.join(
+            exact5, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count("*").alias("n_hits"))
+        returned = res.agg(F.count("*").alias("n_returned"))
+        reports.append(
+            hits.crossJoin(returned).select(
+                F.lit(name).alias("method"), "n_hits", "n_returned"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(n_exact)).select(
+        "method",
+        "n_hits",
+        "n_returned",
+        "n_exact",
+        F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 4).alias(
+            "recall_at_5"
+        ),
+    )
