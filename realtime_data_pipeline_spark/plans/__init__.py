@@ -43,6 +43,11 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 #   * ann_lsh_topk — single-probe LSH, strictly subsumed by
 #     ann_lsh_multiprobe_topk (same signature/bucket machinery plus the
 #     Hamming-1 probes).
+#   * ann_lsh_multiprobe_topk (round 2, second pass) — in turn subsumed
+#     by ann_recall_report, which hash-checks the single-probe,
+#     multi-probe AND multi-table result sets against the exact top-5
+#     in one row-per-method report (recall 0.0 / 0.125 / 0.525 at
+#     sf0.01) — a strictly stronger hard signal for the same machinery.
 #   Promoted in their place (round 2): train_split_counts and
 #   sequence_packing_stats — dataset-assembly operators the north star
 #   grades as first-class (hash split and context packing), each a
@@ -71,7 +76,7 @@ _DRIVER_WINDOW = [
     "text_metrics", "language_id", "doc_fingerprints", "exact_dedup_groups",
     "minhash_dedup_candidates", "dedup_clusters", "simhash_near_dups",
     "ngram_jaccard_pairs", "ann_bruteforce_topk", "ann_ivf_assigned_topk",
-    "ann_lsh_multiprobe_topk", "embedding_near_dups_lsh",
+    "ann_recall_report", "embedding_near_dups_lsh",
     "multimodal_byte_histogram", "corpus_curation_stats", "tfidf_top_terms",
     "train_split_counts", "sequence_packing_stats",
     # physically-distinct TPC-H shapes (tpch_shapes.py)
