@@ -3,38 +3,57 @@
 The batch dedup family (functions/dedup.py) answers "which documents in
 THIS corpus are near-copies of each other".  An ingestion pipeline asks
 the harder rolling question: "is this NEW document a near-copy of
-anything we have EVER accepted" — without re-scanning the corpus.  This
-module is that operator as a `foreachBatch` stage:
+anything we have EVER seen" — without re-scanning the corpus.  This
+module is that operator as a `foreachBatch` stage.
 
-  per micro-batch of incoming documents
-    1. MinHash signatures (same affine family / constants as batch);
-    2. LSH candidate probe of the batch's band buckets against the
-       persistent SIGNATURE STORE — an equi-join on (band, bucket)
-       against a parquet table that holds one row per accepted doc per
-       band, NOT against the corpus text;
-    3. signature-agreement estimate ≥ threshold ⇒ duplicate of an
-       accepted doc → dropped;
-    4. survivors are deduped WITHIN the batch (keep lowest doc_id per
-       near-dup group, same banded join) — first-writer-wins matches
-       the accepted-store semantics;
-    5. novel docs append to the output table, their band rows append
-       to the store.
+Contract (deterministic, batch-split-invariant for id-ordered replay):
+a document is DROPPED iff its MinHash signature agrees on >= min_agree
+of n_perms rows with some EARLIER-SEEN document — any document from a
+prior batch, or a lower-doc_id document in the same batch.  Matching is
+direct (signature agreement), NOT transitive: the accepted set is
+exactly {d : no e earlier than d with agree(d, e) >= min_agree}, which
+is what the one-doc-at-a-time online filter would compute, and is
+directly expressible in ANSI SQL (the driver oracle in
+plans/streaming_queries.py mirrors it as a NOT EXISTS over the banded
+pair join).  To make the earlier-seen set well-defined under chained
+near-dups (A~B, B~C, A!~C: B is dropped for A, C is still dropped for
+matching B), the signature store holds band rows for ALL seen docs —
+accepted and dropped — not only the accepted ones.
 
-Scale shape: the store is O(accepted docs × n_perms) rows of small
+Per micro-batch (batch_id comes from foreachBatch):
+  1. MinHash signatures (same affine family / constants as batch);
+  2. LSH probe of the batch's band buckets against the persistent
+     SIGNATURE STORE — an equi-join on (band, bucket) against a
+     parquet table with one row per seen doc per band, NOT against
+     the corpus text.  The store is read EXCLUDING the current
+     batch's own partition (`batch != batch_id`), so a checkpoint
+     replay that finds its own half-written rows never self-matches;
+     a `s.doc_id != b.doc_id` guard backstops redelivered ids;
+  3. in-batch probe: a doc also drops if it matches a lower-doc_id
+     doc of the same batch (first-writer-wins);
+  4. accepted docs overwrite `out_dir/batch=<id>/`; ALL band rows
+     overwrite `store_dir/batch=<id>/` — the out write runs FIRST so
+     a crash between the two writes leaves the accepted data durable
+     and the replay recomputes an identical store partition.
+
+Idempotency under checkpoint replay: both writes are per-batch
+partition OVERWRITES keyed by the foreachBatch batch_id, and the probe
+excludes the in-flight partition, so replaying a batch after a crash at
+ANY point (before out, between the writes, or before the checkpoint
+commit) recomputes the same accepted set from the same visible store
+state and overwrites both partitions byte-identically.  No doc is lost,
+no store row duplicates.  (With a transactional table format — Delta /
+Iceberg — the two writes would be one commit; plain parquet gets the
+same effect from partition-overwrite idempotency.)
+
+Scale shape: the store is O(seen docs × n_perms) rows of small
 integers — tiny next to the text; the probe is the SAME bounded
-equi-join as batch LSH (cost ∝ matching buckets, never corpus size);
-both appends are blind parquet appends.  At 100 TB the store is
-bucket-partitioned by (band, bucket % K) so the probe prunes
-directories, and the hot-bucket skew cap applies exactly as in batch
-(functions/dedup.py MAX_BUCKET_WIDTH).
-
-Exactly-once: dropDuplicatesWithinWatermark upstream handles source
-redelivery; a failed micro-batch replayed by the checkpoint re-probes
-the SAME store state only if the appends are transactional — parquet
-appends are not, so production puts the two appends in one table-format
-transaction (Delta/Iceberg).  The test pins the semantic contract
-(cross-batch and in-batch dedup, store growth); the transactionality
-slot is documented, not faked.
+equi-join as batch LSH (cost ∝ matching buckets, never corpus size).
+At 100 TB the store is additionally bucket-partitioned by
+(band, bucket % K) so the probe prunes directories, and the hot-bucket
+skew cap applies exactly as in batch (functions/dedup.py
+MAX_BUCKET_WIDTH).  Docs too short to shingle (< 3 tokens) carry no
+near-dup evidence and are accepted without entering the store.
 
 Reference basis: dedup is a north-star extension (BASELINE.json); the
 foreachBatch pattern mirrors the reference's per-batch Mongo upsert
@@ -43,7 +62,8 @@ loop (/root/reference/consumer/consumer.py:147-174).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.functions import dedup
@@ -82,13 +102,16 @@ def dedup_batch(
     batch: DataFrame,
     store_dir: str,
     out_dir: str,
+    batch_id: int = 0,
     n_perms: int = dedup.N_PERMS,
     min_agree: int = DUP_MIN_AGREE,
 ) -> int:
     """Run one micro-batch through the incremental filter.
 
-    Returns the number of novel docs accepted (driver-side metric for
-    the monitor; the data itself moves executor-side only).
+    `batch_id` keys the idempotent per-batch partition writes — pass
+    the foreachBatch id (distinct per source batch, stable on replay).
+    Returns the number of accepted docs (driver-side metric for the
+    monitor; the data itself moves executor-side only).
     """
     spark = batch.sparkSession
     rows = _band_rows(batch, n_perms).persist()
@@ -100,57 +123,70 @@ def dedup_batch(
     )
 
     try:
-        store = spark.read.parquet(store_dir)
+        # exclude the current batch's own partition: a replay that
+        # crashed after the store write must not self-match.  The
+        # filter is on the partition column, so it prunes directories.
+        store = spark.read.parquet(store_dir).where(
+            F.col("batch") != F.lit(batch_id)
+        )
         has_store = True
-    except Exception:
+    except AnalysisException:
+        # path does not exist yet (first batch); real IO/corruption
+        # errors raise other exception types and fail the batch.
         has_store = False
 
-    dup_of_store = None
-    if has_store:
-        dup_of_store = (
-            rows.alias("b")
-            .join(
-                store.alias("s"),
-                (F.col("b.band") == F.col("s.band"))
-                & (F.col("b.bucket") == F.col("s.bucket")),
-            )
-            .where(_agree(F.col("b.sigs"), F.col("s.sigs")) >= min_agree)
-            .select(F.col("b.doc_id").alias("doc_id"))
-            .distinct()
-        )
-        survivors = rows.join(dup_of_store, "doc_id", "left_anti")
-    else:
-        survivors = rows
-
-    # in-batch dedup: drop any doc that near-matches a LOWER-id survivor
-    # (first-writer-wins, consistent with the accepted store winning)
-    in_batch_dup = (
-        survivors.alias("l")
+    # in-batch: drop any doc matching a LOWER-id doc of the same batch
+    # (first-writer-wins; the lower doc's own fate does not matter —
+    # see the module contract)
+    dropped = (
+        rows.alias("l")
         .join(
-            survivors.alias("r"),
+            rows.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .where(_agree(F.col("l.sigs"), F.col("r.sigs")) >= min_agree)
         .select(F.col("r.doc_id").alias("doc_id"))
-        .distinct()
     )
-    novel_rows = survivors.join(in_batch_dup, "doc_id", "left_anti")
+    if has_store:
+        dup_of_store = (
+            rows.alias("b")
+            .join(
+                store.alias("s"),
+                (F.col("b.band") == F.col("s.band"))
+                & (F.col("b.bucket") == F.col("s.bucket"))
+                & (F.col("b.doc_id") != F.col("s.doc_id")),
+            )
+            .where(_agree(F.col("b.sigs"), F.col("s.sigs")) >= min_agree)
+            .select(F.col("b.doc_id").alias("doc_id"))
+        )
+        dropped = dropped.unionByName(dup_of_store)
+    dropped = dropped.distinct()
 
-    novel_docs = batch.join(
-        novel_rows.select("doc_id").distinct(), "doc_id", "left_semi"
-    ).unionByName(sigless)
+    accepted = (
+        batch.join(
+            rows.select("doc_id").distinct().join(
+                dropped, "doc_id", "left_anti"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .unionByName(sigless)
+        .persist()
+    )
+    n_accepted = accepted.count()
 
-    # production slot: both appends inside ONE table-format transaction
-    novel_rows.select("doc_id", "sigs", "band", "bucket").write.mode(
-        "append"
-    ).parquet(store_dir)
-    n_novel = novel_docs.count()
-    if n_novel:
-        novel_docs.write.mode("append").parquet(out_dir)
+    # accepted data first — durable even if the store write dies; both
+    # writes are idempotent partition overwrites keyed by batch_id.
+    accepted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+    rows.select("doc_id", "sigs", "band", "bucket").write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/batch={batch_id}")
+
+    accepted.unpersist()
     rows.unpersist()
-    return n_novel
+    return n_accepted
 
 
 def start_incremental_dedup(
@@ -163,8 +199,8 @@ def start_incremental_dedup(
 ):
     """Attach the filter to a document stream (availableNow in tests)."""
 
-    def _process(batch: DataFrame, _batch_id: int) -> None:
-        dedup_batch(batch, store_dir, out_dir, n_perms, min_agree)
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        dedup_batch(batch, store_dir, out_dir, batch_id, n_perms, min_agree)
 
     return (
         stream.writeStream.foreachBatch(_process)
