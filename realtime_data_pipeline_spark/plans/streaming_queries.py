@@ -606,3 +606,97 @@ def _attach_doc_quality_oracle() -> None:
 
 
 _attach_doc_quality_oracle()
+
+
+@register(
+    "streaming_incremental_dedup",
+    None,  # attached below — reuses northstar's MinHash SQL fragments
+    doc="INCREMENTAL MinHash-LSH dedup as a stream: documents replayed in "
+    "three id-ordered micro-batches through the persistent signature "
+    "store (streaming/incremental_dedup.py — per-batch idempotent "
+    "partition writes, store probe = bounded (band,bucket) equi-join); "
+    "accepted set equals the online filter's contract: a doc survives "
+    "iff no earlier (lower-id) doc agrees on >= 6 of 12 signature rows",
+    tags=("streaming",),
+)
+def q_streaming_incremental_dedup(spark, sf_dir):
+    from realtime_data_pipeline_spark.plans.registry import _t
+    from realtime_data_pipeline_spark.streaming import incremental_dedup as inc
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    # Three id-ordered micro-batches (one file each, maxFilesPerTrigger=1
+    # processes them in write order): cross-batch drops then always point
+    # at lower ids, so the streamed result matches the batch oracle's
+    # "no earlier doc matches" predicate.
+    n = docs.count()
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)):
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(replay)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+    q = inc.start_incremental_dedup(
+        stream,
+        os.path.join(base, "store"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return (
+        spark.read.parquet(os.path.join(base, "out"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def _attach_incremental_dedup_oracle() -> None:
+    """DuckDB mirror of the online first-writer-wins contract: a doc is
+    accepted iff no lower-id doc agrees on >= DUP_MIN_AGREE of N_PERMS
+    signature rows.  Reuses northstar's signature CTE fragments (same
+    constants as functions/dedup.py) WITHOUT the batch skew cap — the
+    incremental probe applies none."""
+    from dataclasses import replace
+
+    from realtime_data_pipeline_spark.functions import dedup as _d
+    from realtime_data_pipeline_spark.plans import northstar as ns
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+    from realtime_data_pipeline_spark.streaming.incremental_dedup import (
+        DUP_MIN_AGREE,
+    )
+
+    sql = f"""
+    WITH t AS (SELECT doc_id, {ns.D_TOKS} AS toks FROM documents),
+    tk AS (SELECT doc_id,
+                  list_transform(toks, t -> {ns.D_HASH32.format(t='t')}) AS th
+           FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, len(th) - 1),
+                      i -> (((th[i] * {_d.SHINGLE_B} + th[i + 1])
+                             % {_d.MINHASH_P}) * {_d.SHINGLE_B} + th[i + 2])
+                           % {_d.MINHASH_P}) AS h
+           FROM tk),
+    sig AS (SELECT doc_id, {ns._SIG_COLS} FROM sh),
+    bk AS (SELECT doc_id, j.band, {ns._BAND_CASE} AS bucket
+           FROM sig, (VALUES {ns._BAND_VALUES}) j(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bk a JOIN bk b
+             ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+                JOIN sig x ON x.doc_id = doc_a
+                JOIN sig y ON y.doc_id = doc_b
+                WHERE ({ns._AGREE}) >= {DUP_MIN_AGREE})
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+    REGISTRY["streaming_incremental_dedup"] = replace(
+        REGISTRY["streaming_incremental_dedup"], oracle=sql
+    )
+
+
+_attach_incremental_dedup_oracle()
