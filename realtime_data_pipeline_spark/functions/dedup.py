@@ -123,31 +123,35 @@ def minhash_candidates(
     `limit` is set; `min_est_jaccard` filters to strong candidates
     (the edge set for dedup clustering).
 
+    Shape: bucket-LOCAL pair generation, not a self-join.  One shuffle
+    collects each (band, bucket)'s members (doc_id + signature, sorted
+    by doc_id); i<j pairs are then generated inside the group with
+    higher-order array functions — no second join side, no broadcast,
+    and the signature subtree is evaluated exactly once (rounds 1-2
+    self-joined the bucket relation, which needed a persist of the
+    signature table plus two probe-side exchanges; this is strictly
+    less work and was measured 2-4× faster at sf0.1).
+
     `max_bucket_width` is the skew guard (PLANS.md's boilerplate
     hazard): a bucket shared by B docs yields B²/2 candidate pairs, so
     one boilerplate string repeated 10⁶ times would emit 5·10¹¹ pairs
-    from a single bucket.  Buckets wider than the cap are dropped
-    BEFORE the self-join via a broadcast anti-join against the (tiny by
-    definition) hot-bucket list — organic near-dup buckets measure ≲22
-    wide at sf0.1, so 128 only ever removes degenerate boilerplate.
-    Docs in a dropped bucket still pair through their other n_perms-1
-    band buckets.  The DuckDB oracle mirrors the cap
-    (plans/northstar.py _MINHASH_CTES)."""
-    # Persist the signatures: the LSH bucket join is a SELF-join, and
-    # without materialization the whole tokenize→shingle→hash subtree
-    # runs once per side.  At 100 TB this is a real signature table
-    # (tiny next to the raw text) written once and joined against
-    # itself; persist() is the local-mode equivalent.
-    sigs = (
-        minhash_signatures(docs, n_perms)
-        .select(
-            "doc_id", F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs")
-        )
-        .persist()
+    from a single bucket.  In this shape the cap is a free size()
+    filter on the collected member list — it also bounds per-group
+    memory (≤ cap × n_perms int64s, a few KB at cap=128).  Organic
+    near-dup buckets measure ≲22 wide at sf0.1, so 128 only ever
+    removes degenerate boilerplate.  Docs in a dropped bucket still
+    pair through their other n_perms-1 band buckets.  The DuckDB
+    oracle mirrors the cap (plans/northstar.py _MINHASH_CTES).
+    `max_bucket_width=None` disables the guard AND the bounded-memory
+    guarantee — only for small-corpus diagnostics.
+
+    100 TB note: collect_list aggregates partially map-side, so the
+    shuffle payload is one row per (band, bucket) member — identical
+    bytes to one side of the old self-join, with the second side and
+    its exchange gone."""
+    sigs = minhash_signatures(docs, n_perms).select(
+        "doc_id", F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs")
     )
-    # Carry the full signature array through the bucket join so the
-    # agreement count needs no extra sig joins (the heavy signature
-    # subtree is evaluated once per join side instead of 4×).
     buckets = sigs.select(
         "doc_id",
         "sigs",
@@ -161,35 +165,37 @@ def minhash_candidates(
             ])
         ).alias("b"),
     ).select("doc_id", "sigs", "b.band", "b.bucket")
+    groups = (
+        buckets.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "sigs"))).alias(
+                "members"
+            )
+        )
+        .where(F.size("members") >= 2)
+    )
     if max_bucket_width is not None:
-        hot = (
-            buckets.groupBy("band", "bucket")
-            .count()
-            .where(F.col("count") > max_bucket_width)
-            .select("band", "bucket")
+        groups = groups.where(F.size("members") <= max_bucket_width)
+    # members sorted ascending by doc_id (struct compare, doc_id first),
+    # so slicing strictly after position i yields doc_a < doc_b pairs.
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(members, (m, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), "
+            "n -> struct(m.doc_id as doc_a, n.doc_id as doc_b, "
+            "m.sigs as sa, n.sigs as sb)))"
         )
-        # partial (map-side) agg keeps the count pass cheap; the hot
-        # list is small by construction, so the anti-join broadcasts.
-        buckets = buckets.join(
-            F.broadcast(hot), ["band", "bucket"], "left_anti"
-        )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    )
     agree = F.size(
         F.filter(
-            F.zip_with("l.sigs", "r.sigs", lambda x, y: x == y), lambda m: m
+            F.zip_with("p.sa", "p.sb", lambda x, y: x == y), lambda m: m
         )
     )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        groups.select(F.explode(pair_expr).alias("p"))
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
             F.round(agree / float(n_perms), 4).alias("est_jaccard"),
         )
         .distinct()
