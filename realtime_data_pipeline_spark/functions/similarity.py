@@ -358,7 +358,7 @@ def lsh_multiprobe_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame
 
 # --- multi-table LSH -------------------------------------------------------
 
-N_TABLES = 4
+N_TABLES = 10
 PLANES_PER_TABLE = 4
 
 

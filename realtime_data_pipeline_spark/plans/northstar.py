@@ -1091,6 +1091,24 @@ def q_doc_repetition_scores(spark, sf_dir):
 
 
 
+# One list drives BOTH sides of ann_recall_report: (method label,
+# oracle CTE name, Spark impl).  Adding an ANN method = one row here
+# plus its CTE — the UNION ALL and the Spark loop can't drift apart.
+_ANN_METHODS = (
+    ("lsh", "lsh", similarity.lsh_topk),
+    ("lsh_multiprobe", "mp", similarity.lsh_multiprobe_topk),
+    ("lsh_multitable", "mt", similarity.lsh_multitable_topk),
+)
+
+_D_ANN_HITS = "\n        UNION ALL\n        ".join(
+    f"SELECT '{name}' AS method,\n"
+    f"               (SELECT count(*) FROM {cte} JOIN ex"
+    f" USING (query_id, neighbor_id)) AS n_hits,\n"
+    f"               (SELECT count(*) FROM {cte}) AS n_returned"
+    for name, cte, _ in _ANN_METHODS
+)
+
+
 def _d_table_bucket(t: int, ppt: int = similarity.PLANES_PER_TABLE) -> str:
     """DuckDB twin of similarity._table_bucket_expr(t): sign bucket over
     table t's own hyperplane family (global plane index t*ppt + p)."""
@@ -1191,31 +1209,24 @@ def q_ann_lsh_multitable_topk(spark, sf_dir):
                           AND c.vec_id != q.vec_id))
            WHERE rnk <= 5),
     hits AS (
-        SELECT 'lsh' AS method,
-               (SELECT count(*) FROM lsh JOIN ex USING (query_id, neighbor_id))
-                   AS n_hits,
-               (SELECT count(*) FROM lsh) AS n_returned
-        UNION ALL
-        SELECT 'lsh_multiprobe',
-               (SELECT count(*) FROM mp JOIN ex USING (query_id, neighbor_id)),
-               (SELECT count(*) FROM mp)
-        UNION ALL
-        SELECT 'lsh_multitable',
-               (SELECT count(*) FROM mt JOIN ex USING (query_id, neighbor_id)),
-               (SELECT count(*) FROM mt)
+        {_D_ANN_HITS}
     )
     SELECT method, n_hits, n_returned, n_exact,
            CAST(round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS DOUBLE)
                AS recall_at_5
     FROM hits CROSS JOIN nex
     """,
-    doc="self-measuring ANN quality gate: recall@5 of single-probe and "
-    "multi-probe LSH against the exact brute-force top-5, computed "
-    "in-engine (semi-join hit counts over the SAME deterministic "
-    "result sets the individual queries emit — exact integer counts, "
-    "one division at the end).  The number the 100 TB operator is "
-    "tuned by: more probes/planes move recall, and this query shows "
-    "the movement each round",
+    doc="self-measuring ANN quality gate: recall@5 of every registered "
+    "ANN method (single-probe LSH, multi-probe LSH, multi-table LSH — "
+    "the _ANN_METHODS list drives both this query and its oracle) "
+    "against the exact brute-force top-5, computed in-engine "
+    "(semi-join hit counts over the SAME deterministic result sets "
+    "the individual queries emit — exact integer counts, one division "
+    "at the end).  The number the 100 TB operator is tuned by: at "
+    "L=10 tables x 4 planes, multi-table recall@5 = 0.825 at sf0.01 "
+    "with candidates ~47% of a 500-vector corpus (the fraction falls "
+    "with n at fixed bucket granularity; planes-per-table is the "
+    "knob that holds per-bucket width at scale)",
 )
 def q_ann_recall_report(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1224,14 +1235,9 @@ def q_ann_recall_report(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     n_exact = exact5.agg(F.count("*").alias("n_exact"))
-    methods = (
-        ("lsh", similarity.lsh_topk(emb, pred, k=5)),
-        ("lsh_multiprobe", similarity.lsh_multiprobe_topk(emb, pred, k=5)),
-        ("lsh_multitable", similarity.lsh_multitable_topk(emb, pred, k=5)),
-    )
     reports = []
-    for name, res in methods:
-        res = res.select("query_id", "neighbor_id")
+    for name, _, fn in _ANN_METHODS:
+        res = fn(emb, pred, k=5).select("query_id", "neighbor_id")
         hits = res.join(
             exact5, ["query_id", "neighbor_id"], "left_semi"
         ).agg(F.count("*").alias("n_hits"))

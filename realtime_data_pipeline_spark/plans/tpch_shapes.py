@@ -634,16 +634,20 @@ def q_region_market_share(spark, sf_dir):
     "BETWEEN bounds are bit-identical IEEE values in both engines",
 )
 def q_forecast_revenue_change(spark, sf_dir):
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # {li} template arg: spark.sql registers the DataFrame under a
+    # generated transient name — no shared-catalog mutation (a literal
+    # createOrReplaceTempView("lineitem") would shadow the table name
+    # for every later spark.sql in the session).
     return spark.sql(
         """
         SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
                                   AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_lines
-        FROM lineitem
+        FROM {li}
         WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
-        """
+        """,
+        li=_t(spark, sf_dir, "lineitem"),
     )
