@@ -9,17 +9,26 @@ previous placements' bin loads), so it is NOT expressible as DataFrame
 built-ins or SQL — this is exactly the `applyInPandas` grouped-map
 escape hatch the build charter reserves for such operators (cf.
 SURVEY.md §2.6: pandas kernels only where built-ins genuinely cannot
-express the semantics).  The group key bounds the sequential scope: at
-100 TB you pack per (shard, lang) group, thousands of groups running
-in parallel, each group's doc list small enough for one task — the
-packing itself never needs cross-group state.
+express the semantics).  The group key bounds the sequential scope, so
+the group key IS the scale knob: grouping only by `lang` caps
+parallelism at the number of languages and forces each language's
+whole doc list through one task.  `ffd_packing_stats` therefore packs
+per (shard, lang) by default — `shard` is the deterministic md5
+selector from operators/writer.with_shard, so n_shards × n_langs
+groups run in parallel and each group's pandas frame is 1/n_shards the
+size.  Raising n_shards at 100 TB trades a little packing quality
+(bins never span shards) for unbounded parallelism; n_shards=0 gives
+the exact per-language pack when the corpus is small enough.
 
 Correctness envelope (pinned by tests/test_packing.py):
   * every bin's load ≤ capacity (oversized docs get a solo overflow
     bin, flagged in `n_overflow`);
   * ceil(total_tokens/capacity) ≤ n_bins ≤ n_docs;
   * deterministic: docs placed in (tokens desc, doc_id asc) order with
-    first-fit into the lowest-indexed bin.
+    first-fit into the lowest-indexed bin;
+  * sharded group stats merge to the same n_docs/total_tokens as the
+    unsharded pack (bin counts may differ — packing quality, not
+    conservation).
 """
 
 from __future__ import annotations
@@ -31,14 +40,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from realtime_data_pipeline_spark.functions import text
+from realtime_data_pipeline_spark.operators import writer
 
-PACK_RESULT_SCHEMA = (
-    "lang string, n_bins long, n_docs long, total_tokens long, "
+_METRIC_SCHEMA = (
+    "n_bins long, n_docs long, total_tokens long, "
     "max_bin_tokens long, n_overflow long"
 )
 
 
-def _ffd_group(pdf: pd.DataFrame, capacity: int) -> pd.DataFrame:
+def _ffd_group(
+    pdf: pd.DataFrame, capacity: int, group_cols: tuple[str, ...] = ("lang",)
+) -> pd.DataFrame:
     pdf = pdf.sort_values(["nt", "doc_id"], ascending=[False, True])
     loads: list[int] = []
     n_overflow = 0
@@ -56,9 +68,9 @@ def _ffd_group(pdf: pd.DataFrame, capacity: int) -> pd.DataFrame:
         else:
             loads.append(nt)
     total = int(pdf["nt"].sum())
-    return pd.DataFrame(
+    out = {c: [pdf[c].iloc[0]] for c in group_cols}
+    out.update(
         {
-            "lang": [pdf["lang"].iloc[0]],
             "n_bins": [len(loads)],
             "n_docs": [len(pdf)],
             "total_tokens": [total],
@@ -66,14 +78,35 @@ def _ffd_group(pdf: pd.DataFrame, capacity: int) -> pd.DataFrame:
             "n_overflow": [n_overflow],
         }
     )
+    return pd.DataFrame(out)
 
 
-def ffd_packing_stats(docs: DataFrame, capacity: int) -> DataFrame:
-    """Per-language FFD packing summary via applyInPandas (grouped map,
-    Arrow batches — one sequential kernel per group, groups parallel)."""
-    sized = docs.select("lang", "doc_id", text.token_count().alias("nt"))
-    return sized.groupBy("lang").applyInPandas(
-        lambda pdf: _ffd_group(pdf, capacity), schema=PACK_RESULT_SCHEMA
+def ffd_packing_stats(
+    docs: DataFrame,
+    capacity: int,
+    group_cols: tuple[str, ...] = ("lang",),
+    n_shards: int = writer.DEFAULT_SHARDS,
+) -> DataFrame:
+    """Per-group FFD packing summary via applyInPandas (grouped map,
+    Arrow batches — one sequential kernel per group, groups parallel).
+
+    `n_shards` > 0 prepends a deterministic md5 shard id (writer.
+    with_shard on doc_id) to `group_cols`, bounding every group to
+    ~1/n_shards of its partition — the 100 TB shape.  `n_shards=0`
+    packs exactly per `group_cols`.
+    """
+    if n_shards:
+        docs = writer.with_shard(docs, "doc_id", n_shards)
+        group_cols = ("shard", *group_cols)
+    sized = docs.select(
+        *group_cols, "doc_id", text.token_count().alias("nt")
+    )
+    key_schema = ", ".join(
+        f"`{c}` {sized.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    return sized.groupBy(*group_cols).applyInPandas(
+        lambda pdf: _ffd_group(pdf, capacity, group_cols),
+        schema=f"{key_schema}, {_METRIC_SCHEMA}",
     )
 
 

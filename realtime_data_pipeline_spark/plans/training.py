@@ -511,13 +511,15 @@ def q_user_session_stats(spark, sf_dir):
     # driver records the rows-only check and tests/test_packing.py
     # pins the correctness envelope (bin loads ≤ capacity, bin-count
     # bounds, determinism, a hand-computed case).
-    doc="first-fit-decreasing bin packing per language via the "
+    doc="first-fit-decreasing bin packing per (shard, lang) via the "
     "applyInPandas grouped-map escape hatch (the no-split sibling of "
     "sequence_packing_stats): inherently sequential per group, "
-    "parallel across groups — at scale the group key is (shard, lang)",
+    "parallel across groups — the md5 shard key bounds each group to "
+    "~1/n_shards of its language, so parallelism scales with shards "
+    "instead of capping at the language count (VERDICT r2 item 6)",
 )
 def q_ffd_packing_stats(spark, sf_dir):
     from realtime_data_pipeline_spark.functions import packing
 
     docs = _t(spark, sf_dir, "documents")
-    return packing.ffd_packing_stats(docs, PACK_CAPACITY)
+    return packing.ffd_packing_stats(docs, PACK_CAPACITY, n_shards=4)
