@@ -4,10 +4,13 @@ All schemas are declared/known (FIXTURES.md) — never inferred on the
 hot path, mirroring the reference's fixed StructType discipline
 (/root/reference/consumer/consumer.py:79-84).
 
-`events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as long ns
-(via spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs,
-yielding TIMESTAMP_NTZ — the same truncation DuckDB applies, so
-oracle comparisons see identical values.
+`events.ts` has shipped in two physical encodings across testdata
+generations: parquet TIMESTAMP(NANOS) (Spark reads it as long ns via
+spark.sql.legacy.parquet.nanosAsLong; we truncate to µs) and parquet
+TIMESTAMP(MICROS) (Spark reads TIMESTAMP/TIMESTAMP_NTZ directly).
+`load_events` branches on the RESOLVED dtype so either generation
+normalizes to the same TIMESTAMP_NTZ column — the truncation matches
+what DuckDB applies, so oracle comparisons see identical values.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -75,12 +79,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     path = f"{sf_dir}/events.parquet"
     df = spark.read.parquet(path)
-    # ns → µs truncation; integer `div` (a double division would lose
-    # precision above 2^53 ns). timestamp_micros gives an instant; the
-    # NTZ cast is exact because the session timezone is pinned to UTC.
-    return df.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) read as long ns: truncate to µs with integer
+        # `div` (a double division would lose precision above 2^53 ns).
+        # timestamp_micros gives an instant; the NTZ cast is exact
+        # because the session timezone is pinned to UTC.
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    # Already a timestamp (µs physical) — normalize the flavor only.
+    if not isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 def load_table(
