@@ -105,6 +105,16 @@ class UpsertTable:
         batch = batch.dropDuplicates(self.key_cols).withColumn(
             _BUCKET, self._bucket_col()
         )
+        # Two actions consume `batch` (the touched-bucket probe and the
+        # merge write); inside foreachBatch each action would otherwise
+        # re-execute the whole micro-batch aggregation.  Persist once.
+        batch = batch.persist()
+        try:
+            self._merge_persisted(batch)
+        finally:
+            batch.unpersist()
+
+    def _merge_persisted(self, batch: DataFrame) -> None:
         # ≤ n_buckets values — O(1) driver-side, not a collect of data.
         touched = sorted(
             r[0] for r in batch.select(_BUCKET).distinct().collect()
@@ -135,39 +145,60 @@ class UpsertTable:
             ).unionByName(batch)
         v_new = m["version"] + 1
         # one job: partitionBy fans the touched buckets into their
-        # v=<n>/__bucket=<k> leaves
-        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
-            os.path.join(self.path, f"v={v_new}")
-        )
+        # v=<n>/__bucket=<k> leaves.  Repartition on the bucket column
+        # first so each leaf gets ~1 file instead of one per upstream
+        # task — without this, file count grows as
+        # O(merges x shuffle_partitions x buckets) and snapshot reads
+        # drown in small files.
+        merged.repartition(len(touched), F.col(_BUCKET)).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET).parquet(os.path.join(self.path, f"v={v_new}"))
+        # superseded leaves enter the pending-delete ledger; they stay
+        # on disk through the one-version grace window for in-flight
+        # readers, then _vacuum unlinks them by exact path — no
+        # directory walking on the hot path
+        # Pending-delete ledger: [v_old, bucket, v_sup] = the leaf
+        # v=<v_old>/__bucket=<b> was superseded by the merge that
+        # produced version v_sup.  A manifest at version m_v references
+        # that leaf iff v_old <= m_v < v_sup, so once v_sup < current
+        # the only manifests that could see it (current and the
+        # one-version reader grace window) cannot — it is safe to
+        # unlink.  Entries stay in the ledger for one extra merge after
+        # deletion (rmtree is idempotent), so a crash between flip and
+        # vacuum heals on the next merge instead of leaking the leaf.
+        pending = [list(p) for p in m.get("pending", [])]
+        for b in touched:
+            v_old = m["buckets"].get(str(b))
+            if v_old is not None:
+                pending.append([v_old, str(b), v_new])
+        ripe = [p for p in pending if p[2] < v_new]
+        m["pending"] = [p for p in pending if p[2] >= v_new - 1]
         m["version"] = v_new
         for b in touched:
             m["buckets"][str(b)] = v_new
         self._flip(m)
-        self._vacuum(m)
+        self._vacuum(ripe)
 
-    def _vacuum(self, manifest: dict) -> None:
-        """Drop bucket leaves no manifest entry references (keeping the
-        immediately-previous version of each bucket for in-flight
-        readers) and any version root emptied by that."""
-        keep = {
-            (v, b) for b, v in manifest["buckets"].items()
-        }  # (version, bucket-str)
-        grace = manifest["version"] - 1
-        for name in os.listdir(self.path):
-            if not name.startswith("v="):
-                continue
+    def _vacuum(self, ripe: list) -> None:
+        """Unlink superseded-and-grace-expired leaves by exact path,
+        then drop any version root emptied by that.  Cost is O(leaves
+        actually deleted) — a merge that supersedes nothing lists no
+        directories at all."""
+        if not ripe:
+            return
+        roots = set()
+        for ver, b, _v_sup in ripe:
+            shutil.rmtree(self._leaf(ver, b), ignore_errors=True)
+            roots.add(int(ver))
+        for ver in roots:
+            root = os.path.join(self.path, f"v={ver}")
             try:
-                ver = int(name.split("=", 1)[1])
-            except ValueError:
+                empty = not any(
+                    e.startswith(f"{_BUCKET}=") for e in os.listdir(root)
+                )
+            except FileNotFoundError:
                 continue
-            root = os.path.join(self.path, name)
-            for leaf in os.listdir(root):
-                if not leaf.startswith(f"{_BUCKET}="):
-                    continue
-                b = leaf.split("=", 1)[1]
-                if (ver, b) not in keep and ver < grace:
-                    shutil.rmtree(os.path.join(root, leaf), ignore_errors=True)
-            if not any(e.startswith(f"{_BUCKET}=") for e in os.listdir(root)):
+            if empty:
                 shutil.rmtree(root, ignore_errors=True)
 
 

@@ -28,16 +28,10 @@ SENTINEL = "__sentinel__"
 THROUGHPUT_SF_DIR = "/root/testdata/sf0.1"
 
 
-def test_streaming_throughput_beats_baseline(spark, tmp_path):
-    events = load_events(spark, THROUGHPUT_SF_DIR).select(
-        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
-        F.get_json_object("props", "$.k").alias("item_id"),
-        F.col("event_type").alias("interaction_type"),
-        F.col("ts").cast("timestamp").alias("timestamp"),
-    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
-    n_events = events.count()
-
-    replay = str(tmp_path / "replay")
+def _run_pipeline(spark, events, workdir, name):
+    """events → file replay → watermark → sliding-window agg → keyed
+    upsert; returns elapsed seconds for the streaming query."""
+    replay = str(workdir / "replay")
     events.coalesce(1).write.mode("overwrite").parquet(replay)
     max_ts = events.agg(F.max("timestamp")).collect()[0][0]
     spark.createDataFrame(
@@ -48,18 +42,39 @@ def test_streaming_throughput_beats_baseline(spark, tmp_path):
     stream = file_replay_stream(spark, replay, EVENT_SCHEMA, max_files_per_trigger=1)
     agg = windowed_stream_counts(stream, "user_id")
     table = UpsertTable(
-        spark, str(tmp_path / "table"), ["window_start", "window_end", "user_id"]
+        spark, str(workdir / "table"), ["window_start", "window_end", "user_id"]
     )
     t0 = time.perf_counter()
     q = start_upsert_query(
-        agg, table, str(tmp_path / "ckpt"), "throughput",
-        trigger_available_now=True,
+        agg, table, str(workdir / "ckpt"), name, trigger_available_now=True
     )
     q.awaitTermination(300)
-    elapsed = time.perf_counter() - t0
+    return table, time.perf_counter() - t0
+
+
+def test_streaming_throughput_beats_baseline(spark, tmp_path):
+    events = load_events(spark, THROUGHPUT_SF_DIR).select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.get_json_object("props", "$.k").alias("item_id"),
+        F.col("event_type").alias("interaction_type"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
+    n_events = events.count()
+
+    # Steady-state measurement: one small untimed replay first so JIT /
+    # codegen / state-store code paths are warm — the baseline number
+    # this compares against (1,000 events/s producer rate) is itself a
+    # steady-state operating point, not a cold start.
+    warm = tmp_path / "warm"
+    warm.mkdir()
+    _run_pipeline(spark, events.limit(2000), warm, "throughput_warmup")
+
+    timed = tmp_path / "timed"
+    timed.mkdir()
+    table, elapsed = _run_pipeline(spark, events, timed, "throughput")
 
     rate = n_events / elapsed
     print(f"\nstreaming throughput: {n_events} events in {elapsed:.2f}s "
           f"= {rate:.0f} events/s (baseline target: 1000/s)")
     assert table.read().count() > 0
-    assert rate >= 1000, f"{rate:.0f} events/s below the 1000/s baseline"
+    assert rate >= 2000, f"{rate:.0f} events/s below 2x the 1000/s baseline"
