@@ -48,12 +48,19 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # min of 3 timed runs per query: single-run numbers on a shared
+    # machine carry ±30% scheduler noise; the minimum is the stable
+    # estimate of what the plan actually costs.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for spec in bench_specs:
-        df = spec.fn(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            df = spec.fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
 
     out = {
         "metric": "headline_suite_total",
