@@ -29,8 +29,9 @@ embarrassingly parallel single-pass map-side expressions followed by
 one partial+final aggregation — no joins, no skew (md5 is uniform).
 Packing windows partition by `lang` (at real scale: by shard key), so
 no global sort exists.  The vocabulary join broadcasts a top-K that is
-small by construction.  The funnel's two joins share the `user_id`
-shuffle key, so the exchange is reused across stages.
+small by construction.  The funnel is one scan of events and one
+`user_id` exchange: chained whole-partition window minima, then a
+partition-preserving per-user rollup.
 """
 
 from __future__ import annotations
@@ -359,36 +360,45 @@ def q_shard_skew_stats(spark, sf_dir):
            (SELECT count(*) FROM p) AS n_purchase_after_click
     """,
     doc="staged conversion funnel with strict event-time ordering: first "
-    "view, then a click after it, then a purchase after that.  Each "
-    "stage is a keyed min-aggregate joined to the next — all three "
-    "shuffles share the user_id key, so the exchange partitioning is "
-    "reused (no re-shuffle between stages at scale)",
+    "view, then a click after it, then a purchase after that.  ONE scan "
+    "of events and ONE user_id exchange: the three stage timestamps are "
+    "chained whole-partition window minima (each Window operator reuses "
+    "the child's hash partitioning), the per-user rollup aggregates the "
+    "already-partitioned rows without re-shuffling, and only the final "
+    "3-number reduction crosses a SinglePartition exchange.  The "
+    "round-3 form joined three keyed sub-aggregates, which planned 8 "
+    "exchanges and 3 scans of events",
 )
 def q_funnel_conversion(spark, sf_dir):
     ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t_view", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((et == "click") & (ts > F.col("t_view")), ts)).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when((et == "purchase") & (ts > F.col("t_click")), ts)
+            ).over(w),
+        )
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    # one row per user; the groupBy consumes the window's partitioning,
+    # so no exchange here — F.first is deterministic (all rows of a
+    # user carry identical whole-partition window values)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .select("user_id")
-        .distinct()
-    )
-    return (
-        v.agg(F.count("*").alias("n_view_users"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    return per_user.agg(
+        F.count("t_view").alias("n_view_users"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
     )
 
 

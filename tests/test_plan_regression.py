@@ -1,0 +1,61 @@
+"""Shuffle-count regression harness (PLANS.md shuffle inventory).
+
+Every `groupBy`/`join`/`distinct`/`repartition` is an exchange; at
+100 TB an accidental extra one is the difference between a one-pass
+plan and re-shuffling the fact table.  This pins the shuffle-exchange
+count of each headline query so a future edit cannot silently add one
+— the numbers ARE the shuffle inventory documented in PLANS.md.
+
+Counts are taken at sf0.001, where `tables._widen_scan` is a no-op
+(tiny single-row-group files skip the widening repartition), so the
+counts reflect the query's own shape, not the local-scan workaround.
+BroadcastExchange and ReusedExchange are excluded: broadcasts are the
+CHEAP path we deliberately choose, and reuse is free.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+from conftest import SF_DIR
+
+# name -> exact shuffle-exchange count of the AQE initial plan
+EXPECTED_SHUFFLES = {
+    "sliding_user_counts": 1,  # (window,user) partials
+    "sliding_item_counts": 1,  # (window,item) partials
+    "tumbling_user_counts": 1,
+    "pricing_summary": 1,  # 4 groups x partials
+    "revenue_by_nation": 1,  # per-nation partials; dims broadcast
+    "text_metrics": 0,  # pure map
+    "minhash_dedup_candidates": 3,  # (band,bucket) lists; pair distinct; top-k range
+    "ann_bruteforce_topk": 1,  # per-query rank partials; query side broadcast
+    "exact_dedup_groups": 1,
+    "funnel_conversion": 2,  # user_id window chain; final 3-number reduce
+    "user_session_stats": 1,  # one user_id exchange feeds lag + cumsum + rollup
+}
+
+
+def _shuffles(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "reuse" not in line.lower()
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_SHUFFLES))
+def test_shuffle_count_pinned(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    got = _shuffles(df)
+    want = EXPECTED_SHUFFLES[name]
+    assert got == want, (
+        f"{name}: {got} shuffle exchanges, inventory says {want} — "
+        "if the new plan is intentional, update EXPECTED_SHUFFLES and "
+        "the PLANS.md shuffle inventory together\n"
+        + df._jdf.queryExecution().executedPlan().toString()[:3000]
+    )
