@@ -543,7 +543,12 @@ def q_hll_partitioned_distinct(spark, sf_dir):
         F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
         F.countDistinct("user_id").alias("exact_g"),
     )
-    grp_ok = per_group.select(
+    # ONE reduction over the (|event_types|)-row sketch relation: the
+    # per-group error check and the union estimate come out of the same
+    # pass, so the heavy sketch aggregation subtree is planned (and at
+    # scale, executed) once instead of once per consumer.
+    rollup = per_group.select(
+        "sk",
         (
             F.abs(
                 F.expr("hll_sketch_estimate(sk)").cast("double")
@@ -551,15 +556,14 @@ def q_hll_partitioned_distinct(spark, sf_dir):
             )
             / F.col("exact_g")
             <= 0.05
-        ).alias("ok")
-    ).agg(F.every("ok").alias("groups_within_5pct"))
-    union_est = per_group.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+        ).alias("ok"),
+    ).agg(
+        F.every("ok").alias("groups_within_5pct"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
     )
     exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
     return (
-        exact.crossJoin(grp_ok)
-        .crossJoin(union_est)
+        exact.crossJoin(rollup)
         .select(
             "exact_users",
             "groups_within_5pct",
