@@ -1231,21 +1231,33 @@ def q_ann_lsh_multitable_topk(spark, sf_dir):
 def q_ann_recall_report(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 8
-    exact5 = similarity.brute_force_topk(emb, pred, k=5).select(
-        "query_id", "neighbor_id"
+    # persist: the exact top-5 is the ground truth every method is
+    # scored against (|queries|·5 rows) — without it the brute-force
+    # subtree re-executes once per method plus once for n_exact.
+    exact5 = (
+        similarity.brute_force_topk(emb, pred, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     n_exact = exact5.agg(F.count("*").alias("n_exact"))
     reports = []
     for name, _, fn in _ANN_METHODS:
         res = fn(emb, pred, k=5).select("query_id", "neighbor_id")
-        hits = res.join(
-            exact5, ["query_id", "neighbor_id"], "left_semi"
-        ).agg(F.count("*").alias("n_hits"))
-        returned = res.agg(F.count("*").alias("n_returned"))
+        # one pass per method: a left join against the ground truth
+        # yields n_returned (all rows) and n_hits (matched rows) from
+        # the same aggregate — the candidate-generation subtree used to
+        # execute twice (semi-join count + returned count).
+        marked = res.join(
+            exact5.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        counts = marked.agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            F.count("*").alias("n_returned"),
+        )
         reports.append(
-            hits.crossJoin(returned).select(
-                F.lit(name).alias("method"), "n_hits", "n_returned"
-            )
+            counts.select(F.lit(name).alias("method"), "n_hits", "n_returned")
         )
     out = reports[0]
     for r in reports[1:]:
