@@ -758,7 +758,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # persist: tf feeds BOTH the document-frequency rollup and the
+    # score join — without it the tokenize+explode+count subtree (the
+    # expensive part: one row per token occurrence) executes twice.
+    # At 100 TB this is a materialized term-frequency table.
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
