@@ -371,6 +371,15 @@ def q_shard_skew_stats(spark, sf_dir):
 )
 def q_funnel_conversion(spark, sf_dir):
     ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    return funnel_counts(ev)
+
+
+def funnel_counts(ev):
+    """Strict-ordering staged funnel over an events frame with
+    (user_id, ts, event_type).  Separated from the registry entry so
+    edge-case semantics (stage skipping, out-of-order stages) are unit-
+    testable on crafted fixtures — the parquet testdata saturates all
+    three stages, which would let an any-count bug through."""
     w = Window.partitionBy("user_id")
     ts, et = F.col("ts"), F.col("event_type")
     staged = (
