@@ -1275,3 +1275,40 @@ def q_ann_recall_report(spark, sf_dir):
             "recall_at_5"
         ),
     )
+
+
+@register(
+    "kmeans_codebook_report",
+    # Invariant oracle (the codebook itself is engine-float-specific,
+    # like HLL sketch bytes): assignment must cover every embedding
+    # exactly once, and Lloyd's guarantees must hold on the measured
+    # objective history.  The booleans come out of REAL training; the
+    # oracle pins what must always be true of a correct implementation.
+    """
+    SELECT CAST(8 AS INTEGER) AS k,
+           count(*) AS n_assigned,
+           TRUE AS monotone_objective,
+           TRUE AS improved_over_init
+    FROM embeddings
+    """,
+    doc="spherical k-means codebook training for the IVF family "
+    "(functions/kmeans.py): literal-broadcast codebook, map-side argmax "
+    "assignment (zero shuffle), partial-agg recentroid (k x dim "
+    "exchange rows).  Reports coverage (every nonzero-norm vector "
+    "assigned exactly once) and the Lloyd invariants measured over 4 "
+    "iterations on the embeddings table",
+)
+def q_kmeans_codebook_report(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, history = kmeans.kmeans_fit(emb, k=8, n_iters=4)
+    assigned = kmeans.assign_cells(kmeans.normalized_points(emb), cents)
+    n_assigned = assigned.where(F.col("cell") >= 0).count()
+    monotone = all(b >= a - 1e-9 for a, b in zip(history, history[1:]))
+    improved = history[-1] >= history[0] - 1e-9
+    return spark.createDataFrame(
+        [(8, n_assigned, bool(monotone), bool(improved))],
+        "k int, n_assigned long, monotone_objective boolean, "
+        "improved_over_init boolean",
+    )
