@@ -224,37 +224,39 @@ def q_approx_distinct_users(spark, sf_dir):
     # approx_percentile is the mergeable-sketch quantile path (GK /
     # KLL-style: fixed-size state, partial-merge across partitions —
     # what replaces exact percentile's per-group sort at 100 TB).  The
-    # sketch picks engine-specific samples, so the oracle pins the
-    # exact interpolated quantiles plus a 5% relative error envelope
-    # on the estimates (observed ≤0.8% at accuracy=10000 on sf0.01).
+    # sketch guarantees a RANK bound, not a value bound (on a heavy
+    # tail the p99 of 200 rows interpolates between the two largest
+    # values while the sketch returns a sample — a 25% value gap at a
+    # correct rank), so the envelope asserts rank-window containment:
+    # each estimate must lie between the exact quantiles at q ± 0.01,
+    # true at every scale factor.
     """
     SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50_exact,
            round(quantile_cont(value, 0.9), 4) AS p90_exact,
            round(quantile_cont(value, 0.99), 4) AS p99_exact,
-           TRUE AS approx_within_5pct
+           TRUE AS approx_in_rank_window
     FROM events
     WHERE value IS NOT NULL
     GROUP BY event_type
     """,
     doc="mergeable approximate quantiles (approx_percentile, "
-    "accuracy=10000) checked against exact interpolated percentiles "
-    "inside the same aggregate — the per-group sketch state is fixed "
-    "size and partial-merges map-side, unlike exact percentile whose "
-    "state is the group's whole value list",
+    "accuracy=10000) checked against exact percentiles inside the same "
+    "aggregate via rank-window containment (estimate between the exact "
+    "q±0.01 quantiles) — the per-group sketch state is fixed size and "
+    "partial-merges map-side, unlike exact percentile whose state is "
+    "the group's whole value list",
 )
 def q_approx_quantiles_report(spark, sf_dir):
     qs = (0.5, 0.9, 0.99)
     exact = {q: F.expr(f"percentile(value, {q})") for q in qs}
     approx = {q: F.expr(f"approx_percentile(value, {q}, 10000)") for q in qs}
-    within = [
-        (
-            F.abs(approx[q].cast("double") - exact[q].cast("double"))
-            / exact[q].cast("double")
-            <= 0.05
-        )
-        for q in qs
-    ]
+    within = []
+    for q in qs:
+        lo = F.expr(f"percentile(value, {max(q - 0.01, 0.0)})")
+        hi = F.expr(f"percentile(value, {min(q + 0.01, 1.0)})")
+        a = approx[q].cast("double")
+        within.append((a >= lo) & (a <= hi))
     ok = within[0]
     for w in within[1:]:
         ok = ok & w
@@ -266,7 +268,7 @@ def q_approx_quantiles_report(spark, sf_dir):
             F.round(exact[0.5], 4).alias("p50_exact"),
             F.round(exact[0.9], 4).alias("p90_exact"),
             F.round(exact[0.99], 4).alias("p99_exact"),
-            ok.alias("approx_within_5pct"),
+            ok.alias("approx_in_rank_window"),
         )
     )
 
