@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from realtime_data_pipeline_spark.functions import text
-from realtime_data_pipeline_spark.plans.northstar import D_TOKS
+from realtime_data_pipeline_spark.plans.northstar import (
+    _MINHASH_CTES,
+    CLUSTER_MIN_EST,
+    D_TOKS,
+)
 from realtime_data_pipeline_spark.plans.registry import _events, _t, register
 
 # ---------------------------------------------------------------------------
@@ -68,12 +72,29 @@ def _doc_hash_col():
 _D_DOC_HASH = "md5(CAST(doc_id AS VARCHAR))"
 
 
-def _split_col():
-    h = _doc_hash_col()
+def _split_of(id_col):
+    """Split selector from any doc-id column — a pure expression, so a
+    pair's two splits are computable without joining back to documents."""
+    h = F.md5(id_col.cast("string"))
     c = F.when(h < SPLIT_THRESHOLDS[0][1], SPLIT_THRESHOLDS[0][0])
     for name, bound in SPLIT_THRESHOLDS[1:]:
         c = c.when(h < bound, name)
     return c.otherwise("test")
+
+
+def _split_col():
+    return _split_of(F.col("doc_id"))
+
+
+def _d_split_of(col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN md5(CAST({col} AS VARCHAR)) < '{b}' THEN '{n}'"
+            for n, b in SPLIT_THRESHOLDS
+        )
+        + " ELSE 'test' END"
+    )
 
 
 _D_SPLIT = (
@@ -542,3 +563,44 @@ def q_ffd_packing_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return packing.ffd_packing_stats(docs, PACK_CAPACITY, n_shards=4)
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH {_MINHASH_CTES},
+    strong AS (SELECT doc_a, doc_b FROM pairs
+               WHERE est_jaccard >= {CLUSTER_MIN_EST}),
+    sp AS (SELECT {{sa}} AS sa, {{sb}} AS sb FROM strong)
+    SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+           count(*) AS n_pairs
+    FROM sp GROUP BY 1, 2
+    """.format(
+        sa=_d_split_of("doc_a"), sb=_d_split_of("doc_b")
+    ),
+    doc="train/val/test LEAKAGE audit: strong near-dup pairs (the "
+    f"dedup_clusters edge set, est_jaccard >= {CLUSTER_MIN_EST}) bucketed "
+    "by the split pair they straddle.  A (train, val) or (train, test) "
+    "row is contamination the split step must resolve (drop one side or "
+    "co-assign the cluster).  The split of each endpoint is recomputed "
+    "from the doc id's md5 — a pure expression on the pair, no join "
+    "back to documents, so the audit costs one aggregation over the "
+    "candidate edges",
+)
+def q_split_leakage_audit(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import dedup
+
+    pairs = dedup.minhash_candidates(
+        _t(spark, sf_dir, "documents"),
+        limit=None,
+        min_est_jaccard=CLUSTER_MIN_EST,
+    )
+    sa, sb = _split_of(F.col("doc_a")), _split_of(F.col("doc_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
