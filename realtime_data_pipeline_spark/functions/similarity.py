@@ -430,3 +430,44 @@ def lsh_multitable_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+def ivf_codebook_topk(
+    vectors: DataFrame, query_pred, centroids: list, k: int = 5
+) -> DataFrame:
+    """IVF probe against an EXPLICIT codebook (e.g. one trained by
+    functions/kmeans.kmeans_fit) — the production IVF shape end to end:
+    offline-trained centroids, map-side argmax assignment (the codebook
+    rides into the plan as a literal, zero shuffle — see
+    kmeans.assign_cells), cell equi-join probe, exact cosine rerank.
+
+    Deterministic given the codebook, so tests can compare recall of a
+    trained codebook against an arbitrary one on equal footing."""
+    from realtime_data_pipeline_spark.functions import kmeans
+
+    assigned = kmeans.assign_cells(
+        kmeans.normalized_points(vectors), centroids
+    ).persist()
+    q = assigned.where(query_pred).alias("q")
+    c = assigned.alias("c")
+    pairs = F.broadcast(q).join(
+        c,
+        (F.col("q.cell") == F.col("c.cell"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("q.cell").alias("cell"),
+        F.round(
+            F.expr(DOT_EXPR.format(a="q.emb_n", b="c.emb_n")), 6
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cell", "rnk",
+            F.col("cs").alias("cos_sim"),
+        )
+    )
