@@ -89,6 +89,10 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 #     mixture sampling, shard-skew audit, cohort retention;
 #   * status_priority_grouping_sets, segment_event_pivot — GROUPING
 #     SETS and pivot, relational operators with no prior hash check.
+#
+# Round-5 rotation candidates (registered round 4, parity-green, never
+# driver-checked): kmeans_codebook_report, approx_quantiles_report,
+# split_leakage_audit.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
