@@ -34,6 +34,29 @@ EXPECTED_SHUFFLES = {
     "exact_dedup_groups": 1,
     "funnel_conversion": 2,  # user_id window chain; final 3-number reduce
     "user_session_stats": 1,  # one user_id exchange feeds lag + cumsum + rollup
+    # broader inventory (round 4): every multi-join TPC-H shape holds
+    # at ONE shuffle — dims broadcast, facts exchange once
+    "tumbling_user_counts": 1,
+    "top_unshipped_orders": 1,
+    "part_type_revenue_share": 2,
+    "purchase_click_attribution": 1,  # union + one user_id exchange (as-of)
+    "salted_segment_counts": 2,
+    "nation_year_profit": 1,
+    "region_market_share": 1,
+    "forecast_revenue_change": 1,
+    "train_split_counts": 1,  # map-side selector + one rollup
+    "sequence_packing_stats": 1,
+    "vocab_oov_rates": 2,
+    "benchmark_contamination": 3,
+    "doc_repetition_scores": 2,
+    "doc_chunks": 0,  # pure map
+    "mixture_sample_stats": 1,
+    "shard_skew_stats": 2,
+    "weekly_cohort_retention": 3,
+    "session_window_counts": 1,
+    "split_leakage_audit": 4,  # sig agg; bucket lists; pair distinct; rollup
+    "hll_partitioned_distinct": 5,
+    "approx_quantiles_report": 1,
 }
 
 
