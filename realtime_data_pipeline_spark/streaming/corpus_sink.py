@@ -76,3 +76,34 @@ def read_corpus_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the materialized corpus back; `batch` appears as one more
     partition column and lang/source filters still prune directories."""
     return spark.read.parquet(out_dir)
+
+
+def compact_corpus(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    key: str = "doc_id",
+    n_shards: int = writer.DEFAULT_SHARDS,
+) -> None:
+    """Maintenance: fold the streaming output's `batch=<id>/` subtrees
+    into one consolidated corpus layout (no batch level).
+
+    Streaming appends optimize for ingest latency and replay safety;
+    the read side wants few, large, key-sorted files.  Compaction is
+    the standard background job that converts one into the other:
+    read everything (the batch column is dropped), re-shard, rewrite —
+    the same single-shuffle write as `write_corpus`, so file count
+    drops from O(batches x shards) to O(shards) and row-group key
+    sorting is restored across what were per-batch fragments.  At
+    100 TB this runs per partition (e.g. per lang, or per day dir)
+    rather than whole-corpus — the input path IS the unit of work.
+    """
+    docs = spark.read.parquet(in_dir).drop("batch", "shard")
+    writer.write_corpus(
+        docs,
+        out_dir,
+        partition_cols=partition_cols,
+        key=key,
+        n_shards=n_shards,
+    )

@@ -74,3 +74,32 @@ def test_batch_replay_is_idempotent(spark, replayed):
     sink(load_table(spark, SF_DIR, "documents").where(F.col("doc_id") % 2 == 0), 0)
     after = read_corpus_stream_output(spark, out).count()
     assert after == before
+
+
+def test_compaction_consolidates_without_loss(spark, replayed):
+    import os
+
+    from realtime_data_pipeline_spark.streaming.corpus_sink import compact_corpus
+
+    docs, out = replayed
+    compacted = out + "_compacted"
+    compact_corpus(spark, out, compacted, n_shards=4)
+
+    got = spark.read.parquet(compacted)
+    assert got.count() == docs.count()
+    assert got.select("doc_id").distinct().count() == docs.count()
+
+    def _parts(root):
+        return sum(
+            1
+            for r, _, fs in os.walk(root)
+            for f in fs
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    # O(batches x shards) fragments fold into O(shards) files
+    assert _parts(compacted) < _parts(out)
+    # pruning layout intact (no batch level anymore)
+    q = got.where(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:1500]
