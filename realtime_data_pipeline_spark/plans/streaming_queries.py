@@ -700,3 +700,71 @@ def _attach_incremental_dedup_oracle() -> None:
 
 
 _attach_incremental_dedup_oracle()
+
+
+@register(
+    "streaming_corpus_materialized_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="streaming corpus-append sink end to end: the documents table "
+    "replayed in two micro-batches through foreachBatch into the "
+    "partitioned+sharded lake layout (streaming/corpus_sink.py), read "
+    "back from disk, rolled up per language.  Exactly-once "
+    "materialization means the stats over the MATERIALIZED corpus "
+    "equal the stats over the source table — which is what the oracle "
+    "computes",
+    tags=("streaming",),
+)
+def q_streaming_corpus_materialized_stats(spark, sf_dir):
+    import time
+
+    from realtime_data_pipeline_spark.streaming.corpus_sink import (
+        read_corpus_stream_output,
+        start_corpus_append_query,
+    )
+    from realtime_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="rdp_corpus_")
+    replay = os.path.join(base, "replay")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(replay)
+    time.sleep(1.1)  # distinct mtime → second file, second micro-batch
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(replay)
+
+    doc_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    out = os.path.join(base, "corpus")
+    q = start_corpus_append_query(
+        stream, out, os.path.join(base, "ckpt"), "corpus_materialize",
+        n_shards=4, trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+
+    return (
+        read_corpus_stream_output(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
