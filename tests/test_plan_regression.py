@@ -82,3 +82,50 @@ def test_shuffle_count_pinned(spark, name):
         "the PLANS.md shuffle inventory together\n"
         + df._jdf.queryExecution().executedPlan().toString()[:3000]
     )
+
+
+# query -> substrings that must appear in the executed plan: the
+# pushdown + pruning half of the inventory.  A filter that stops
+# reaching the parquet scan, or a scan that silently widens to unused
+# columns, fails here before it costs anything at scale.
+EXPECTED_SCAN_SHAPES = {
+    "sliding_user_counts": [
+        # 2 of 6 columns, event-time null filter at the scan
+        "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>",
+        "PushedFilters: [IsNotNull(ts)]",
+    ],
+    "pricing_summary": [
+        # shipdate predicate reaches parquet; scan starts at the first
+        # NEEDED column (l_quantity — keys/joins absent), so the
+        # projection was pruned.  (Spark truncates long ReadSchema
+        # lists in plan text; pin a prefix, not the full struct.)
+        "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,2000-12-01T00:00)]",
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_tax:double",
+    ],
+    "revenue_by_nation": [
+        # the orders date range folds into the orders scan...
+        "GreaterThanOrEqual(o_orderdate,1996-01-01T00:00)",
+        # ...the region constant into the region scan (pre-broadcast)
+        "EqualTo(r_name,ASIA)",
+        # fact scan pruned to the 4 join/measure columns
+        "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,"
+        "l_extendedprice:double,l_discount:double>",
+    ],
+    "top_unshipped_orders": [
+        "GreaterThan(l_shipdate,1998-03-15T00:00)",
+        "EqualTo(c_mktsegment,BUILDING)",
+    ],
+    "text_metrics": [
+        # pure map over 3 of 5 columns
+        "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_SCAN_SHAPES))
+def test_scan_shape_pinned(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for fragment in EXPECTED_SCAN_SHAPES[name]:
+        assert fragment in plan, (name, fragment, plan[:3000])
