@@ -344,3 +344,28 @@ def test_hash_split_is_map_side_only(spark):
     df = REGISTRY["train_split_counts"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_results_invariant_under_join_strategy(spark):
+    """At 100 TB the dimension that broadcasts today is a fact tomorrow
+    — Catalyst switches BroadcastHashJoin to SortMergeJoin and the
+    results must not move.  Force the switch (threshold off) and
+    compare the multi-join headline query byte-for-byte."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["revenue_by_nation"].fn
+    normal = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced_df = fn(spark, SF_DIR)
+        plan = forced_df._jdf.queryExecution().executedPlan().toString()
+        forced = sorted(map(tuple, forced_df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    # the switch actually happened (explicit F.broadcast hints on true
+    # dimensions may keep some BHJs; the unhinted joins must SMJ)
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert forced == normal and len(normal) > 0
