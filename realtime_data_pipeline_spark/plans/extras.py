@@ -628,3 +628,50 @@ def q_hll_partitioned_distinct(spark, sf_dir):
             ).alias("union_within_5pct"),
         )
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "documents_profile",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    doc="data-quality profile of the documents table: per-column null "
+    "count, exact distinct count, min/max — the standard ingest "
+    "validation step, computed in ONE aggregation pass over the scan "
+    "(all columns' stats as parallel aggregates, then an unpivot of "
+    "the single stats row; the only per-column cost is the distinct "
+    "sketch state).  At 100 TB swap the exact distincts for "
+    "approx_count_distinct (same call shape, fixed-size state — see "
+    "approx_distinct_users)",
+)
+def q_documents_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    row = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
