@@ -412,3 +412,70 @@ def benchmark_contamination(
         .where(F.col("overlap_ratio") >= min_overlap_ratio)
         .orderBy(F.desc("overlap_ratio"), "doc_id")
     )
+
+
+FUZZY_PREFIX_LEN = 32
+FUZZY_MAX_DIST = 4
+
+
+def fuzzy_prefix_dups(
+    docs: DataFrame,
+    prefix_len: int = FUZZY_PREFIX_LEN,
+    max_dist: int = FUZZY_MAX_DIST,
+    max_bucket_width: int = MAX_BUCKET_WIDTH,
+    limit: int | None = 500,
+) -> DataFrame:
+    """Character-level near-duplicates: bounded edit distance between
+    document PREFIXES, the modality that catches small in-place edits
+    (typo fixes, date stamps, counter suffixes) which token-shingle
+    MinHash can under-weigh and embedding LSH can't see at all.
+
+    Scale shape — same discipline as minhash_candidates: never an n²
+    levenshtein.  Docs bucket by (lang, first token) — near-identical
+    prefixes share both — then pairs are generated bucket-locally
+    (collect_list + i<j expansion) and only THOSE pairs pay the
+    O(prefix_len²) edit-distance kernel.  The bucket width cap bounds
+    both memory and the per-bucket pair count; organic widths measure
+    ≤12 at sf0.01.  Distance on a fixed-length prefix, not the full
+    text: levenshtein is quadratic in string length, so the prefix IS
+    the cost bound (full-text confirmation, if needed, runs on the
+    surviving pairs only)."""
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.trim("text"), 1, prefix_len).alias("p"),
+        F.split(F.trim("text"), r"\s+")[0].alias("t1"),
+    )
+    groups = (
+        d.groupBy("lang", "t1")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "p"))).alias(
+                "members"
+            )
+        )
+        .where(
+            (F.size("members") >= 2)
+            & (F.size("members") <= max_bucket_width)
+        )
+    )
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(members, (m, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), "
+            "n -> struct(m.doc_id as doc_a, n.doc_id as doc_b, "
+            "m.p as pa, n.p as pb)))"
+        )
+    )
+    pairs = (
+        groups.select(F.explode(pair_expr).alias("x"))
+        .select(
+            F.col("x.doc_a").alias("doc_a"),
+            F.col("x.doc_b").alias("doc_b"),
+            F.levenshtein("x.pa", "x.pb").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= max_dist)
+        .distinct()
+    )
+    if limit is not None:
+        pairs = pairs.orderBy("edit_distance", "doc_a", "doc_b").limit(limit)
+    return pairs

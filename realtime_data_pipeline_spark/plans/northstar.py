@@ -1312,3 +1312,32 @@ def q_kmeans_codebook_report(spark, sf_dir):
         "k int, n_assigned long, monotone_objective boolean, "
         "improved_over_init boolean",
     )
+
+
+@register(
+    "fuzzy_prefix_dups",
+    f"""
+    WITH d AS (SELECT doc_id, lang,
+                      substr(trim(text), 1, {dedup.FUZZY_PREFIX_LEN}) AS p,
+                      string_split_regex(trim(text), '\\s+')[1] AS t1
+               FROM documents),
+    ok AS (SELECT lang, t1 FROM d GROUP BY lang, t1
+           HAVING count(*) BETWEEN 2 AND {dedup.MAX_BUCKET_WIDTH}),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     levenshtein(a.p, b.p) AS edit_distance
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.t1 = b.t1 AND a.doc_id < b.doc_id
+              JOIN ok ON ok.lang = a.lang AND ok.t1 = a.t1)
+    SELECT doc_a, doc_b, edit_distance FROM pairs
+    WHERE edit_distance <= {dedup.FUZZY_MAX_DIST}
+    ORDER BY edit_distance, doc_a, doc_b
+    LIMIT 500
+    """,
+    doc="character-level fuzzy near-dups: (lang, first-token) buckets, "
+    "bucket-local pair generation with the MinHash-style width cap, "
+    "bounded-prefix levenshtein kernel on candidate pairs only — the "
+    "edit-distance modality (typo fixes, stamp suffixes) alongside "
+    "shingle, simhash, and embedding dedup",
+)
+def q_fuzzy_prefix_dups(spark, sf_dir):
+    return dedup.fuzzy_prefix_dups(_t(spark, sf_dir, "documents"))

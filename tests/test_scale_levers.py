@@ -369,3 +369,28 @@ def test_results_invariant_under_join_strategy(spark):
     # dimensions may keep some BHJs; the unhinted joins must SMJ)
     assert "SortMergeJoin" in plan, plan[:2000]
     assert forced == normal and len(normal) > 0
+
+
+def test_fuzzy_prefix_dups_finds_planted_typos(spark):
+    """The levenshtein kernel on nonzero distances (the parquet corpus
+    only yields exact-prefix pairs): planted variants at distance 1-4
+    surface, beyond-threshold and cross-bucket variants don't."""
+    from realtime_data_pipeline_spark.functions.dedup import fuzzy_prefix_dups
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("beta", "bxtz"), "en"),        # 2 substitutions
+        (3, base.replace("gamma", "gXmma"), "en"),      # 1 substitution
+        (4, "alpha " + "Z" * 30, "en"),                 # same bucket, too far
+        (5, base, "de"),                                # other lang bucket
+        (6, "omega " + base, "en"),                     # other first token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in fuzzy_prefix_dups(docs).collect()
+    }
+    assert got[(1, 2)] == 2 and got[(1, 3)] == 1
+    assert (2, 3) in got  # the two variants also pair with each other
+    assert all(4 not in pair and 5 not in pair and 6 not in pair for pair in got)
