@@ -93,7 +93,7 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 # Round-5 rotation candidates (registered round 4, parity-green, never
 # driver-checked): kmeans_codebook_report, approx_quantiles_report,
 # split_leakage_audit, streaming_corpus_materialized_stats,
-# documents_profile.
+# documents_profile, fuzzy_prefix_dups.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
