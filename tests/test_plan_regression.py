@@ -57,6 +57,8 @@ EXPECTED_SHUFFLES = {
     "split_leakage_audit": 4,  # sig agg; bucket lists; pair distinct; rollup
     "hll_partitioned_distinct": 5,
     "approx_quantiles_report": 1,
+    "fuzzy_prefix_dups": 2,  # bucket lists; pair distinct (levenshtein is map-side)
+    "documents_profile": 2,  # one agg pass; stack unpivot is free
 }
 
 
