@@ -170,3 +170,47 @@ def test_streaming_availablenow(spark, tmp_path):
     assert 0 in got and 1 in got
     assert 1000 not in got and 1001 not in got
     assert 2000 in got and 2001 not in got
+
+
+def test_many_batches_with_interleaved_replays(spark, tmp_path):
+    """Soak: 8 micro-batches with a replay injected after every write
+    (the at-least-once delivery worst case).  The accepted set must
+    equal a sequential first-writer-wins pass over the same batches,
+    and the signature store must hold every seen doc exactly once."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    base = _docs(spark)
+
+    seen_ids = []
+    for i in range(8):
+        lo, hi = i * 25, (i + 1) * 25
+        batch = base.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        inc.dedup_batch(batch, store, out, i)
+        inc.dedup_batch(batch, store, out, i)  # redelivery of the same id
+        seen_ids.extend(
+            r.doc_id for r in batch.select("doc_id").collect()
+        )
+
+    # oracle: one-shot dedup of the union equals the incremental result
+    # (the store keeps dropped docs' signatures, so order-consistency
+    # holds across any batch boundaries)
+    whole = base.where(F.col("doc_id") < 200)
+    ref_store = str(tmp_path / "ref_store")
+    ref_out = str(tmp_path / "ref_out")
+    inc.dedup_batch(whole, ref_store, ref_out, 0)
+
+    assert _out_ids(spark, out) == _out_ids(spark, ref_out)
+
+    # store holds each seen doc's bands exactly once despite replays
+    bands_per_doc = (
+        spark.read.parquet(store)
+        .groupBy("doc_id")
+        .count()
+        .select(F.countDistinct("count").alias("widths"))
+        .first()["widths"]
+    )
+    assert bands_per_doc == 1
+    n_docs_in_store = (
+        spark.read.parquet(store).select("doc_id").distinct().count()
+    )
+    assert n_docs_in_store == len(set(seen_ids))
