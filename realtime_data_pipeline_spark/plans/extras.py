@@ -659,7 +659,11 @@ def q_documents_profile(spark, sf_dir):
     for c in _PROFILE_COLS:
         col = F.col(c)
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            # coalesce: sum over ZERO rows is null, but "no rows" means
+            # zero nulls — the profile must stay numeric on empty input
+            F.coalesce(
+                F.sum(col.isNull().cast("long")), F.lit(0)
+            ).alias(f"{c}__nulls"),
             F.countDistinct(col).alias(f"{c}__distinct"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),

@@ -36,6 +36,9 @@ _QUERIES = [
     "segment_event_pivot",
     "status_priority_grouping_sets",
     "split_leakage_audit",
+    "documents_profile",
+    "fuzzy_prefix_dups",
+    "approx_quantiles_report",
 ]
 
 
@@ -57,5 +60,16 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
     on_real = spec.fn(spark, SF_DIR)
     assert on_empty.schema == on_real.schema, name
     # global aggregates collapse to one well-typed row; keyed results
-    # collapse to zero rows — either way nothing null-explodes
-    assert len(rows) in (0, 1) or name == "segment_event_pivot", (name, len(rows))
+    # collapse to zero rows; unpivoted reports keep one row per
+    # reported unit — either way nothing null-explodes
+    fixed_rows = {"documents_profile": 5}
+    if name in fixed_rows:
+        assert len(rows) == fixed_rows[name], (name, len(rows))
+        # the profile must stay NUMERIC on empty input (n_nulls = 0,
+        # not null — sum-over-zero-rows coalesced in the operator)
+        assert all(r["n_nulls"] == 0 and r["n_distinct"] == 0 for r in rows)
+    else:
+        assert len(rows) in (0, 1) or name == "segment_event_pivot", (
+            name,
+            len(rows),
+        )
