@@ -60,6 +60,11 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # queries that persist() an intermediate (tfidf's tf table,
+            # ann_recall_report's ground truth) materialize a FRESH
+            # cached copy per run — drop it so the min-of-N loop
+            # measures each run cold and cache memory stays bounded.
+            spark.catalog.clearCache()
         timings[spec.name] = round(best, 3)
 
     out = {

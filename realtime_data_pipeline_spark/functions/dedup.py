@@ -431,33 +431,30 @@ def fuzzy_prefix_dups(
     MinHash can under-weigh and embedding LSH can't see at all.
 
     Scale shape — same discipline as minhash_candidates: never an n²
-    levenshtein.  Docs bucket by (lang, first token) — near-identical
-    prefixes share both — then pairs are generated bucket-locally
-    (collect_list + i<j expansion) and only THOSE pairs pay the
-    O(prefix_len²) edit-distance kernel.  The bucket width cap bounds
-    both memory and the per-bucket pair count; organic widths measure
-    ≤12 at sf0.01.  Distance on a fixed-length prefix, not the full
-    text: levenshtein is quadratic in string length, so the prefix IS
-    the cost bound (full-text confirmation, if needed, runs on the
-    surviving pairs only)."""
+    levenshtein.  Docs bucket under TWO families — (lang, token 1) and
+    (lang, token 2) — so a small edit anywhere in the prefix still
+    leaves at least one bucket key intact: a mid-prefix typo shares
+    token 1, a FIRST-token typo ("Teh quick…" vs "The quick…") shares
+    token 2.  Pairs are generated bucket-locally per family
+    (collect_list + i<j expansion), unioned, deduped, and only THOSE
+    pairs pay the O(prefix_len²) edit-distance kernel.  The bucket
+    width cap bounds both memory and the per-bucket pair count per
+    family; organic widths measure ≤12 at sf0.01.  Distance on a
+    fixed-length prefix, not the full text: levenshtein is quadratic
+    in string length, so the prefix IS the cost bound (full-text
+    confirmation, if needed, runs on the surviving pairs only).
+    NULL lang (or a text too short for token 2) is excluded from the
+    corresponding family — matching the oracle's equi-join, which
+    never pairs NULL keys."""
+    toks = F.split(F.trim("text"), r"\s+")
     d = docs.select(
         "doc_id",
         "lang",
         F.substring(F.trim("text"), 1, prefix_len).alias("p"),
-        F.split(F.trim("text"), r"\s+")[0].alias("t1"),
-    )
-    groups = (
-        d.groupBy("lang", "t1")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "p"))).alias(
-                "members"
-            )
-        )
-        .where(
-            (F.size("members") >= 2)
-            & (F.size("members") <= max_bucket_width)
-        )
-    )
+        toks[0].alias("t1"),
+        toks[1].alias("t2"),
+    ).where(F.col("lang").isNotNull())
+
     pair_expr = F.flatten(
         F.expr(
             "transform(members, (m, i) -> "
@@ -466,12 +463,35 @@ def fuzzy_prefix_dups(
             "m.p as pa, n.p as pb)))"
         )
     )
-    pairs = (
-        groups.select(F.explode(pair_expr).alias("x"))
-        .select(
+
+    def _family(tok: str) -> DataFrame:
+        groups = (
+            d.where(F.col(tok).isNotNull())
+            .groupBy("lang", tok)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "p"))
+                ).alias("members")
+            )
+            .where(
+                (F.size("members") >= 2)
+                & (F.size("members") <= max_bucket_width)
+            )
+        )
+        return groups.select(F.explode(pair_expr).alias("x")).select(
             F.col("x.doc_a").alias("doc_a"),
             F.col("x.doc_b").alias("doc_b"),
-            F.levenshtein("x.pa", "x.pb").alias("edit_distance"),
+            F.col("x.pa").alias("pa"),
+            F.col("x.pb").alias("pb"),
+        )
+
+    pairs = (
+        _family("t1")
+        .unionByName(_family("t2"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("edit_distance"),
         )
         .where(F.col("edit_distance") <= max_dist)
         .distinct()

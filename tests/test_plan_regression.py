@@ -36,7 +36,6 @@ EXPECTED_SHUFFLES = {
     "user_session_stats": 1,  # one user_id exchange feeds lag + cumsum + rollup
     # broader inventory (round 4): every multi-join TPC-H shape holds
     # at ONE shuffle — dims broadcast, facts exchange once
-    "tumbling_user_counts": 1,
     "top_unshipped_orders": 1,
     "part_type_revenue_share": 2,
     "purchase_click_attribution": 1,  # union + one user_id exchange (as-of)
@@ -57,7 +56,7 @@ EXPECTED_SHUFFLES = {
     "split_leakage_audit": 4,  # sig agg; bucket lists; pair distinct; rollup
     "hll_partitioned_distinct": 5,
     "approx_quantiles_report": 1,
-    "fuzzy_prefix_dups": 2,  # bucket lists; pair distinct (levenshtein is map-side)
+    "fuzzy_prefix_dups": 3,  # t1 + t2 bucket lists; pair distinct (levenshtein map-side)
     "documents_profile": 2,  # one agg pass; stack unpivot is free
 }
 

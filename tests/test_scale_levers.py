@@ -384,7 +384,10 @@ def test_fuzzy_prefix_dups_finds_planted_typos(spark):
         (3, base.replace("gamma", "gXmma"), "en"),      # 1 substitution
         (4, "alpha " + "Z" * 30, "en"),                 # same bucket, too far
         (5, base, "de"),                                # other lang bucket
-        (6, "omega " + base, "en"),                     # other first token
+        (6, "omega " + base, "en"),                     # shifted prefix, too far
+        (7, base.replace("alpha", "aXpha"), "en"),      # FIRST-token typo:
+        # invisible to the (lang, token1) family, caught via (lang, token2)
+        (8, base, None),                                # NULL lang: never pairs
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     got = {
@@ -393,4 +396,8 @@ def test_fuzzy_prefix_dups_finds_planted_typos(spark):
     }
     assert got[(1, 2)] == 2 and got[(1, 3)] == 1
     assert (2, 3) in got  # the two variants also pair with each other
-    assert all(4 not in pair and 5 not in pair and 6 not in pair for pair in got)
+    assert got[(1, 7)] == 1 and (3, 7) in got  # first-token typo caught
+    assert all(
+        4 not in pair and 5 not in pair and 6 not in pair and 8 not in pair
+        for pair in got
+    )
