@@ -250,12 +250,14 @@ def with_lsh_bucket(vectors: DataFrame) -> DataFrame:
     return vectors.withColumn("bucket", F.expr(LSH_BUCKET_EXPR))
 
 
-def lsh_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
-    """ANN via LSH bucket equi-join then exact rerank within bucket."""
+def lsh_candidates(vectors: DataFrame, query_pred) -> DataFrame:
+    """Scored (query_id, neighbor_id, cs) pairs sharing the query's
+    single LSH bucket (each vector has exactly one bucket, so the join
+    can't duplicate a pair — no DISTINCT needed)."""
     e = with_lsh_bucket(with_norm(vectors))
     q = e.where(query_pred).alias("q")
     c = e.alias("c")
-    pairs = F.broadcast(q).join(
+    return F.broadcast(q).join(
         c,
         (F.col("q.bucket") == F.col("c.bucket"))
         & (F.col("q.vec_id") != F.col("c.vec_id")),
@@ -264,12 +266,11 @@ def lsh_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
         F.col("c.vec_id").alias("neighbor_id"),
         _cosine().alias("cs"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
-    )
+
+
+def lsh_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """ANN via LSH bucket equi-join then exact rerank within bucket."""
+    return _rerank_topk(lsh_candidates(vectors, query_pred), k)
 
 
 # --- Arrow-batched pandas-UDF path ----------------------------------------
@@ -317,14 +318,13 @@ def pandas_topk(vectors: DataFrame, query_pred, k: int = 10) -> DataFrame:
     )
 
 
-def lsh_multiprobe_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
-    """Multi-probe LSH ANN: each query probes its own bucket plus the
-    N_PLANES buckets at Hamming distance 1 (one hyperplane flipped).
-    Recovers most of the recall single-probe loses to near-boundary
-    vectors, while the candidate join stays an EQUI-join on bucket —
-    the query side just explodes ×(N_PLANES+1), which is the bounded
-    (small) side.  Probe values are distinct, so no candidate pair
-    duplicates."""
+def multiprobe_candidates(vectors: DataFrame, query_pred) -> DataFrame:
+    """Scored pairs for multi-probe LSH: each query probes its own
+    bucket plus the N_PLANES buckets at Hamming distance 1 (one
+    hyperplane flipped).  The candidate join stays an EQUI-join on
+    bucket — the query side just explodes ×(N_PLANES+1), which is the
+    bounded (small) side.  Probe values are distinct, so no candidate
+    pair duplicates."""
     e = with_lsh_bucket(with_norm(vectors))
     q = e.where(query_pred).withColumn(
         "probe",
@@ -339,7 +339,7 @@ def lsh_multiprobe_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame
         ),
     ).alias("q")
     c = e.alias("c")
-    pairs = F.broadcast(q).join(
+    return F.broadcast(q).join(
         c,
         (F.col("q.probe") == F.col("c.bucket"))
         & (F.col("q.vec_id") != F.col("c.vec_id")),
@@ -348,12 +348,12 @@ def lsh_multiprobe_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame
         F.col("c.vec_id").alias("neighbor_id"),
         _cosine().alias("cs"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
-    )
+
+
+def lsh_multiprobe_topk(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """Multi-probe LSH ANN: Hamming-1 probes recover most of the recall
+    single-probe loses to near-boundary vectors; exact cosine rerank."""
+    return _rerank_topk(multiprobe_candidates(vectors, query_pred), k)
 
 
 # --- multi-table LSH -------------------------------------------------------
@@ -399,17 +399,17 @@ def with_multitable_buckets(
     )
 
 
-def lsh_multitable_topk(
-    vectors: DataFrame, query_pred, k: int = 5, n_tables: int = N_TABLES
+def multitable_candidates(
+    vectors: DataFrame, query_pred, n_tables: int = N_TABLES
 ) -> DataFrame:
-    """ANN over L independent LSH tables: candidates = union of the
-    query's bucket matches across tables (distinct pairs — a pair found
-    by several tables scores identically, so DISTINCT before ranking is
-    exact), then exact cosine rerank."""
+    """DISTINCT (query_id, neighbor_id, cs) scored pairs from the union
+    of per-table bucket matches — the candidate set every multi-table
+    rerank pays for (a pair found by several tables scores identically,
+    so DISTINCT is exact)."""
     e = with_multitable_buckets(vectors, n_tables)
     q = e.where(query_pred).alias("q")
     c = e.alias("c")
-    pairs = (
+    return (
         F.broadcast(q)
         .join(
             c,
@@ -424,11 +424,79 @@ def lsh_multitable_topk(
         )
         .distinct()
     )
+
+
+def multitable_multiprobe_candidates(
+    vectors: DataFrame, query_pred, n_tables: int = N_TABLES
+) -> DataFrame:
+    """Multi-table AND multi-probe: in EACH of the L tables the query
+    probes its own bucket plus the PLANES_PER_TABLE buckets at Hamming
+    distance 1.  The two recall levers compose multiplicatively —
+    P(miss) = prod over tables of P(all probes miss) — which is what
+    pushes recall@5 past 0.9 where either lever alone plateaus.  Cost
+    shape unchanged: the query side explodes ×L×(ppt+1) but stays the
+    bounded broadcast side; the corpus side is still one bucket row per
+    table, joined by equi-key."""
+    e = with_multitable_buckets(vectors, n_tables)
+    q = (
+        e.where(query_pred)
+        .withColumn(
+            "probe",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.expr(f"bucket ^ {1 << p}")
+                        for p in range(PLANES_PER_TABLE)
+                    ],
+                )
+            ),
+        )
+        .alias("q")
+    )
+    c = e.alias("c")
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.t") == F.col("c.t"))
+            & (F.col("q.probe") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine().alias("cs"),
+        )
+        .distinct()
+    )
+
+
+def _rerank_topk(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+def lsh_multitable_topk(
+    vectors: DataFrame, query_pred, k: int = 5, n_tables: int = N_TABLES
+) -> DataFrame:
+    """ANN over L independent LSH tables: candidates = union of the
+    query's bucket matches across tables, then exact cosine rerank."""
+    return _rerank_topk(multitable_candidates(vectors, query_pred, n_tables), k)
+
+
+def lsh_multitable_multiprobe_topk(
+    vectors: DataFrame, query_pred, k: int = 5, n_tables: int = N_TABLES
+) -> DataFrame:
+    """Multi-table + Hamming-1 multiprobe ANN, exact cosine rerank —
+    the highest-recall method in the LSH family (see
+    multitable_multiprobe_candidates for the composition argument)."""
+    return _rerank_topk(
+        multitable_multiprobe_candidates(vectors, query_pred, n_tables), k
     )
 
 

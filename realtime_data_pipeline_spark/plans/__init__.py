@@ -90,41 +90,60 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 #   * status_priority_grouping_sets, segment_event_pivot — GROUPING
 #     SETS and pivot, relational operators with no prior hash check.
 #
-# Round-5 rotation candidates (registered round 4, parity-green, never
-# driver-checked): kmeans_codebook_report, approx_quantiles_report,
-# split_leakage_audit, streaming_corpus_materialized_stats,
-# documents_profile, fuzzy_prefix_dups.
+# Round-5 rotation (VERDICT r4 'Next round' #1): ten slots whose
+# queries were hash-green in BOTH r2 and r4 rotate out to the local
+# parity suite (tumbling_user_counts, sliding_item_counts,
+# pricing_summary, revenue_by_nation, click_and_purchase_users,
+# customer_spend_distribution, salted_segment_counts,
+# top_unshipped_orders, customer_order_count_histogram,
+# train_split_counts — each one's operator family stays driver-covered
+# by a sibling still in the window: sliding_user_counts for the window
+# aggs, nation_year_profit/region_market_share for the multi-join
+# TPC-H shapes, purchase_click_attribution for the as-of join,
+# idle_rich_customers for anti-join, split_leakage_audit for the split
+# selector), and ten never-driver-checked queries rotate in:
+#   * the six queued round-4 additions — kmeans_codebook_report,
+#     approx_quantiles_report, split_leakage_audit,
+#     streaming_corpus_materialized_stats, documents_profile,
+#     fuzzy_prefix_dups (the last with the new first-token-typo
+#     second bucket family);
+#   * priority_metrics_unpivot — stack/unpivot, no prior hash check;
+#   * event_dedup_counts — exact event-stream dedup rollup;
+#   * latest_event_per_user — per-key argmax (the keyed-upsert
+#     batch analogue);
+#   * value_percentiles — exact percentile_disc bands.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 reference operators (registry.py)
-    "sliding_user_counts", "sliding_item_counts", "tumbling_user_counts",
+    "sliding_user_counts",
     # relational surface
-    "pricing_summary", "revenue_by_nation", "top_unshipped_orders",
-    "part_type_revenue_share",
-    "click_and_purchase_users", "purchase_click_attribution",
-    "salted_segment_counts", "customer_spend_distribution",
+    "part_type_revenue_share", "purchase_click_attribution",
     "nation_year_profit", "region_market_share", "forecast_revenue_change",
     "hll_partitioned_distinct",
     "status_priority_grouping_sets", "segment_event_pivot",
+    "priority_metrics_unpivot", "value_percentiles",
+    "event_dedup_counts", "latest_event_per_user",
     # streaming parity (batch-replayed)
     "streaming_replay_user_counts", "streaming_dedup_user_counts",
     "streaming_running_user_totals", "streaming_click_purchase_join",
     "streaming_session_counts", "streaming_json_wire_counts",
     "streaming_incremental_dedup", "session_window_counts",
+    "streaming_corpus_materialized_stats",
     # LLM-data operators (northstar.py + training.py)
-    "minhash_dedup_candidates", "dedup_clusters",
+    "minhash_dedup_candidates", "dedup_clusters", "fuzzy_prefix_dups",
     "ann_bruteforce_topk", "ann_ivf_assigned_topk",
     "ann_recall_report", "embedding_near_dups_lsh",
+    "kmeans_codebook_report",
     "multimodal_byte_histogram", "corpus_curation_stats", "tfidf_top_terms",
-    "train_split_counts", "sequence_packing_stats",
+    "documents_profile", "approx_quantiles_report",
+    "sequence_packing_stats", "split_leakage_audit",
     "vocab_oov_rates", "funnel_conversion", "user_session_stats",
     "benchmark_contamination", "doc_repetition_scores", "curation_keep_best",
     "doc_chunks", "embedding_dedup_clusters", "mixture_sample_stats",
     "shard_skew_stats", "weekly_cohort_retention",
     # physically-distinct TPC-H shapes (tpch_shapes.py)
-    "customer_order_count_histogram", "large_quantity_orders",
-    "idle_rich_customers",
+    "large_quantity_orders", "idle_rich_customers",
 ]
 
 

@@ -633,6 +633,43 @@ def q_hll_partitioned_distinct(spark, sf_dir):
 _PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
+def profile_frame(df, cols=_PROFILE_COLS, exact: bool = True):
+    """Per-column null count, distinct count, min/max in ONE
+    aggregation pass (all columns' stats as parallel aggregates, then
+    a stack unpivot of the single stats row).
+
+    `exact=False` swaps every countDistinct for approx_count_distinct
+    (HLL++, ~2% default error): same output schema, but the per-column
+    aggregation state is a FIXED-SIZE sketch instead of an Expand-based
+    exact-distinct (which multiplies pre-shuffle rows by the column
+    count) — the mode a 100 TB profile actually runs in."""
+    distinct_fn = F.countDistinct if exact else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            # coalesce: sum over ZERO rows is null, but "no rows" means
+            # zero nulls — the profile must stay numeric on empty input
+            F.coalesce(
+                F.sum(col.isNull().cast("long")), F.lit(0)
+            ).alias(f"{c}__nulls"),
+            distinct_fn(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
+
+
 @register(
     "documents_profile",
     "\nUNION ALL\n".join(
@@ -649,33 +686,9 @@ _PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
     "validation step, computed in ONE aggregation pass over the scan "
     "(all columns' stats as parallel aggregates, then an unpivot of "
     "the single stats row; the only per-column cost is the distinct "
-    "sketch state).  At 100 TB swap the exact distincts for "
-    "approx_count_distinct (same call shape, fixed-size state — see "
-    "approx_distinct_users)",
+    "sketch state).  The oracle checks exact mode; profile_frame("
+    "exact=False) is the callable 100 TB posture — "
+    "approx_count_distinct, same schema, fixed-size state",
 )
 def q_documents_profile(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    aggs = []
-    for c in _PROFILE_COLS:
-        col = F.col(c)
-        aggs += [
-            # coalesce: sum over ZERO rows is null, but "no rows" means
-            # zero nulls — the profile must stay numeric on empty input
-            F.coalesce(
-                F.sum(col.isNull().cast("long")), F.lit(0)
-            ).alias(f"{c}__nulls"),
-            F.countDistinct(col).alias(f"{c}__distinct"),
-            F.min(col).cast("string").alias(f"{c}__min"),
-            F.max(col).cast("string").alias(f"{c}__max"),
-        ]
-    row = docs.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in _PROFILE_COLS
-    )
-    return row.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(column_name, n_nulls, n_distinct, min_val, max_val)"
-        )
-    )
+    return profile_frame(_t(spark, sf_dir, "documents"), exact=True)

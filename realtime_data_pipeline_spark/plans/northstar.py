@@ -613,6 +613,7 @@ def q_ann_pandas_topk(spark, sf_dir):
     "pairs → connected components, drop non-canonical members) → quality "
     "filter (score >= 0.5) → per-language corpus stats.  One query "
     "composing dedup.py + graph.py + text.py, fully oracle-checked",
+    bench=True,
     tags=("pipeline",),
 )
 def q_corpus_curation_stats(spark, sf_dir):
@@ -878,6 +879,7 @@ CONTAMINATION_MIN_RATIO = 0.05
     "vs the corpus), overlap counted via broadcast equi-join + one "
     "doc_id shuffle — the standard pre-training leakage check, never a "
     "pair join",
+    bench=True,
 )
 def q_benchmark_contamination(spark, sf_dir):
     return dedup.benchmark_contamination(
@@ -1099,20 +1101,33 @@ def q_doc_repetition_scores(spark, sf_dir):
 
 
 # One list drives BOTH sides of ann_recall_report: (method label,
-# oracle CTE name, Spark impl).  Adding an ANN method = one row here
-# plus its CTE — the UNION ALL and the Spark loop can't drift apart.
+# oracle top-k CTE, oracle candidate CTE, Spark top-k impl, Spark
+# candidate impl).  Adding an ANN method = one row here plus its two
+# CTEs — the UNION ALL and the Spark loop can't drift apart.
 _ANN_METHODS = (
-    ("lsh", "lsh", similarity.lsh_topk),
-    ("lsh_multiprobe", "mp", similarity.lsh_multiprobe_topk),
-    ("lsh_multitable", "mt", similarity.lsh_multitable_topk),
+    ("lsh", "lsh", "lshc", similarity.lsh_topk, similarity.lsh_candidates),
+    (
+        "lsh_multiprobe", "mp", "mpc",
+        similarity.lsh_multiprobe_topk, similarity.multiprobe_candidates,
+    ),
+    (
+        "lsh_multitable", "mt", "mtc",
+        similarity.lsh_multitable_topk, similarity.multitable_candidates,
+    ),
+    (
+        "lsh_multitable_multiprobe", "mtmp", "mtmpc",
+        similarity.lsh_multitable_multiprobe_topk,
+        similarity.multitable_multiprobe_candidates,
+    ),
 )
 
 _D_ANN_HITS = "\n        UNION ALL\n        ".join(
     f"SELECT '{name}' AS method,\n"
     f"               (SELECT count(*) FROM {cte} JOIN ex"
     f" USING (query_id, neighbor_id)) AS n_hits,\n"
-    f"               (SELECT count(*) FROM {cte}) AS n_returned"
-    for name, cte, _ in _ANN_METHODS
+    f"               (SELECT count(*) FROM {cte}) AS n_returned,\n"
+    f"               (SELECT count(*) FROM {cand}) AS n_candidates"
+    for name, cte, cand, _, _ in _ANN_METHODS
 )
 
 
@@ -1132,6 +1147,12 @@ def _d_table_bucket(t: int, ppt: int = similarity.PLANES_PER_TABLE) -> str:
 _D_MT_TB = "\n          UNION ALL ".join(
     f"SELECT vec_id, embedding, nrm, {t} AS t, {_d_table_bucket(t)} AS bucket FROM e"
     for t in range(similarity.N_TABLES)
+)
+
+# per-table Hamming-1 probe offsets: -1 = the bucket itself, 0..ppt-1 =
+# one flipped plane (the multi-table twin of _D_PROBES)
+_D_MT_PROBES = ", ".join(
+    ["(-1)"] + [f"({p})" for p in range(similarity.PLANES_PER_TABLE)]
 )
 
 
@@ -1181,59 +1202,86 @@ def q_ann_lsh_multitable_topk(spark, sf_dir):
                  ON q.vec_id < 8 AND c.vec_id != q.vec_id)
            WHERE rnk <= 5),
     nex AS (SELECT count(*) AS n_exact FROM ex),
+    lshc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {_D_COS} AS cs
+             FROM e q JOIN e c
+             ON q.vec_id < 8 AND q.bucket = c.bucket
+                AND c.vec_id != q.vec_id),
     lsh AS (SELECT query_id, neighbor_id
-            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            FROM (SELECT query_id, neighbor_id,
                          row_number() OVER (
-                             PARTITION BY q.vec_id
-                             ORDER BY {_D_COS} DESC, c.vec_id) AS rnk
-                  FROM e q JOIN e c
-                  ON q.vec_id < 8 AND q.bucket = c.bucket
-                     AND c.vec_id != q.vec_id)
+                             PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id) AS rnk
+                  FROM lshc)
             WHERE rnk <= 5),
     probes AS (SELECT vec_id, embedding, nrm,
                       CASE WHEN pb.b = -1 THEN bucket
                            ELSE xor(bucket, (1::BIGINT << pb.b)) END AS probe
                FROM e, (VALUES {_D_PROBES}) pb(b)
                WHERE vec_id < 8),
+    mpc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_D_COS} AS cs
+            FROM probes q JOIN e c
+            ON q.probe = c.bucket AND c.vec_id != q.vec_id),
     mp AS (SELECT query_id, neighbor_id
-           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           FROM (SELECT query_id, neighbor_id,
                         row_number() OVER (
-                            PARTITION BY q.vec_id
-                            ORDER BY {_D_COS} DESC, c.vec_id) AS rnk
-                 FROM probes q JOIN e c
-                 ON q.probe = c.bucket AND c.vec_id != q.vec_id)
+                            PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rnk
+                 FROM mpc)
            WHERE rnk <= 5),
     tb AS ({_D_MT_TB}),
+    mtc AS (SELECT DISTINCT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id, {_D_COS} AS cs
+            FROM tb q JOIN tb c
+            ON q.vec_id < 8 AND q.t = c.t AND q.bucket = c.bucket
+               AND c.vec_id != q.vec_id),
     mt AS (SELECT query_id, neighbor_id
            FROM (SELECT query_id, neighbor_id,
                         row_number() OVER (
                             PARTITION BY query_id
                             ORDER BY cs DESC, neighbor_id) AS rnk
-                 FROM (SELECT DISTINCT q.vec_id AS query_id,
-                              c.vec_id AS neighbor_id, {_D_COS} AS cs
-                       FROM tb q JOIN tb c
-                       ON q.vec_id < 8 AND q.t = c.t AND q.bucket = c.bucket
-                          AND c.vec_id != q.vec_id))
+                 FROM mtc)
            WHERE rnk <= 5),
+    mtprobes AS (SELECT vec_id, embedding, nrm, t,
+                        CASE WHEN pb.b = -1 THEN bucket
+                             ELSE xor(bucket, (1::BIGINT << pb.b)) END AS probe
+                 FROM tb, (VALUES {_D_MT_PROBES}) pb(b)
+                 WHERE vec_id < 8),
+    mtmpc AS (SELECT DISTINCT q.vec_id AS query_id,
+                     c.vec_id AS neighbor_id, {_D_COS} AS cs
+              FROM mtprobes q JOIN tb c
+              ON q.t = c.t AND q.probe = c.bucket
+                 AND c.vec_id != q.vec_id),
+    mtmp AS (SELECT query_id, neighbor_id
+             FROM (SELECT query_id, neighbor_id,
+                          row_number() OVER (
+                              PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id) AS rnk
+                   FROM mtmpc)
+             WHERE rnk <= 5),
     hits AS (
         {_D_ANN_HITS}
     )
-    SELECT method, n_hits, n_returned, n_exact,
+    SELECT method, n_hits, n_returned, n_candidates, n_exact,
            CAST(round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS DOUBLE)
                AS recall_at_5
     FROM hits CROSS JOIN nex
     """,
-    doc="self-measuring ANN quality gate: recall@5 of every registered "
-    "ANN method (single-probe LSH, multi-probe LSH, multi-table LSH — "
-    "the _ANN_METHODS list drives both this query and its oracle) "
-    "against the exact brute-force top-5, computed in-engine "
-    "(semi-join hit counts over the SAME deterministic result sets "
-    "the individual queries emit — exact integer counts, one division "
-    "at the end).  The number the 100 TB operator is tuned by: at "
-    "L=10 tables x 4 planes, multi-table recall@5 = 0.825 at sf0.01 "
-    "with candidates ~47% of a 500-vector corpus (the fraction falls "
-    "with n at fixed bucket granularity; planes-per-table is the "
-    "knob that holds per-bucket width at scale)",
+    doc="self-measuring ANN quality gate: recall@5 AND candidate count "
+    "of every registered ANN method (single-probe LSH, multi-probe "
+    "LSH, multi-table LSH, multi-table+multi-probe LSH — the "
+    "_ANN_METHODS list drives both this query and its oracle) against "
+    "the exact brute-force top-5, computed in-engine (semi-join hit "
+    "counts over the SAME deterministic result sets the individual "
+    "queries emit — exact integer counts, one division at the end). "
+    "n_candidates is the scored-pair count each method pays for its "
+    "recall — THE trade the 100 TB operator tunes: at sf0.01, "
+    "multi-table (L=10 x 4 planes) gives 0.825, and composing "
+    "Hamming-1 probes into each table (mtmp) lifts recall past 0.9 "
+    "while candidates stay far below the n^2 brute-force pair count "
+    "(the fraction falls with n at fixed bucket granularity; "
+    "planes-per-table holds per-bucket width at scale)",
 )
 def q_ann_recall_report(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1250,7 +1298,7 @@ def q_ann_recall_report(spark, sf_dir):
     )
     n_exact = exact5.agg(F.count("*").alias("n_exact"))
     reports = []
-    for name, _, fn in _ANN_METHODS:
+    for name, _, _, fn, cand_fn in _ANN_METHODS:
         res = fn(emb, pred, k=5).select("query_id", "neighbor_id")
         # one pass per method: a left join against the ground truth
         # yields n_returned (all rows) and n_hits (matched rows) from
@@ -1265,8 +1313,18 @@ def q_ann_recall_report(spark, sf_dir):
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
             F.count("*").alias("n_returned"),
         )
+        # the cost side of the trade: how many scored pairs this
+        # method's candidate generation paid for the recall above
+        ncand = cand_fn(emb, pred).agg(
+            F.count("*").alias("n_candidates")
+        )
         reports.append(
-            counts.select(F.lit(name).alias("method"), "n_hits", "n_returned")
+            counts.crossJoin(F.broadcast(ncand)).select(
+                F.lit(name).alias("method"),
+                "n_hits",
+                "n_returned",
+                "n_candidates",
+            )
         )
     out = reports[0]
     for r in reports[1:]:
@@ -1275,6 +1333,7 @@ def q_ann_recall_report(spark, sf_dir):
         "method",
         "n_hits",
         "n_returned",
+        "n_candidates",
         "n_exact",
         F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 4).alias(
             "recall_at_5"

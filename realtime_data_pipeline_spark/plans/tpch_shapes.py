@@ -519,6 +519,7 @@ def q_sole_late_suppliers(spark, sf_dir):
     "the LIKE-filtered part dim shrinks the probe before the orders "
     "join, so the only fact-fact shuffle (lineitem⋈orders on "
     "l_orderkey) moves pre-filtered rows",
+    bench=True,
 )
 def q_nation_year_profit(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -574,6 +575,7 @@ def q_nation_year_profit(spark, sf_dir):
     "share computed as a conditional decimal sum over the SAME "
     "aggregate pass (no second scan).  The share divides two exact "
     "decimal sums once, then rounds — order-independent",
+    bench=True,
 )
 def q_region_market_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")

@@ -49,9 +49,20 @@ same effect from partition-overwrite idempotency.)
 Scale shape: the store is O(seen docs × n_perms) rows of small
 integers — tiny next to the text; the probe is the SAME bounded
 equi-join as batch LSH (cost ∝ matching buckets, never corpus size).
-At 100 TB the store is additionally bucket-partitioned by
-(band, bucket % K) so the probe prunes directories, and the hot-bucket
-skew cap applies exactly as in batch (functions/dedup.py
+Every store partition is sub-partitioned by
+bucket_grp = hash(band, bucket) % N_STORE_BUCKETS (the join carries
+the same derived key on both sides, so bucket-group pruning is
+available to the planner), and `compact_store` bounds directory
+growth: committed `batch=<id>/` partitions fold into one consolidated
+negative-id generation, so the store's directory count stays
+O(N_STORE_BUCKETS + batches-since-compaction) instead of growing one
+directory per micro-batch forever.  Compaction only ever touches
+COMMITTED batches (`keep_last` highest live ids stay untouched — the
+only batches Structured Streaming can replay), so the in-flight-batch
+exclusion that makes replay safe keeps working; a crash mid-compaction
+leaves duplicate rows across generations, which the probe tolerates
+(matches feed a distinct) and the next compaction folds away.  The
+hot-bucket skew cap applies exactly as in batch (functions/dedup.py
 MAX_BUCKET_WIDTH).  Docs too short to shingle (< 3 tokens) carry no
 near-dup evidence and are accepted without entering the store.
 
@@ -69,6 +80,13 @@ from pyspark.sql import functions as F
 from realtime_data_pipeline_spark.functions import dedup
 
 DUP_MIN_AGREE = 6  # of N_PERMS=12 signature rows ⇒ est. Jaccard ≥ 0.5
+N_STORE_BUCKETS = 16  # bucket_grp sub-partitions per store generation
+
+
+def _bucket_grp() -> "F.Column":
+    return F.pmod(F.xxhash64("band", "bucket"), F.lit(N_STORE_BUCKETS)).cast(
+        "int"
+    )
 
 
 def _band_rows(docs: DataFrame, n_perms: int) -> DataFrame:
@@ -114,7 +132,11 @@ def dedup_batch(
     monitor; the data itself moves executor-side only).
     """
     spark = batch.sparkSession
-    rows = _band_rows(batch, n_perms).persist()
+    rows = (
+        _band_rows(batch, n_perms)
+        .withColumn("bucket_grp", _bucket_grp())
+        .persist()
+    )
 
     # docs too short to shingle never produce band rows — they are
     # trivially novel (no near-dup evidence either way)
@@ -154,7 +176,12 @@ def dedup_batch(
             rows.alias("b")
             .join(
                 store.alias("s"),
-                (F.col("b.band") == F.col("s.band"))
+                # bucket_grp is derived from (band, bucket) so the
+                # extra equality is semantically redundant — it exists
+                # to hand the planner a partition-column join key for
+                # store-side bucket-group pruning
+                (F.col("b.bucket_grp") == F.col("s.bucket_grp"))
+                & (F.col("b.band") == F.col("s.band"))
                 & (F.col("b.bucket") == F.col("s.bucket"))
                 & (F.col("b.doc_id") != F.col("s.doc_id")),
             )
@@ -180,13 +207,84 @@ def dedup_batch(
     # accepted data first — durable even if the store write dies; both
     # writes are idempotent partition overwrites keyed by batch_id.
     accepted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-    rows.select("doc_id", "sigs", "band", "bucket").write.mode(
-        "overwrite"
-    ).parquet(f"{store_dir}/batch={batch_id}")
+    rows.select(
+        "doc_id", "sigs", "band", "bucket", "bucket_grp"
+    ).write.partitionBy("bucket_grp").mode("overwrite").parquet(
+        f"{store_dir}/batch={batch_id}"
+    )
 
     accepted.unpersist()
     rows.unpersist()
     return n_accepted
+
+
+def _list_batch_ids(spark, store_dir: str) -> list[int]:
+    """Partition ids under the store from filesystem truth (works on
+    any Hadoop-compatible FS, not just local disk)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    ids = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def compact_store(spark, store_dir: str, keep_last: int = 1) -> int:
+    """Fold committed `batch=<id>/` store partitions into one
+    consolidated generation so directory count stays bounded.
+
+    The `keep_last` HIGHEST live (non-negative) batch ids are never
+    touched: Structured Streaming can only replay the latest
+    uncommitted batch, and the replay contract (dedup_batch's
+    in-flight-partition exclusion + first-writer-wins) requires that
+    batch's rows to still live in its own partition.  Everything else
+    — older live batches and prior consolidated generations — is
+    committed history whose PRESENCE matters to the probe but whose
+    layout doesn't, so it rewrites into `batch=<next negative id>/`
+    sub-partitioned by bucket_grp, then the folded directories are
+    deleted.  Crash-safe without a transaction: if the delete phase
+    dies, rows exist in both the new generation and leftover folded
+    dirs — the probe's distinct makes duplicates harmless and the next
+    compaction folds the leftovers.  Idempotent: re-running with
+    nothing to fold is a no-op.
+
+    Returns the number of partitions folded (0 = no-op).
+    """
+    ids = _list_batch_ids(spark, store_dir)
+    live = [i for i in ids if i >= 0]
+    keep = set(live[len(live) - keep_last:]) if keep_last > 0 else set()
+    fold = [i for i in ids if i not in keep]
+    if len(fold) < 2:  # nothing to consolidate
+        return 0
+    new_id = min([0, *ids]) - 1
+
+    store = spark.read.parquet(store_dir).where(F.col("batch").isin(fold))
+    (
+        store.select("doc_id", "sigs", "band", "bucket", "bucket_grp")
+        # post-crash leftovers can duplicate a doc's rows across
+        # generations; (doc_id, band) is the store's natural key
+        .dropDuplicates(["doc_id", "band"])
+        .repartition("bucket_grp")
+        .write.partitionBy("bucket_grp")
+        .mode("overwrite")
+        .parquet(f"{store_dir}/batch={new_id}")
+    )
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for i in fold:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch={i}"), True)
+    return len(fold)
 
 
 def start_incremental_dedup(
@@ -196,11 +294,19 @@ def start_incremental_dedup(
     checkpoint_dir: str,
     n_perms: int = dedup.N_PERMS,
     min_agree: int = DUP_MIN_AGREE,
+    compact_every: int | None = None,
 ):
-    """Attach the filter to a document stream (availableNow in tests)."""
+    """Attach the filter to a document stream (availableNow in tests).
+
+    `compact_every=N` runs `compact_store` after every Nth batch —
+    keep_last=1 keeps the just-written (still-uncommitted) batch
+    partition live, so a replay of that batch stays idempotent even
+    when it races a compaction."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         dedup_batch(batch, store_dir, out_dir, batch_id, n_perms, min_agree)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_store(batch.sparkSession, store_dir, keep_last=1)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -58,9 +58,14 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFram
 #
 # Gated on BOTH the PySpark API and a functional google.protobuf: the
 # TransformWithStateInPySpark runner speaks protobuf to the JVM, and
-# this container ships a broken protobuf install (descriptor module
-# missing).  applyInPandasWithState above is the dependency-free
-# fallback covering the same custom-stateful slot.
+# this container has NO google.protobuf at all (and installs are not
+# permitted), so `user_stats_tws` below has NEVER EXECUTED here — its
+# test (tests/test_streaming.py::test_transform_with_state_user_stats)
+# skips.  Treat this path as UNVERIFIED until it runs in an
+# environment with protobuf; the claim for the custom-stateful
+# operator slot rests on the applyInPandasWithState twin above, which
+# is the dependency-free implementation of the same semantics and is
+# fully tested (streaming_running_user_totals is driver-hash-checked).
 
 
 def tws_available() -> bool:

@@ -401,3 +401,63 @@ def test_fuzzy_prefix_dups_finds_planted_typos(spark):
         4 not in pair and 5 not in pair and 6 not in pair and 8 not in pair
         for pair in got
     )
+
+
+def test_profile_frame_approx_mode(spark):
+    """documents_profile's 100 TB posture (VERDICT r4 next-round #6):
+    exact=False swaps countDistinct -> approx_count_distinct with the
+    SAME output schema, estimates within HLL++ tolerance of exact, and
+    a plan free of the Expand-based exact-distinct (which multiplies
+    pre-shuffle rows by the number of profiled columns)."""
+    from realtime_data_pipeline_spark.plans.extras import profile_frame
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = profile_frame(docs, exact=True)
+    approx = profile_frame(docs, exact=False)
+    assert exact.schema == approx.schema
+
+    e = {r["column_name"]: r for r in exact.collect()}
+    a = {r["column_name"]: r for r in approx.collect()}
+    assert set(e) == set(a)
+    for col, er in e.items():
+        ar = a[col]
+        assert ar["n_nulls"] == er["n_nulls"]
+        assert ar["min_val"] == er["min_val"]
+        assert ar["max_val"] == er["max_val"]
+        # HLL++ default rsd is 5%; allow 10% slack on small counts
+        assert abs(ar["n_distinct"] - er["n_distinct"]) <= max(
+            2, 0.1 * er["n_distinct"]
+        ), (col, ar["n_distinct"], er["n_distinct"])
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the cost approx mode removes
+
+
+def test_ann_recall_target(spark):
+    """VERDICT r4 next-round #5: the best ANN method must reach
+    recall@5 >= 0.9 while its candidate set stays far below the n^2
+    brute-force pair count (the report's own n_candidates column is
+    the evidence — measured in-engine at the driver's sf0.01 scale)."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    from conftest import SF_DIR_MID
+
+    rows = {
+        r["method"]: r
+        for r in REGISTRY["ann_recall_report"].fn(spark, SF_DIR_MID).collect()
+    }
+    best = rows["lsh_multitable_multiprobe"]
+    assert best["recall_at_5"] >= 0.9, best
+    n = (
+        spark.read.parquet(f"{SF_DIR_MID}/embeddings.parquet").count()
+    )
+    assert best["n_candidates"] < 0.05 * n * (n - 1), (best, n)
+    # the recall ladder is monotone: each added lever buys recall
+    assert (
+        rows["lsh"]["recall_at_5"]
+        <= rows["lsh_multiprobe"]["recall_at_5"]
+        <= rows["lsh_multitable"]["recall_at_5"]
+        <= best["recall_at_5"]
+    )

@@ -77,4 +77,8 @@ def test_streaming_throughput_beats_baseline(spark, tmp_path):
     print(f"\nstreaming throughput: {n_events} events in {elapsed:.2f}s "
           f"= {rate:.0f} events/s (baseline target: 1000/s)")
     assert table.read().count() > 0
-    assert rate >= 2000, f"{rate:.0f} events/s below 2x the 1000/s baseline"
+    # Measured steady state is ~14k events/s (round 4); 6,000 keeps 2x+
+    # headroom for CI noise while making a 2x streaming regression fail
+    # loudly instead of coasting on the old 2,000 floor (still 6x the
+    # reference's 1,000/s producer operating point).
+    assert rate >= 6000, f"{rate:.0f} events/s below the 6k floor"
