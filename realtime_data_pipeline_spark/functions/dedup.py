@@ -315,9 +315,29 @@ SHINGLE_HASHES_EXPR = (
 def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, sh: array<int64>, n_sh): each document's DISTINCT 3-gram
     shingle hashes — the polynomial token-hash values MinHash uses, so
-    the shuffle payload is 8-byte ints, never 3-word strings."""
+    the shuffle payload is 8-byte ints, never 3-word strings.
+
+    Repartition first for the same reason as minhash_signatures: the
+    per-token md5 map is the CPU-bound stage, and upstream scan
+    parallelism (single-row-group test parquet: ONE task) rarely
+    matches its ideal width — measured 45 s single-task vs ~3 s wide at
+    sf0.1.  The tiny doc_id shuffle buys a fully parallel map stage;
+    a downstream filter on doc_id still prunes before the shuffle.
+
+    Persisted before return: both consumers (ngram_jaccard_pairs,
+    benchmark_contamination) EXPLODE the shingle arrays, and a live
+    Generate over this interpreted higher-order-function projection
+    re-evaluates the whole tokenize+md5+shingle expression per output
+    ELEMENT (measured: 50 s vs 0.4 s from a materialized source at
+    sf0.1 — an exchange between does not help, the optimizer re-hoists
+    the projection above it).  Persist is the materialization barrier
+    that makes explode read computed arrays.  Lazy consumers ⇒ no
+    eager unpersist; repeat callers rely on LRU eviction (bench.py
+    clearCache()s between timed runs)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.withColumn("toks", F.expr(TOKENS_EXPR))
+        docs.repartition(n, "doc_id")
+        .withColumn("toks", F.expr(TOKENS_EXPR))
         .where(F.size("toks") >= 3)
         .withColumn(
             "th",
@@ -331,6 +351,7 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
             F.array_distinct(F.expr(SHINGLE_HASHES_EXPR)).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
+        .persist()
     )
 
 

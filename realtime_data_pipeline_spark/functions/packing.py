@@ -44,7 +44,7 @@ from realtime_data_pipeline_spark.operators import writer
 
 _METRIC_SCHEMA = (
     "n_bins long, n_docs long, total_tokens long, "
-    "max_bin_tokens long, n_overflow long"
+    "max_bin_tokens long, n_overflow long, overflow_tokens long"
 )
 
 
@@ -54,12 +54,14 @@ def _ffd_group(
     pdf = pdf.sort_values(["nt", "doc_id"], ascending=[False, True])
     loads: list[int] = []
     n_overflow = 0
+    overflow_tokens = 0
     for nt in pdf["nt"].to_numpy():
         nt = int(nt)
         if nt > capacity:
             # an unsplittable doc larger than the window: solo bin
             loads.append(nt)
             n_overflow += 1
+            overflow_tokens += nt
             continue
         for i, load in enumerate(loads):
             if load + nt <= capacity:
@@ -76,6 +78,7 @@ def _ffd_group(
             "total_tokens": [total],
             "max_bin_tokens": [max(loads) if loads else 0],
             "n_overflow": [n_overflow],
+            "overflow_tokens": [overflow_tokens],
         }
     )
     return pd.DataFrame(out)

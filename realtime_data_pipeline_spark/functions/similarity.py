@@ -226,11 +226,40 @@ DIM = 64
 
 def _plane_component_expr(p: str, d: str) -> str:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived 60-bit integer scaled.  Identical in DuckDB."""
+    md5-derived 60-bit integer scaled.  Identical in DuckDB.  Used by
+    the ORACLE SQL; the Spark side inlines the same values as a folded
+    literal (see _plane_component / _planes_literal below)."""
     return (
         f"cast(conv(substr(md5(concat('hp_', {p}, '_', {d})), 1, 15), 16, 10) as bigint)"
         f" / cast(576460752303423488 as double) - 1.0"
     )
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Python twin of _plane_component_expr — bit-identical doubles
+    (same md5 hex prefix, same IEEE int→double cast, division, and
+    subtraction), precomputed ONCE instead of per row: the in-lambda
+    md5 cannot constant-fold (its argument contains the lambda
+    variables), so the expression form re-hashed planes×dims times per
+    vector — measured 11 s to bucket 5,000 vectors at sf0.1; the
+    literal form is ~1 s."""
+    import hashlib
+
+    h = hashlib.md5(f"hp_{p}_{d}".encode()).hexdigest()[:15]
+    return float(int(h, 16)) / 576460752303423488.0 - 1.0
+
+
+def _planes_literal(plane_ids) -> str:
+    """Nested array literal: element_at(·, p+1) is a plane (1-based),
+    element_at(plane, d) its d-th component (d = 1..DIM, matching the
+    1-based element_at over the embedding)."""
+    rows = ", ".join(
+        "array("
+        + ", ".join(repr(_plane_component(p, d)) for d in range(1, DIM + 1))
+        + ")"
+        for p in plane_ids
+    )
+    return f"array({rows})"
 
 
 LSH_BUCKET_EXPR = f"""aggregate(
@@ -239,7 +268,9 @@ LSH_BUCKET_EXPR = f"""aggregate(
     (acc, p) -> acc + CASE WHEN
         aggregate(sequence(1, {DIM}), cast(0.0 as double),
                   (a, d) -> a + cast(element_at(embedding, d) as double)
-                              * ({_plane_component_expr('p', 'd')})) > 0
+                              * element_at(element_at(
+                                    {_planes_literal(range(N_PLANES))},
+                                    p + 1), d)) > 0
         THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""
 
 
@@ -365,7 +396,8 @@ PLANES_PER_TABLE = 4
 def _table_bucket_expr(t: int, ppt: int = PLANES_PER_TABLE) -> str:
     """Sign bucket over this table's OWN hyperplane family (global plane
     index t·ppt + p — tables are independent because the md5 keys
-    differ)."""
+    differ).  Plane components inlined as a folded literal, same as
+    LSH_BUCKET_EXPR (see _plane_component)."""
     lo = t * ppt
     return f"""aggregate(
     sequence(0, {ppt - 1}),
@@ -373,7 +405,9 @@ def _table_bucket_expr(t: int, ppt: int = PLANES_PER_TABLE) -> str:
     (acc, p) -> acc + CASE WHEN
         aggregate(sequence(1, {DIM}), cast(0.0 as double),
                   (a, d) -> a + cast(element_at(embedding, d) as double)
-                              * ({_plane_component_expr(f'({lo} + p)', 'd')})) > 0
+                              * element_at(element_at(
+                                    {_planes_literal(range(lo, lo + ppt))},
+                                    p + 1), d)) > 0
         THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"""
 
 

@@ -1080,13 +1080,22 @@ def q_doc_chunks(spark, sf_dir):
 )
 def q_doc_repetition_scores(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.expr(_SPARK_TH).alias("th"))
+    # persist the token-hash arrays before exploding: Generate merges
+    # its input expression past projections, so an un-materialized th
+    # is re-inlined at every element_at site inside the shingle HOF
+    # and the md5 token map re-executes per shingle (the same
+    # pathology measured at 50 s in shingle_sets — see its docstring).
+    # Bound th ⇒ one md5 pass; LRU eviction reclaims the cache.
+    n = spark.sparkContext.defaultParallelism
+    th = (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", F.expr(_SPARK_TH).alias("th"))
         .where(F.size("th") >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.expr(dedup.SHINGLE_HASHES_EXPR)).alias("shingle"),
-        )
+        .persist()
+    )
+    sh = th.select(
+        "doc_id",
+        F.explode(F.expr(dedup.SHINGLE_HASHES_EXPR)).alias("shingle"),
     )
     per = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
     return per.groupBy("doc_id").agg(

@@ -566,6 +566,62 @@ def q_ffd_packing_stats(spark, sf_dir):
 
 
 @register(
+    "ffd_packing_report",
+    # Invariant oracle (kmeans_codebook_report pattern): the per-group
+    # bin ASSIGNMENT is sequential state no SQL can replay, but three
+    # mathematical invariants of any first-fit packing are checkable,
+    # and the group/doc/token totals are exact SQL aggregates — this is
+    # the hash-checkable sibling of the rows-only ffd_packing_stats.
+    f"""
+    WITH s AS (SELECT (('0x' || substr({_D_DOC_HASH}, 1, 4))::BIGINT % 4)
+                          AS shard,
+                      lang, len({D_TOKS}) AS nt
+               FROM documents)
+    SELECT count(DISTINCT (shard, lang)) AS n_groups,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           TRUE AS capacity_ok,
+           TRUE AS lower_bound_ok,
+           TRUE AS half_full_ok
+    FROM s
+    """,
+    doc="FFD packing invariants, measured over the REAL applyInPandas "
+    "packing run and reduced to one row: totals conserved (n_groups / "
+    "n_docs / total_tokens are exact and SQL-mirrored), every "
+    "non-overflow bin within capacity, per-group bin count between "
+    "the token-sum lower bound ceil((total - overflow)/capacity) + "
+    "overflow solo bins and the any-fit half-full upper bound "
+    "floor(2*(total - overflow)/capacity) + 1 + overflow (all but one "
+    "non-overflow bin is > half full, or the later bin's first doc "
+    "would have fit in the earlier)",
+)
+def q_ffd_packing_report(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import packing
+
+    stats = packing.ffd_packing_stats(
+        _t(spark, sf_dir, "documents"), PACK_CAPACITY, n_shards=4
+    )
+    packed = F.col("total_tokens") - F.col("overflow_tokens")
+    nonoverflow_bins = F.col("n_bins") - F.col("n_overflow")
+    return stats.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.bool_and(
+            (F.col("max_bin_tokens") <= PACK_CAPACITY)
+            | (F.col("n_overflow") > 0)
+        ).alias("capacity_ok"),
+        F.bool_and(
+            nonoverflow_bins >= F.ceil(packed / F.lit(PACK_CAPACITY))
+        ).alias("lower_bound_ok"),
+        F.bool_and(
+            nonoverflow_bins
+            <= F.floor(F.lit(2) * packed / F.lit(PACK_CAPACITY)) + 1
+        ).alias("half_full_ok"),
+    )
+
+
+@register(
     "split_leakage_audit",
     f"""
     WITH {_MINHASH_CTES},

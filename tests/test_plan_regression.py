@@ -46,8 +46,14 @@ EXPECTED_SHUFFLES = {
     "train_split_counts": 1,  # map-side selector + one rollup
     "sequence_packing_stats": 1,
     "vocab_oov_rates": 2,
-    "benchmark_contamination": 3,
-    "doc_repetition_scores": 2,
+    # 5 = shingle_sets' parallelizing repartition appears once per
+    # consumer branch (bench + corpus — one real shuffle, the cached
+    # subtree re-prints) + bench-distinct + doc_id rollup + ordered
+    # render.  Wall-clock at sf0.1: 82 s -> 6.7 s after the persist
+    # materialization barrier (explode re-evaluated the shingle
+    # expression per element on a live plan).
+    "benchmark_contamination": 5,
+    "doc_repetition_scores": 3,  # widen-scan repartition; 2 keyed rollups
     "doc_chunks": 0,  # pure map
     "mixture_sample_stats": 1,
     "shard_skew_stats": 2,
@@ -58,6 +64,14 @@ EXPECTED_SHUFFLES = {
     "approx_quantiles_report": 1,
     "fuzzy_prefix_dups": 3,  # t1 + t2 bucket lists; pair distinct (levenshtein map-side)
     "documents_profile": 2,  # one agg pass; stack unpivot is free
+    "ffd_packing_report": 2,  # (shard,lang) grouped-map; 1-row reduce
+    # round-5 rotate-ins (kmeans_codebook_report and
+    # streaming_corpus_materialized_stats are multi-action driver-side
+    # reports, not single plans — covered by their own tests instead)
+    "priority_metrics_unpivot": 1,
+    "value_percentiles": 1,
+    "event_dedup_counts": 3,  # row-identity distinct; rollup; ordered render
+    "latest_event_per_user": 1,  # one user_id exchange feeds max_by
 }
 
 

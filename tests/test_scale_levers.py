@@ -461,3 +461,57 @@ def test_ann_recall_target(spark):
         <= rows["lsh_multitable"]["recall_at_5"]
         <= best["recall_at_5"]
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark):
+    """100 TB lever: when a selective dim-side predicate feeds a
+    sort-merge fact-fact join, Spark's runtime bloom filter (on by
+    default in Spark 4) injects a bloom_filter_agg of the creation
+    side's join keys into the application side's scan — rows that
+    cannot join die at the scan instead of riding the shuffle.  Pinned
+    here so a conf regression (or an edit that disables AQE/bloom)
+    fails loudly; results must be identical with the filter off."""
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        # force SMJ (test-scale orders would broadcast) and drop the
+        # application-side size floor so the test corpus qualifies
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        got = sorted(map(tuple, j.collect()))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        unfiltered = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, unfiltered.collect())) == got
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            saved_scan,
+        )
