@@ -134,3 +134,46 @@ def doc_fingerprint(text_col: str = "text") -> Column:
               cast(0 as bigint),
               (acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD})"""
     )
+
+
+# --- PII detection / redaction ---------------------------------------------
+#
+# The standard pre-training scrub step: find and mask emails, phone-like
+# number runs, and IPv4 literals before a corpus ships to training.
+# Patterns are the conservative common subset of Java regex (Spark) and
+# RE2-ish (DuckDB) dialects — character classes and bounded quantifiers
+# only, no lookarounds — so the SAME pattern string drives both engines
+# and the oracle is byte-exact.  Detection is all JVM built-ins
+# (regexp_count / regexp_replace); no UDFs.
+
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — letters/digits/._%+- local part, dotted domain
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # 7+ digit runs allowing single spaces/dashes/dots between groups,
+    # optional leading +country
+    "phone": r"\+?[0-9]{2,4}([ .-]?[0-9]{2,4}){2,4}",
+    # dotted-quad (over-matches 999.…; fine for a scrub step that
+    # prefers recall)
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_count(kind: str, text_col: str = "text") -> Column:
+    """Occurrences of one PII pattern (0 on NULL text)."""
+    return F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind])),
+        F.lit(0),
+    ).cast("long")
+
+
+def scrub_pii(text_col: str = "text") -> Column:
+    """Masked text: each PII match replaced by its [KIND] tag.  Email
+    first — an email contains dots+digits a phone/ip pattern could
+    otherwise partially claim; ipv4 before phone so dotted quads don't
+    decay into digit-run matches."""
+    col = F.col(text_col)
+    for kind in ("email", "ipv4", "phone"):
+        col = F.regexp_replace(
+            col, PII_PATTERNS[kind], f"[{kind.upper()}]"
+        )
+    return col

@@ -692,3 +692,81 @@ def profile_frame(df, cols=_PROFILE_COLS, exact: bool = True):
 )
 def q_documents_profile(spark, sf_dir):
     return profile_frame(_t(spark, sf_dir, "documents"), exact=True)
+
+
+def _d_pii(kind: str) -> str:
+    from realtime_data_pipeline_spark.functions.text import PII_PATTERNS
+
+    # single-quote-escape for SQL embedding; patterns contain none today
+    return PII_PATTERNS[kind].replace("'", "''")
+
+
+@register(
+    "pii_scrub_stats",
+    f"""
+    WITH p AS (
+        SELECT source, text,
+               len(regexp_extract_all(text, '{{email}}')) AS email_n,
+               len(regexp_extract_all(text, '{{phone}}')) AS phone_n,
+               len(regexp_extract_all(text, '{{ipv4}}')) AS ipv4_n,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{{email}}', '[EMAIL]', 'g'),
+                       '{{ipv4}}', '[IPV4]', 'g'),
+                   '{{phone}}', '[PHONE]', 'g') AS scrubbed
+        FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN email_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_email,
+           CAST(sum(email_n) AS BIGINT) AS email_hits,
+           CAST(sum(CASE WHEN phone_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_phone,
+           CAST(sum(phone_n) AS BIGINT) AS phone_hits,
+           CAST(sum(CASE WHEN ipv4_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_ipv4,
+           CAST(sum(ipv4_n) AS BIGINT) AS ipv4_hits,
+           CAST(sum(CASE WHEN scrubbed != text THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_scrubbed
+    FROM p GROUP BY source
+    """.replace("{email}", _d_pii("email"))
+    .replace("{phone}", _d_pii("phone"))
+    .replace("{ipv4}", _d_pii("ipv4")),
+    doc="PII audit + redaction dry-run over the corpus: per source, how "
+    "many docs carry emails / phone-like digit runs / IPv4 literals, "
+    "total occurrences, and how many docs the scrub pass would change. "
+    "One scan + one rollup, all JVM regex built-ins (regexp_count / "
+    "regexp_replace) — the pattern strings are the conservative "
+    "Java-regex/RE2 common subset so the SAME patterns drive both "
+    "engines (functions/text.py PII_PATTERNS; planted-fixture proof in "
+    "tests/test_scale_levers.py).  The scrub itself is "
+    "text.scrub_pii() — a pure map, zero shuffle, usable as a "
+    "write-path projection at any scale",
+)
+def q_pii_scrub_stats(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "source",
+        "text",
+        T.pii_count("email").alias("email_n"),
+        T.pii_count("phone").alias("phone_n"),
+        T.pii_count("ipv4").alias("ipv4_n"),
+        T.scrub_pii().alias("scrubbed"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("email_n") > 0).cast("int")).cast("bigint")
+        .alias("docs_with_email"),
+        F.sum("email_n").cast("bigint").alias("email_hits"),
+        F.sum((F.col("phone_n") > 0).cast("int")).cast("bigint")
+        .alias("docs_with_phone"),
+        F.sum("phone_n").cast("bigint").alias("phone_hits"),
+        F.sum((F.col("ipv4_n") > 0).cast("int")).cast("bigint")
+        .alias("docs_with_ipv4"),
+        F.sum("ipv4_n").cast("bigint").alias("ipv4_hits"),
+        F.sum((F.col("scrubbed") != F.col("text")).cast("int"))
+        .cast("bigint")
+        .alias("docs_scrubbed"),
+    )

@@ -72,6 +72,7 @@ EXPECTED_SHUFFLES = {
     "value_percentiles": 1,
     "event_dedup_counts": 3,  # row-identity distinct; rollup; ordered render
     "latest_event_per_user": 1,  # one user_id exchange feeds max_by
+    "pii_scrub_stats": 1,  # regex counts are map-side; one source rollup
 }
 
 

@@ -515,3 +515,45 @@ def test_runtime_bloom_filter_prunes_fact_join(spark):
             "applicationSideScanSizeThreshold",
             saved_scan,
         )
+
+
+def test_pii_detection_and_scrub(spark):
+    """Planted-PII proof for the scrub operators (the synthetic corpus
+    carries no organic PII, so the registry rollup's nonzero columns
+    rest on these fixtures): each pattern catches its plant, the scrub
+    masks ALL occurrences with the kind tag, and clean text passes
+    through byte-identical."""
+    from realtime_data_pipeline_spark.functions import text as T
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "call +1 555-123-4567 or 020 7946 0958 today"),
+        (3, "server at 192.168.10.254 timed out"),
+        (4, "plain text with no sensitive content at all"),
+        (5, "mix: bob@site.org and 10.0.0.1 and +44 7700 900123"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.pii_count("email").alias("e"),
+            T.pii_count("phone").alias("p"),
+            T.pii_count("ipv4").alias("i"),
+            T.scrub_pii().alias("s"),
+        ).collect()
+    }
+    assert got[1]["e"] == 1 and got[1]["p"] == 0
+    assert got[2]["p"] == 2 and got[2]["e"] == 0
+    assert got[3]["i"] == 1
+    assert (got[4]["e"], got[4]["p"], got[4]["i"]) == (0, 0, 0)
+    assert got[4]["s"] == rows[3][1]  # clean text untouched
+    assert got[5]["e"] == 1 and got[5]["i"] == 1 and got[5]["p"] >= 1
+    assert got[6]["e"] == 0 and got[6]["s"] is None
+
+    assert "[EMAIL]" in got[1]["s"] and "jane.doe" not in got[1]["s"]
+    assert got[2]["s"].count("[PHONE]") == 2 and "4567" not in got[2]["s"]
+    assert "[IPV4]" in got[3]["s"] and "192.168" not in got[3]["s"]
+    for kind in ("EMAIL", "IPV4", "PHONE"):
+        assert f"[{kind}]" in got[5]["s"]
