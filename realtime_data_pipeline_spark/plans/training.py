@@ -660,3 +660,105 @@ def q_split_leakage_audit(spark, sf_dir):
         .groupBy("split_lo", "split_hi")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+TEMP_TARGET_TOKENS = 50_000
+_TEMP_SCALE = 1_000_000
+
+# finer 6-hex-char bucket for rate thresholds computed from data (the
+# tier sampler above only needs integer percents)
+_D_TBUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 6))"
+    f"::BIGINT % {_TEMP_SCALE})"
+)
+
+
+def _tbucket_col():
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source")))
+    return (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % _TEMP_SCALE
+    )
+
+
+@register(
+    "temperature_mixture_stats",
+    f"""
+    WITH t AS (SELECT source, len({D_TOKS}) AS nt, {_D_TBUCKET} AS bucket
+               FROM documents),
+    agg AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source),
+    tot AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM agg),
+    r AS (SELECT source, n_docs, n_tokens,
+                 CAST(floor(least(1.0,
+                     ({TEMP_TARGET_TOKENS} * (sqrt(CAST(n_tokens AS DOUBLE)) / z))
+                     / CAST(n_tokens AS DOUBLE)) * {_TEMP_SCALE}) AS BIGINT)
+                     AS cut
+          FROM agg, tot)
+    SELECT r.source, r.n_docs, r.n_tokens,
+           CAST(r.cut AS DOUBLE) / {_TEMP_SCALE} AS keep_rate,
+           CAST(sum(CASE WHEN t.bucket < r.cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN t.bucket < r.cut THEN t.nt ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM t JOIN r ON t.source = r.source
+    GROUP BY 1, 2, 3, r.cut
+    """,
+    doc="temperature-based mixture resampling (the multilingual-LM "
+    "standard): per-source keep rates computed FROM the corpus itself — "
+    "weight_s = sqrt(tokens_s) / sum(sqrt(tokens)), rate_s = min(1, "
+    "target*weight_s/tokens_s) — so low-resource sources are upweighted "
+    "relative to their share (alpha fixed at 0.5: sqrt is the one power "
+    "IEEE rounds exactly, keeping the rate bit-identical across "
+    "engines; the threshold compares INTEGER micro-buckets from the "
+    "same md5 selector family as mixture_sample_stats).  Two rollup "
+    "shuffles + a broadcast of the per-source rate table; the sampling "
+    "predicate itself is a pure map usable on the write path at any "
+    "scale",
+)
+def q_temperature_mixture_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        text.token_count().alias("nt"),
+        _tbucket_col().alias("bucket"),
+    )
+    agg = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    z = agg.agg(F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"))
+    tokens_d = F.col("n_tokens").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(TEMP_TARGET_TOKENS) * (F.sqrt(tokens_d) / F.col("z")))
+        / tokens_d,
+    )
+    r = agg.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(rate * _TEMP_SCALE).cast("bigint").alias("cut"),
+    )
+    return (
+        t.join(F.broadcast(r), "source")
+        .groupBy("source", "n_docs", "n_tokens", "cut")
+        .agg(
+            F.sum((F.col("bucket") < F.col("cut")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("cut"), F.col("nt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("cut").cast("double") / _TEMP_SCALE).alias("keep_rate"),
+            "n_kept",
+            "kept_tokens",
+        )
+    )

@@ -73,6 +73,9 @@ EXPECTED_SHUFFLES = {
     "event_dedup_counts": 3,  # row-identity distinct; rollup; ordered render
     "latest_event_per_user": 1,  # one user_id exchange feeds max_by
     "pii_scrub_stats": 1,  # regex counts are map-side; one source rollup
+    # source rollup; 1-row sqrt-sum reduce; rate table broadcast back;
+    # final rollup (the t subtree prints its exchange once per branch)
+    "temperature_mixture_stats": 4,
 }
 
 
