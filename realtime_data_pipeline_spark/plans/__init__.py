@@ -112,6 +112,14 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 #   * latest_event_per_user — per-key argmax (the keyed-upsert
 #     batch analogue);
 #   * value_percentiles — exact percentile_disc bands.
+#
+# Round-6 rotation candidates (registered round 5, parity-green, never
+# driver-checked): pii_scrub_stats, temperature_mixture_stats,
+# ffd_packing_report — plus the remaining never-checked pool
+# (e.g. doc_length_buckets, top_terms, value_stats_by_type,
+# status_priority_cube, json_wire_roundtrip, approx_distinct_users,
+# multimodal_frame_stats, synthetic_events_sample,
+# streaming_doc_quality_counts).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -579,7 +579,7 @@ def q_ffd_packing_stats(spark, sf_dir):
                FROM documents)
     SELECT count(DISTINCT (shard, lang)) AS n_groups,
            count(*) AS n_docs,
-           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens,
            TRUE AS capacity_ok,
            TRUE AS lower_bound_ok,
            TRUE AS half_full_ok
@@ -603,20 +603,31 @@ def q_ffd_packing_report(spark, sf_dir):
     )
     packed = F.col("total_tokens") - F.col("overflow_tokens")
     nonoverflow_bins = F.col("n_bins") - F.col("n_overflow")
+    # coalesce: aggregates over ZERO groups (empty corpus) are null;
+    # the report stays well-typed — 0 totals, vacuously-true invariants
     return stats.agg(
         F.count("*").alias("n_groups"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("total_tokens").alias("total_tokens"),
-        F.bool_and(
-            (F.col("max_bin_tokens") <= PACK_CAPACITY)
-            | (F.col("n_overflow") > 0)
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(
+            F.bool_and(
+                (F.col("max_bin_tokens") <= PACK_CAPACITY)
+                | (F.col("n_overflow") > 0)
+            ),
+            F.lit(True),
         ).alias("capacity_ok"),
-        F.bool_and(
-            nonoverflow_bins >= F.ceil(packed / F.lit(PACK_CAPACITY))
+        F.coalesce(
+            F.bool_and(
+                nonoverflow_bins >= F.ceil(packed / F.lit(PACK_CAPACITY))
+            ),
+            F.lit(True),
         ).alias("lower_bound_ok"),
-        F.bool_and(
-            nonoverflow_bins
-            <= F.floor(F.lit(2) * packed / F.lit(PACK_CAPACITY)) + 1
+        F.coalesce(
+            F.bool_and(
+                nonoverflow_bins
+                <= F.floor(F.lit(2) * packed / F.lit(PACK_CAPACITY)) + 1
+            ),
+            F.lit(True),
         ).alias("half_full_ok"),
     )
 

@@ -39,6 +39,9 @@ _QUERIES = [
     "documents_profile",
     "fuzzy_prefix_dups",
     "approx_quantiles_report",
+    "pii_scrub_stats",
+    "temperature_mixture_stats",
+    "ffd_packing_report",
 ]
 
 
