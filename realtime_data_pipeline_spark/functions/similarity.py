@@ -139,6 +139,92 @@ def ivf_assigned_topk(
     )
 
 
+def ivf_probe_candidates(
+    vectors: DataFrame,
+    query_pred,
+    centroid_pred,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Scored (query_id, neighbor_id, cs) pairs from probing each
+    query's `nprobe` NEAREST cells instead of only its argmax cell —
+    the IVF recall lever (faiss's nprobe): a true neighbor just across
+    a cell boundary is found by the second- or third-closest probe.
+    Index side is unchanged (every vector lives in exactly one argmax
+    cell), so the probe is still a bounded cell equi-join; only the
+    tiny query side fans out ×nprobe.  A (query, neighbor) pair can't
+    duplicate: the neighbor has one cell and the probe cells are
+    distinct."""
+    e = with_norm(vectors)
+    cents = F.broadcast(
+        e.where(centroid_pred).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    cc = F.round(
+        F.expr(DOT_EXPR.format(a="embedding", b="cent_emb"))
+        / (F.col("nrm") * F.col("cent_nrm")),
+        6,
+    )
+    scored = (
+        e.select("vec_id", "embedding", "nrm")
+        .crossJoin(cents)
+        .select("vec_id", cc.alias("cc"), "cent_id")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cc"), (-F.col("cent_id")).alias("nid"))
+        ).alias("cell")
+    )
+    # persist: the assigned table feeds both sides of the probe join
+    # (same rationale + LRU note as ivf_assigned_topk)
+    ea = e.join(assign, "vec_id").persist()
+    qw = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    qcells = (
+        e.where(query_pred)
+        .select("vec_id", "embedding", "nrm")
+        .crossJoin(cents)
+        .select("vec_id", cc.alias("cc"), "cent_id")
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= nprobe)
+        .select("vec_id", F.col("cent_id").alias("probe_cell"))
+    )
+    q = (
+        ea.join(qcells, "vec_id")
+        .select("vec_id", "embedding", "nrm", "probe_cell")
+        .alias("q")
+    )
+    c = ea.alias("c")
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.probe_cell") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            _cosine().alias("cs"),
+        )
+    )
+
+
+def ivf_multiprobe_topk(
+    vectors: DataFrame,
+    query_pred,
+    centroid_pred,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF ANN probing the top-nprobe cells per query, exact cosine
+    rerank (see ivf_probe_candidates)."""
+    return _rerank_topk(
+        ivf_probe_candidates(vectors, query_pred, centroid_pred, nprobe), k
+    )
+
+
 def ivf_topk_by_label(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
     """IVF-shaped ANN: probe only the query's coarse cell (`label`).
     Same plan as brute force but the join carries the cell equality —

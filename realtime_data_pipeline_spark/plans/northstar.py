@@ -432,6 +432,68 @@ def q_ann_ivf_assigned_topk(spark, sf_dir):
     )
 
 
+IVF_NPROBE = 3
+
+
+def _ivf_cent_pred():
+    return (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+
+
+# shared CTE stack for the nprobe oracle (also embedded in
+# ann_recall_report): centroid scores → argmax cell per vector →
+# top-nprobe probe cells per query
+_D_IVF_CTES = f"""cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                     nrm AS cent_nrm
+              FROM e WHERE vec_id >= 8 AND vec_id < 16),
+    iscored AS (SELECT v.vec_id, c.cent_id,
+                       round({_D_DOT.format(a='v.embedding', b='c.cent_emb')}
+                             / (v.nrm * c.cent_nrm), 6) AS cc
+                FROM e v, cents c),
+    iasg AS (SELECT vec_id, cent_id AS cell
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY cc DESC, cent_id) AS rn
+                   FROM iscored)
+             WHERE rn = 1),
+    iqp AS (SELECT vec_id, cent_id AS probe_cell
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cc DESC, cent_id) AS rn
+                  FROM iscored WHERE vec_id < 8)
+            WHERE rn <= {IVF_NPROBE}),
+    ivfc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {{cos}} AS cs
+             FROM e q JOIN iqp ON iqp.vec_id = q.vec_id
+             JOIN iasg ca ON ca.cell = iqp.probe_cell
+             JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id != q.vec_id)"""
+
+
+@register(
+    "ann_ivf_multiprobe_topk",
+    f"""
+    WITH e AS ({_D_E}),
+    {_D_IVF_CTES.format(cos=_D_COS)}
+    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rnk
+          FROM ivfc)
+    WHERE rnk <= 5
+    """,
+    doc=f"IVF with nprobe={IVF_NPROBE} (the faiss recall lever): each "
+    "query probes its top-3 nearest cells instead of only the argmax "
+    "cell, recovering neighbors that sit just across a cell boundary. "
+    "Index side unchanged (one argmax cell per vector, broadcast "
+    "codebook); only the tiny query side fans out x3, and the probe "
+    "stays a bounded cell equi-join + exact rerank",
+)
+def q_ann_ivf_multiprobe_topk(spark, sf_dir):
+    return similarity.ivf_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 8,
+        _ivf_cent_pred(),
+        k=5,
+        nprobe=IVF_NPROBE,
+    )
+
+
 _D_PLANE = (
     "(('0x' || substr(md5('hp_' || p || '_' || d), 1, 15))::BIGINT"
     " / CAST(576460752303423488 AS DOUBLE) - 1.0)"
@@ -1113,6 +1175,18 @@ def q_doc_repetition_scores(spark, sf_dir):
 # oracle top-k CTE, oracle candidate CTE, Spark top-k impl, Spark
 # candidate impl).  Adding an ANN method = one row here plus its two
 # CTEs — the UNION ALL and the Spark loop can't drift apart.
+def _ivf_mp_topk(vectors, query_pred, k=5):
+    return similarity.ivf_multiprobe_topk(
+        vectors, query_pred, _ivf_cent_pred(), k=k, nprobe=IVF_NPROBE
+    )
+
+
+def _ivf_mp_cands(vectors, query_pred):
+    return similarity.ivf_probe_candidates(
+        vectors, query_pred, _ivf_cent_pred(), nprobe=IVF_NPROBE
+    )
+
+
 _ANN_METHODS = (
     ("lsh", "lsh", "lshc", similarity.lsh_topk, similarity.lsh_candidates),
     (
@@ -1128,6 +1202,7 @@ _ANN_METHODS = (
         similarity.lsh_multitable_multiprobe_topk,
         similarity.multitable_multiprobe_candidates,
     ),
+    (f"ivf_nprobe{IVF_NPROBE}", "ivf", "ivfc", _ivf_mp_topk, _ivf_mp_cands),
 )
 
 _D_ANN_HITS = "\n        UNION ALL\n        ".join(
@@ -1269,6 +1344,14 @@ def q_ann_lsh_multitable_topk(spark, sf_dir):
                               ORDER BY cs DESC, neighbor_id) AS rnk
                    FROM mtmpc)
              WHERE rnk <= 5),
+    {_D_IVF_CTES.format(cos=_D_COS)},
+    ivf AS (SELECT query_id, neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id) AS rnk
+                  FROM ivfc)
+            WHERE rnk <= 5),
     hits AS (
         {_D_ANN_HITS}
     )

@@ -76,6 +76,9 @@ EXPECTED_SHUFFLES = {
     # source rollup; 1-row sqrt-sum reduce; rate table broadcast back;
     # final rollup (the t subtree prints its exchange once per branch)
     "temperature_mixture_stats": 4,
+    # argmax-cell rollup (prints per cached branch) + query top-nprobe
+    # window + per-query rank; codebook rides broadcast-only
+    "ann_ivf_multiprobe_topk": 5,
 }
 
 
