@@ -773,3 +773,49 @@ def q_temperature_mixture_stats(spark, sf_dir):
             "kept_tokens",
         )
     )
+
+
+EPOCH_SEED = "ep1"
+EPOCH_SAMPLE = 100
+
+
+@register(
+    "epoch_shuffle_sample",
+    f"""
+    WITH k AS (SELECT doc_id,
+                      md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS sk
+               FROM documents)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS position
+    FROM k
+    ORDER BY position
+    LIMIT {EPOCH_SAMPLE}
+    """,
+    doc="deterministic epoch shuffle: every doc gets a reproducible "
+    f"pseudo-random position — sort key md5('{EPOCH_SEED}:' || doc_id), "
+    "so the permutation is stable across runs/engines and changes "
+    "per epoch by reseeding.  Positions come from the "
+    "range-partitioned two-pass global row number (operators/"
+    "ranks.py) — per-partition row_number + an offsets cumsum, never "
+    "a single-partition global sort, which is what makes shuffling a "
+    "100 TB corpus feasible.  Reports the first "
+    f"{EPOCH_SAMPLE} positions (the driver-sized sample; the full "
+    "permutation is the same frame without the limit)",
+)
+def q_epoch_shuffle_sample(spark, sf_dir):
+    from realtime_data_pipeline_spark.operators import ranks
+
+    keyed = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{EPOCH_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("sk"),
+    )
+    ranked, _n = ranks.with_global_row_number(
+        keyed, ["sk", "doc_id"], rn_col="position"
+    )
+    return (
+        ranked.select("doc_id", F.col("position").cast("bigint").alias("position"))
+        .orderBy("position")
+        .limit(EPOCH_SAMPLE)
+    )

@@ -79,6 +79,10 @@ EXPECTED_SHUFFLES = {
     # argmax-cell rollup (prints per cached branch) + query top-nprobe
     # window + per-query rank; codebook rides broadcast-only
     "ann_ivf_multiprobe_topk": 5,
+    # two-pass global rank (range exchange + offsets) + ordered sample;
+    # NO Exchange SinglePartition under the window — pinned by
+    # test_global_rank_two_pass_no_single_partition_sort
+    "epoch_shuffle_sample": 3,
 }
 
 
