@@ -48,13 +48,21 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for i in range(max_iter):
         # Candidate label for each node: min over neighbours' labels.
         neigh_min = (
             sym.join(labels, sym.u == labels.node)
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("component").alias("neigh_component"))
         )
+        # The convergence metric rides the SAME job that materializes
+        # the checkpoint (observe → CollectMetrics), so each iteration
+        # is ONE distributed job — the old separate join+count doubled
+        # the per-round latency, which at diameter D is 2D driver
+        # round-trips of pure overhead.
+        obs = Observation(f"cc_iter_{i}")
         new_labels = (
             labels.join(neigh_min, labels.node == F.col("node2"), "left")
             .select(
@@ -63,17 +71,20 @@ def connected_components(
                     F.col("component"),
                     F.coalesce("neigh_component", "component"),
                 ).alias("component"),
+                (
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("neigh_component", "component"),
+                    )
+                    != F.col("component")
+                ).alias("moved"),
             )
+            .observe(obs, F.sum(F.col("moved").cast("long")).alias("changed"))
+            .select("node", "component")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not (obs.get["changed"] or 0):
             break
     sym.unpersist()
     return labels
