@@ -146,6 +146,18 @@ EXPECTED_SCAN_SHAPES = {
         # pure map over 3 of 5 columns
         "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
     ],
+    "pii_scrub_stats": [
+        # regex audit reads only (source, text) of 5 columns
+        "ReadSchema: struct<text:string,source:string>",
+    ],
+    "temperature_mixture_stats": [
+        # selector needs only (doc_id, text, source)
+        "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+    ],
+    "epoch_shuffle_sample": [
+        # permutation key needs only doc_id — the narrowest scan
+        "ReadSchema: struct<doc_id:bigint>",
+    ],
 }
 
 
