@@ -86,3 +86,45 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     reach the scan as PushedFilters and skip row groups via the
     within-file sort."""
     return spark.read.parquet(path)
+
+
+def write_corpus_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    key: str = "doc_id",
+    n_shards: int = DEFAULT_SHARDS,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    compression: str | None = "gzip",
+) -> None:
+    """Same layout as write_corpus, materialized as JSON-lines — the
+    interchange format training loaders and annotation tools consume
+    directly.  Identical single-shuffle shape (partition dirs + shard
+    dirs + key-sorted lines within each file); parquet stays the
+    analytical format, this is the EXPORT path.  Compression is
+    per-file (gzip default), so a shard file is still one atomic
+    streamable unit."""
+    out = with_shard(df, key, n_shards)
+    wtr = (
+        out.repartition(*[F.col(c) for c in partition_cols], F.col("shard"))
+        .sortWithinPartitions(*partition_cols, "shard", key)
+        .write.partitionBy(*partition_cols, "shard")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+    )
+    if compression:
+        wtr = wtr.option("compression", compression)
+    wtr.json(path)
+
+
+def read_corpus_jsonl(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Read a JSONL corpus back.  Pass the declared schema whenever it
+    is known (FIXTURES.md discipline — schema inference is a full
+    extra pass over 100 TB); partition-column filters still prune
+    directories exactly as in the parquet layout."""
+    rdr = spark.read
+    if schema is not None:
+        rdr = rdr.schema(schema)
+    return rdr.json(path)

@@ -68,3 +68,35 @@ def test_key_predicate_pushed_to_scan(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan, (
         plan[:2000]
     )
+
+
+def test_jsonl_export_roundtrip(spark, tmp_path):
+    """JSONL export: same partition/shard/sort layout as the parquet
+    writer, value-identical roundtrip under the declared schema, and
+    gzip'd line files sorted by key."""
+    import glob
+
+    out = str(tmp_path / "jsonl")
+    docs = _docs(spark)
+    writer.write_corpus_jsonl(docs, out, partition_cols=("lang",), n_shards=4)
+
+    part_dirs = glob.glob(f"{out}/lang=*")
+    assert len(part_dirs) >= 2
+    files = glob.glob(f"{out}/lang=*/shard=*/*.json.gz")
+    assert files, "expected gzip json files"
+
+    back = writer.read_corpus_jsonl(spark, out, schema=docs.schema)
+    # json partition dirs re-add lang as string; compare on docs' columns
+    got = sorted(
+        map(tuple, back.select(*docs.columns).collect())
+    )
+    want = sorted(map(tuple, docs.collect()))
+    assert got == want
+
+    # within-file key order survives (atomic streamable shards)
+    f = files[0]
+    ids = [
+        r.doc_id
+        for r in spark.read.schema(docs.schema).json(f).select("doc_id").collect()
+    ]
+    assert ids == sorted(ids) and len(ids) > 0
