@@ -115,7 +115,8 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 #
 # Round-6 rotation candidates (registered round 5, parity-green, never
 # driver-checked): pii_scrub_stats, temperature_mixture_stats,
-# ffd_packing_report — plus the remaining never-checked pool
+# ffd_packing_report, streaming_enriched_segment_counts,
+# ann_ivf_multiprobe_topk, epoch_shuffle_sample — plus the remaining never-checked pool
 # (e.g. doc_length_buckets, top_terms, value_stats_by_type,
 # status_priority_cube, json_wire_roundtrip, approx_distinct_users,
 # multimodal_frame_stats, synthetic_events_sample,

@@ -16,7 +16,14 @@ import os
 import tempfile
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from realtime_data_pipeline_spark.plans.registry import (
     USER_AGG_CTE,
@@ -768,3 +775,104 @@ def q_streaming_corpus_materialized_stats(spark, sf_dir):
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
         )
     )
+
+
+ENRICH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("timestamp", TimestampType(), True),
+    ]
+)
+
+
+@register(
+    "streaming_enriched_segment_counts",
+    f"""
+    SELECT make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US}) AS window_start,
+           make_timestamp(((epoch_us(ts) // {_WIN_US}) + 1) * {_WIN_US}) AS window_end,
+           c_mktsegment,
+           count(*) AS n_events,
+           CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 4) AS DOUBLE) AS avg_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="stream-STATIC dimension enrichment (the most common production "
+    "streaming join, distinct from the stream-stream interval join): "
+    "replayed event stream -> watermark -> broadcast join against the "
+    "static customer dimension -> tumbling windowed rollup per market "
+    "segment -> upsert sink.  The static side is read once per "
+    "micro-batch plan, rides as a broadcast, and adds NO streaming "
+    "state; the inner join also drops the flush sentinel before the "
+    "sink, exercising watermark advance through a join operator.  "
+    "Equals the batch enrichment rollup by parity",
+    tags=("streaming",),
+)
+def q_streaming_enriched_segment_counts(spark, sf_dir):
+    from realtime_data_pipeline_spark.plans.registry import _t
+
+    events = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+        )
+        .where(F.col("timestamp").isNotNull())
+    )
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    events.coalesce(1).write.mode("overwrite").parquet(replay)
+    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    # sentinel user -1 joins no customer: it advances the watermark at
+    # the source, then the inner join drops it — nothing to filter out
+    spark.createDataFrame(
+        [(-1, 0.0, max_ts + dt.timedelta(days=2))], schema=ENRICH_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(replay)
+
+    dim = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream = file_replay_stream(
+        spark, replay, ENRICH_SCHEMA, max_files_per_trigger=1
+    )
+    enriched = stream.withWatermark("timestamp", "10 minutes").join(
+        dim, F.col("user_id") == F.col("c_custkey")
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("timestamp", "10 minutes").alias("w"), "c_mktsegment"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "c_mktsegment",
+            "n_events",
+            "avg_value",
+        )
+    )
+    table = UpsertTable(
+        spark,
+        os.path.join(base, "table"),
+        ["window_start", "window_end", "c_mktsegment"],
+    )
+    q = start_upsert_query(
+        agg,
+        table,
+        os.path.join(base, "ckpt"),
+        "enriched_segment_counts",
+        trigger_available_now=True,
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read()
