@@ -10,6 +10,7 @@ from realtime_data_pipeline_spark.plans import northstar  # noqa: F401
 from realtime_data_pipeline_spark.plans import tpch_shapes  # noqa: F401
 from realtime_data_pipeline_spark.plans import extras  # noqa: F401
 from realtime_data_pipeline_spark.plans import training  # noqa: F401
+from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r1 item 3).
@@ -120,7 +121,9 @@ from realtime_data_pipeline_spark.plans import training  # noqa: F401
 # (e.g. doc_length_buckets, top_terms, value_stats_by_type,
 # status_priority_cube, json_wire_roundtrip, approx_distinct_users,
 # multimodal_frame_stats, synthetic_events_sample,
-# streaming_doc_quality_counts).
+# streaming_doc_quality_counts) and the round-5 analytics module
+# (bigram_lm_report, stratified_doc_sample, rolling_daily_revenue,
+# user_activity_zscores, source_overlap_matrix, event_type_islands).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

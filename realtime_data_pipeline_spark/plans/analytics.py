@@ -1,0 +1,423 @@
+"""Corpus / behavioral analytics operators (round 5 additions).
+
+North-star extensions past the reference's surface (the reference's
+whole analytics layer is ~40 lines of pandas in
+reporting/reporting.py:94-191): n-gram language-model counts,
+deterministic stratified sampling, range-frame rolling aggregates,
+activity outlier scoring, cross-source corpus overlap, and
+gaps-and-islands run detection.  Spark-first: every operator is JVM
+built-ins only (no Python UDFs), shuffles are keyed partial
+aggregations, and every query carries a byte-exact DuckDB oracle.
+
+Cross-engine determinism notes
+  * ratios are single double divisions of exact integer/decimal
+    aggregates, rounded to 4 digits in both engines;
+  * ordering keys for top-k are exact-integer expressions (never a
+    rounded double), with unique-key tie-breaks;
+  * money goes through DECIMAL(18,2) sums (order-independent),
+    rendered round(·,2)::double (plans/relational.py contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.functions import dedup
+from realtime_data_pipeline_spark.plans.northstar import D_HASH32, D_TOKS
+from realtime_data_pipeline_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_report",
+    f"""
+    WITH toks AS (
+        SELECT lang, {D_TOKS} AS t
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+    bi AS (
+        SELECT lang, u[1] AS w1, u[2] AS w2
+        FROM (SELECT lang,
+                     unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS u
+              FROM toks WHERE len(t) >= 2)),
+    c AS (SELECT lang, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+    w AS (SELECT lang, w1, w2, n,
+                 round(CAST(n AS DOUBLE)
+                       / sum(n) OVER (PARTITION BY lang, w1), 4) AS p,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY n DESC, w1, w2) AS INT) AS rk
+          FROM c)
+    SELECT lang, w1, w2, n, p, rk FROM w WHERE rk <= 10
+    """,
+    doc="bigram language-model counts: top-10 bigrams per language with "
+    "the conditional probability P(w2|w1) = n(w1,w2)/n(w1,·).  The "
+    "bigram stream is zip_with over adjacent token slices — pure JVM "
+    "HOFs — materialized (repartition + persist barrier, the "
+    "shingle_sets Generate-pathology fix) before the explode; counts "
+    "are one (lang,w1,w2) partial-agg shuffle, the w1 normalizer and "
+    "per-lang top-k are windows over the COUNT relation (vocabulary-"
+    "sized, orders of magnitude below corpus size at 100 TB)",
+)
+def q_bigram_lm_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bi = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    # Persist = materialization barrier: a live Generate over the
+    # interpreted zip_with/slice chain re-evaluates it per output
+    # element (see dedup.shingle_sets docstring for the measurement).
+    pairs = (
+        docs.where(F.col("lang").isNotNull() & F.col("text").isNotNull())
+        .repartition(n)
+        .select("lang", bi.alias("bi"))
+        .where(F.size("bi") >= 1)
+        .persist()
+    )
+    ex = pairs.select("lang", F.explode("bi").alias("b")).select(
+        "lang", "b.w1", "b.w2"
+    )
+    counts = ex.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n"))
+    w1_tot = Window.partitionBy("lang", "w1")
+    top = Window.partitionBy("lang").orderBy(
+        F.desc("n"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n").cast("double") / F.sum("n").over(w1_tot), 4)
+        )
+        .withColumn("rk", F.row_number().over(top))
+        .where(F.col("rk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_doc_sample",
+    """
+    WITH r AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents WHERE lang IS NOT NULL)
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+    FROM r WHERE rk <= 20 GROUP BY lang
+    """,
+    doc="deterministic stratified sample: per language stratum, the 20 "
+    "docs ranked first by md5(doc_id) (a reproducible engine-neutral "
+    "pseudo-shuffle — same family as the train/val/test selector), with "
+    "per-stratum size/char stats.  One (lang) exchange; the rollup "
+    "reuses the window's partitioning, so ONE shuffle total.  At 100 TB "
+    "pre-filter by an md5 threshold slightly above k/N before ranking "
+    "so the per-stratum sort never sees the full stratum",
+)
+def q_stratified_doc_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.where(F.col("lang").isNotNull())
+        .select("lang", "n_chars", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 4
+            ).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame rolling aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1)
+    SELECT CAST(d AS TIMESTAMP) AS order_day,
+           CAST(round(rev, 2) AS DOUBLE) AS day_revenue,
+           CAST(round(sum(rev) OVER (
+               ORDER BY date_diff('day', DATE '1970-01-01', d)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS revenue_7d
+    FROM daily
+    """,
+    doc="trailing-7-day rolling revenue: daily DECIMAL rollup of orders "
+    "(one shuffle over the fact table), then a RANGE frame over "
+    "days-since-epoch — a true value-range window, so calendar gaps "
+    "shorten the frame instead of silently widening it (ROWS BETWEEN "
+    "would be wrong on sparse days).  The unpartitioned window runs on "
+    "the POST-AGGREGATION relation, bounded by calendar days (≤36.5k "
+    "rows per century) regardless of fact volume — O(days), never "
+    "O(data); decimal partials keep the rolling sums exact",
+)
+def q_rolling_daily_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .withColumn(
+            "dayn", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("dayn").rangeBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("timestamp_ntz").alias("order_day"),
+        F.round(F.col("rev"), 2).cast("double").alias("day_revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("revenue_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity outlier scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_zscores",
+    """
+    WITH per AS (SELECT user_id, count(*) AS n_events
+                 FROM events GROUP BY 1),
+    st AS (SELECT count(*) AS cnt, sum(n_events) AS s1,
+                  sum(n_events * n_events) AS s2 FROM per),
+    z AS (SELECT user_id, n_events,
+                 round((n_events - CAST(s1 AS DOUBLE) / cnt)
+                       / sqrt(CAST(s2 AS DOUBLE) / cnt
+                              - (CAST(s1 AS DOUBLE) / cnt)
+                                * (CAST(s1 AS DOUBLE) / cnt)), 4) AS z,
+                 abs(n_events * cnt - s1) AS ok
+          FROM per, st)
+    SELECT user_id, n_events, z FROM z
+    ORDER BY ok DESC, user_id LIMIT 20
+    """,
+    doc="per-user activity z-scores (population moments from EXACT "
+    "integer sums: mean = s1/cnt, var = s2/cnt - mean² — single double "
+    "ops on exact aggregates, bit-identical cross-engine, unlike "
+    "engine-native stddev whose summation order varies), top-20 "
+    "outliers.  The ORDER BY key is the exact integer |n·cnt - s1| "
+    "(∝ |n - mean|), never the rounded double.  One user_id shuffle + "
+    "a 1-row scalar broadcast join; the top-k is "
+    "TakeOrderedAndProject",
+)
+def q_user_activity_zscores(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    stats = per.agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    return (
+        j.select(
+            "user_id",
+            "n_events",
+            F.round((F.col("n_events") - mean) / F.sqrt(var), 4).alias("z"),
+            F.abs(
+                F.col("n_events") * F.col("cnt") - F.col("s1")
+            ).alias("ok"),
+        )
+        .orderBy(F.desc("ok"), F.asc("user_id"))
+        .limit(20)
+        .drop("ok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source corpus overlap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH t AS (SELECT source, {D_TOKS} AS toks
+               FROM documents WHERE source IS NOT NULL),
+    tk AS (SELECT source,
+                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
+           FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT DISTINCT source, s FROM (
+               SELECT source,
+                      unnest(list_distinct(list_transform(
+                          range(1, len(th) - 1),
+                          i -> (((th[i] * {dedup.SHINGLE_B} + th[i + 1])
+                                 % {dedup.MINHASH_P}) * {dedup.SHINGLE_B}
+                                + th[i + 2]) % {dedup.MINHASH_P}))) AS s
+               FROM tk)),
+    per AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+    p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / (pa.n_sh + pb.n_sh - n_shared), 4) AS jaccard
+    FROM p
+    JOIN per pa ON p.src_a = pa.source
+    JOIN per pb ON p.src_b = pb.source
+    """,
+    doc="cross-source corpus overlap: Jaccard similarity of the distinct "
+    "3-gram shingle-hash sets of every source pair — the corpus-level "
+    "audit (which feeds duplicate which?) a multi-source 100 TB corpus "
+    "build runs before mixing.  Same int64 polynomial shingles as "
+    "MinHash (8-byte shuffle keys); pairs come from SHINGLE-local "
+    "source-set expansion (collect_set per shingle, bounded by "
+    "#sources, then i<j expansion — the minhash bucket-local pattern), "
+    "never a doc- or shingle-level self-join; per-source set sizes "
+    "broadcast back onto the pair counts",
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    # Shingle map with `source` carried through (no doc_id join-back);
+    # persist = Generate-pathology barrier, as in dedup.shingle_sets.
+    sh_arrays = (
+        docs.where(F.col("source").isNotNull())
+        .repartition(n, "doc_id")
+        .withColumn("toks", F.expr(dedup.TOKENS_EXPR))
+        .where(F.size("toks") >= 3)
+        .withColumn(
+            "th",
+            F.expr(
+                "transform(toks, t -> "
+                "cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+            ),
+        )
+        .select(
+            "source",
+            F.array_distinct(F.expr(dedup.SHINGLE_HASHES_EXPR)).alias("sh"),
+        )
+        .persist()
+    )
+    # Persisted: three consumers (per-source sizes, shingle-local
+    # source sets) would otherwise re-run the explode+distinct.
+    sh = (
+        sh_arrays.select("source", F.explode("sh").alias("s"))
+        .distinct()
+        .persist()
+    )
+    per = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    srcs = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_shared")
+    )
+    pa = per.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("na")
+    )
+    pb = per.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands run detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_islands",
+    """
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR prev != event_type
+                         THEN 1 ELSE 0 END AS flg FROM o),
+    r AS (SELECT user_id, event_type,
+                 sum(flg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS run_id
+          FROM f),
+    runs AS (SELECT user_id, run_id, event_type, count(*) AS run_len
+             FROM r GROUP BY 1, 2, 3)
+    SELECT event_type, count(*) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run_len,
+           round(CAST(sum(run_len) AS DOUBLE) / count(*), 4) AS avg_run_len
+    FROM runs GROUP BY 1
+    """,
+    doc="gaps-and-islands: maximal runs of consecutive same-type events "
+    "per user (lag-change flag → running-sum run ids → run rollup), "
+    "reported per event type.  The run-id window, the change flag, and "
+    "the (user,run,type) rollup all consume ONE user_id exchange — "
+    "HashPartitioning(user_id) satisfies the superset-key clustering, "
+    "so no second fact shuffle; ordering is (ts, event_id), unique by "
+    "construction, so runs are engine-independent",
+)
+def q_event_type_islands(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("flg", flg)
+        .withColumn(
+            "run_id",
+            F.sum("flg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("event_type").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.round(
+            F.sum("run_len").cast("double") / F.count("*"), 4
+        ).alias("avg_run_len"),
+    )

@@ -83,6 +83,16 @@ EXPECTED_SHUFFLES = {
     # NO Exchange SinglePartition under the window — pinned by
     # test_global_rank_two_pass_no_single_partition_sort
     "epoch_shuffle_sample": 3,
+    # round-5 analytics module
+    "bigram_lm_report": 3,  # parallelize repartition; (lang,w1,w2) rollup; windows
+    "stratified_doc_sample": 1,  # one lang exchange feeds rank + rollup
+    "rolling_daily_revenue": 2,  # daily rollup; O(days) single-partition window
+    "user_activity_zscores": 3,  # user rollup; 1-row moments; ordered render
+    # persisted (source,shingle) distinct subtree prints once per
+    # consumer branch (srcs + per×2); real runtime exchanges: 5
+    # (repartition, distinct, shingle-group, source-group, pair-group)
+    "source_overlap_matrix": 10,
+    "event_type_islands": 2,  # ONE user_id exchange feeds lag+cumsum+run rollup
 }
 
 
