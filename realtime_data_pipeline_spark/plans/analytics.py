@@ -98,6 +98,151 @@ def q_bigram_lm_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LM-probability quality scoring (perplexity-proxy corpus filtering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_lm_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {D_TOKS} AS t
+        FROM documents WHERE text IS NOT NULL),
+    bi AS (
+        SELECT doc_id, u[1] AS w1, u[2] AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS u
+              FROM toks WHERE len(t) >= 2)),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    s AS (SELECT doc_id, CAST(c12.c12 AS DOUBLE) / c1.c1 AS p
+          FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+    a AS (SELECT doc_id, list_sort(list(p)) AS ps FROM s GROUP BY doc_id)
+    SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+           round(list_reduce(ps, (a, b) -> a + b) / len(ps), 4)
+               AS mean_bigram_p,
+           round(ps[1], 4) AS min_bigram_p
+    FROM a
+    """,
+    doc="LM-based quality scoring (the perplexity-proxy corpus filter, "
+    "CCNet-style, self-trained): score every document by the mean and "
+    "minimum corpus-bigram probability P(w2|w1) = c(w1,w2)/c(w1,·) of "
+    "its bigrams — low scores flag disfluent/outlier text for removal. "
+    "Deliberately NO log-space math: Spark's log2 (JVM Math.log) and "
+    "DuckDB's (libm) can differ by 1 ulp, so the score is built only "
+    "from exact-integer divisions summed in SORTED sequential order "
+    "(F.aggregate / list_reduce, both strictly left-to-right) — "
+    "bit-identical cross-engine.  The bigram LM table is "
+    "vocabulary-sized: broadcast at test scale, a plain equi-join at "
+    "100 TB; per-doc state is doc-length-bounded",
+)
+def q_doc_lm_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bi = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        docs.where(F.col("text").isNotNull())
+        .repartition(n)
+        .select("doc_id", bi.alias("bi"))
+        .where(F.size("bi") >= 1)
+        .persist()  # Generate-pathology barrier (dedup.shingle_sets)
+    )
+    ex = pairs.select("doc_id", F.explode("bi").alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    c12 = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        ex.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select(
+            "doc_id",
+            (F.col("c12").cast("double") / F.col("c1")).alias("p"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    seq_sum = F.aggregate(
+        F.col("ps"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("ps").cast("bigint").alias("n_bigrams"),
+        F.round(seq_sum / F.size("ps"), 4).alias("mean_bigram_p"),
+        F.round(F.element_at("ps", 1), 4).alias("min_bigram_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (bounded posting heads)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "term_postings_stats",
+    f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({D_TOKS}) AS term
+        FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT DISTINCT doc_id, term FROM ex),
+    df AS (SELECT term, count(*) AS df FROM d GROUP BY 1),
+    cf AS (SELECT term, count(*) AS cf FROM ex GROUP BY 1),
+    r AS (SELECT term, doc_id,
+                 row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                     AS pr
+          FROM d),
+    heads AS (SELECT term, list_sort(list(doc_id)) AS posting_head
+              FROM r WHERE pr <= 5 GROUP BY term)
+    SELECT term, df.df AS df, cf.cf AS cf, posting_head
+    FROM df JOIN cf USING (term) JOIN heads USING (term)
+    ORDER BY df.df DESC, term LIMIT 100
+    """,
+    doc="inverted-index build: per term, document frequency, collection "
+    "frequency, and the first-5 posting-list head (doc_ids ascending), "
+    "top-100 terms by df.  The posting head is BOUNDED before any "
+    "collect — a per-term row_number keeps ≤5 docs, so executor state "
+    "is O(5), never O(df) (an unbounded collect_list per term is the "
+    "classic index-build OOM at 100 TB); the top-100 render is "
+    "TakeOrderedAndProject, no global sort",
+)
+def q_term_postings_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks_arr = (
+        docs.where(F.col("text").isNotNull())
+        .repartition(n)
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        )
+        .persist()  # Generate-pathology barrier
+    )
+    ex = toks_arr.select("doc_id", F.explode("t").alias("term"))
+    d = ex.distinct().persist()  # three consumers: df, heads
+    df_t = d.groupBy("term").agg(F.count("*").alias("df"))
+    cf_t = ex.groupBy("term").agg(F.count("*").alias("cf"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        d.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= 5)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+    )
+    return (
+        df_t.join(cf_t, "term")
+        .join(heads, "term")
+        .select("term", "df", "cf", "posting_head")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------
 

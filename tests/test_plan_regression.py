@@ -93,6 +93,12 @@ EXPECTED_SHUFFLES = {
     # (repartition, distinct, shingle-group, source-group, pair-group)
     "source_overlap_matrix": 10,
     "event_type_islands": 2,  # ONE user_id exchange feeds lag+cumsum+run rollup
+    # persisted bigram subtree prints per consumer; real runtime
+    # exchanges: 4 (repartition, c12 rollup, c1 rollup, per-doc collect)
+    "doc_lm_scores": 7,
+    # persisted token + distinct subtrees print per consumer; real:
+    # repartition, distinct, df/cf rollups, per-term posting window
+    "term_postings_stats": 8,
 }
 
 
