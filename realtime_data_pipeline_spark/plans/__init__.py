@@ -122,8 +122,9 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # status_priority_cube, json_wire_roundtrip, approx_distinct_users,
 # multimodal_frame_stats, synthetic_events_sample,
 # streaming_doc_quality_counts) and the round-5 analytics module
-# (bigram_lm_report, stratified_doc_sample, rolling_daily_revenue,
-# user_activity_zscores, source_overlap_matrix, event_type_islands).
+# (bigram_lm_report, doc_lm_scores, term_postings_stats,
+# stratified_doc_sample, rolling_daily_revenue, user_activity_zscores,
+# source_overlap_matrix, event_type_islands).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -42,6 +42,15 @@ _QUERIES = [
     "pii_scrub_stats",
     "temperature_mixture_stats",
     "ffd_packing_report",
+    # round-5 analytics module
+    "bigram_lm_report",
+    "doc_lm_scores",
+    "term_postings_stats",
+    "stratified_doc_sample",
+    "rolling_daily_revenue",
+    "user_activity_zscores",
+    "source_overlap_matrix",
+    "event_type_islands",
 ]
 
 
