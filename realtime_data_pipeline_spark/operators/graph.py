@@ -28,7 +28,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 60,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -36,6 +36,22 @@ def connected_components(
     reachable from `node` — the unique fixpoint, independent of
     iteration order.  Nodes with no edges are absent (singletons carry
     no dedup signal); union them in with component = node if needed.
+
+    Convergence is CHECKED, not assumed: hitting `max_iter` with
+    labels still moving raises instead of returning silently-wrong
+    clusters (in a dedup pipeline an unconverged component map deletes
+    the wrong documents).  The sf0.1 embedding graph needs 26 rounds —
+    the old default of 25 truncated it and happened to be saved only
+    because round 25 was the final productive one.
+
+    A pointer-jumping variant (component ← label(label(node)) per
+    round) was prototyped and measured: it converges a diameter-40
+    path in 7 rounds vs 40, but on the real embedding graph it cut
+    rounds only 26 → 20 while per-round wall time doubled from round
+    ~17 on (same executed plan, same 1.6k-row inputs — environmental,
+    reproduced across SMJ/broadcast physical plans and with/without
+    Observation), netting 22 s vs 15.6 s.  Rejected; revisit only if
+    profiles show diameter, not per-round overhead, dominating.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -86,5 +102,12 @@ def connected_components(
         labels = new_labels
         if not (obs.get["changed"] or 0):
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — component diameter exceeds the bound; raise "
+            "max_iter (results would be silently wrong clusters)"
+        )
     sym.unpersist()
     return labels

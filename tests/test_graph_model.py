@@ -54,3 +54,28 @@ def test_components_match_union_find(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == _model(edges)
+
+
+def test_deep_chain_converges_within_default_bound(spark):
+    """A diameter-40 path needs 40+ propagation rounds — well past the
+    old max_iter=25, which TRUNCATED silently (the sf0.1 embedding
+    graph needs 26 and was saved only because its last round happened
+    to be the final productive one)."""
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_nonconvergence_raises_not_truncates(spark):
+    """Hitting max_iter with labels still moving must raise — an
+    unconverged component map fed to a dedup keep-one pass deletes the
+    wrong documents."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
