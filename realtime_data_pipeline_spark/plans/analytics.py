@@ -507,6 +507,68 @@ def q_source_overlap_matrix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Per-user activity trend (closed-form least squares)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_trend",
+    """
+    WITH d AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               count(*) AS y
+        FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM d GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           CAST(sy AS BIGINT) AS total_events,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope_per_day
+    FROM s WHERE n >= 2
+    """,
+    doc="per-user activity trend: closed-form least-squares slope of "
+    "daily event counts vs day index — slope = (nΣxy − ΣxΣy)/(nΣx² − "
+    "(Σx)²), every term an EXACT int64 sum (x ≈ 2·10⁴ days, so Σx² "
+    "fits int64 with 10⁸ headroom), the slope one double division — "
+    "bit-identical cross-engine, no stddev/covar_pop engine variance. "
+    "Two keyed rollups, (user,day) then user — two exchanges, both "
+    "carrying partial aggregates (pre-partitioning raw events on "
+    "user_id would save one exchange but ship raw rows; partial-agg'd "
+    "shuffles win at 100 TB) — the trend-feature shape a behavioral "
+    "model's feature store computes at scale",
+)
+def q_user_activity_trend(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    d = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    s = d.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.where(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("sy").cast("bigint").alias("total_events"),
+        F.round(num.cast("double") / den, 6).alias("slope_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gaps-and-islands run detection
 # ---------------------------------------------------------------------------
 

@@ -99,6 +99,7 @@ EXPECTED_SHUFFLES = {
     # persisted token + distinct subtrees print per consumer; real:
     # repartition, distinct, df/cf rollups, per-term posting window
     "term_postings_stats": 8,
+    "user_activity_trend": 2,  # (user,day) partials; user moment sums
 }
 
 
