@@ -557,3 +557,30 @@ def test_pii_detection_and_scrub(spark):
     assert "[IPV4]" in got[3]["s"] and "192.168" not in got[3]["s"]
     for kind in ("EMAIL", "IPV4", "PHONE"):
         assert f"[{kind}]" in got[5]["s"]
+
+
+def test_analytics_joins_invariant_under_join_strategy(spark):
+    """Round-5 analytics queries with joins (LM-table joins in
+    doc_lm_scores, per-source size joins in source_overlap_matrix,
+    df/cf/head joins in term_postings_stats): the F.broadcast hints are
+    a CHEAP-path choice, not a correctness dependency — force SMJ
+    (threshold off) and the results must be byte-identical."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    names = ["doc_lm_scores", "source_overlap_matrix", "term_postings_stats"]
+    normal = {}
+    for n in names:
+        normal[n] = sorted(map(tuple, REGISTRY[n].fn(spark, SF_DIR).collect()))
+        spark.catalog.clearCache()
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for n in names:
+            forced = sorted(
+                map(tuple, REGISTRY[n].fn(spark, SF_DIR).collect())
+            )
+            assert forced == normal[n] and len(forced) > 0, n
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
