@@ -124,7 +124,8 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # streaming_doc_quality_counts) and the round-5 analytics module
 # (bigram_lm_report, doc_lm_scores, term_postings_stats,
 # stratified_doc_sample, rolling_daily_revenue, user_activity_zscores,
-# source_overlap_matrix, event_type_islands, user_activity_trend).
+# source_overlap_matrix, event_type_islands, user_activity_trend,
+# streaming_window_topk_items).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -876,3 +876,94 @@ def q_streaming_enriched_segment_counts(spark, sf_dir):
     while q.isActive:
         q.awaitTermination(5)
     return table.read()
+
+
+@register(
+    "streaming_window_topk_items",
+    None,  # oracle attached below (needs ITEM_AGG_CTE import)
+    doc="streaming leaderboard: append-mode sliding-window item counts "
+    "→ foreachBatch per-window top-3 rank → keyed-upsert "
+    "materialization.  Windows finalize ATOMICALLY (the watermark is "
+    "global, so every (window,item) row of a window lands in the same "
+    "micro-batch when the watermark passes window_end) — ranking "
+    "within the batch is therefore exact per window, never partial; "
+    "the (window_start, rk) merge key makes redelivered batches "
+    "idempotent (last-write-wins on the same ranks).  The batch twin "
+    "is the same window agg + row_number, hash-checked via the shared "
+    "DuckDB oracle — the streaming materialization itself is what the "
+    "driver checks",
+    tags=("streaming",),
+)
+def q_streaming_window_topk_items(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = (
+        _events(spark, sf_dir)
+        .select(
+            F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+                "user_id"
+            ),
+            F.concat(
+                F.lit("item_"), F.get_json_object("props", "$.k")
+            ).alias("item_id"),
+            F.col("event_type").alias("interaction_type"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+        )
+        .where(F.col("item_id").isNotNull() & F.col("timestamp").isNotNull())
+    )
+    base, replay = _replay_dir(events, spark, EVENT_SCHEMA)
+    stream = file_replay_stream(
+        spark, replay, EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    agg = windowed_stream_counts(stream, "item_id")
+    table = UpsertTable(
+        spark, os.path.join(base, "table"), ["window_start", "rk"]
+    )
+
+    def rank_and_merge(batch_df, batch_id):
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("total_interactions"), F.asc("item_id")
+        )
+        top = (
+            batch_df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+        )
+        table.merge(top)
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .queryName("window_topk_items")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .foreachBatch(rank_and_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read().where(F.col("item_id") != SENTINEL)
+
+
+def _attach_window_topk_oracle() -> None:
+    from realtime_data_pipeline_spark.plans.registry import (
+        ITEM_AGG_CTE,
+        REGISTRY,
+        QuerySpec,
+    )
+
+    spec = REGISTRY["streaming_window_topk_items"]
+    oracle = f"""
+    WITH {ITEM_AGG_CTE},
+    r AS (SELECT window_start, window_end, item_id, total_interactions,
+                 CAST(row_number() OVER (PARTITION BY window_start
+                      ORDER BY total_interactions DESC, item_id) AS INT)
+                     AS rk
+          FROM item_agg)
+    SELECT window_start, window_end, item_id, total_interactions, rk
+    FROM r WHERE rk <= 3
+    """
+    REGISTRY["streaming_window_topk_items"] = QuerySpec(
+        spec.name, spec.fn, oracle, spec.doc, spec.bench, spec.tags
+    )
+
+
+_attach_window_topk_oracle()
