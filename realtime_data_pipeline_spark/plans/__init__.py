@@ -125,7 +125,8 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # (bigram_lm_report, doc_lm_scores, term_postings_stats,
 # stratified_doc_sample, rolling_daily_revenue, user_activity_zscores,
 # source_overlap_matrix, event_type_islands, user_activity_trend,
-# streaming_window_topk_items).
+# streaming_window_topk_items, lexical_diversity_correlation,
+# referential_integrity_audit).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -507,6 +507,136 @@ def q_source_overlap_matrix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact distributed Pearson correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lexical_diversity_correlation",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               len({D_TOKS}) AS x,
+               len(list_distinct({D_TOKS})) AS y
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+    s AS (SELECT lang, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+          FROM t GROUP BY 1)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM s WHERE n >= 2
+    """,
+    doc="exact distributed Pearson correlation of document length "
+    "(token count) vs lexical diversity (distinct-token count) per "
+    "language — the corpus-quality signal behind repetitive-text "
+    "filters, and the template for ANY feature-pair correlation audit "
+    "at 100 TB: five EXACT int64 moment sums in one partial-agg'd "
+    "rollup, then r = (nΣxy−ΣxΣy)/√((nΣxx−(Σx)²)(nΣyy−(Σy)²)) as "
+    "single double ops — bit-identical cross-engine, never "
+    "engine-native corr() whose summation order varies.  One shuffle",
+)
+def q_lexical_diversity_correlation(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.where(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "lang",
+        F.size(toks).alias("x"),
+        F.size(F.array_distinct(toks)).alias("y"),
+    )
+    s = t.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.where(F.col("n") >= 2).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(num / den, 6).alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS orphan_lineitems,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))
+            AS childless_orders,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+            AS orphan_orders,
+        (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+            AS null_lineitem_fk,
+        (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+            AS null_order_fk
+    """,
+    doc="referential-integrity audit over the star schema: orphan "
+    "facts (lineitems without orders, orders without customers), "
+    "childless orders, and NULL foreign keys — the pre-flight check "
+    "any 100 TB warehouse load runs before trusting joins.  Each "
+    "orphan count is a LEFT ANTI join (shuffle or broadcast, "
+    "Catalyst's choice) feeding a 1-row count; the five scalars "
+    "assemble via 1-row cross joins — O(1) driver payload",
+)
+def q_referential_integrity_audit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orphan_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    childless = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count("*").alias("childless_orders"))
+    )
+    orphan_o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+    null_li = li.where(F.col("l_orderkey").isNull()).agg(
+        F.count("*").alias("null_lineitem_fk")
+    )
+    null_o = orders.where(F.col("o_custkey").isNull()).agg(
+        F.count("*").alias("null_order_fk")
+    )
+    return (
+        orphan_li.crossJoin(childless)
+        .crossJoin(orphan_o)
+        .crossJoin(null_li)
+        .crossJoin(null_o)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-user activity trend (closed-form least squares)
 # ---------------------------------------------------------------------------
 

@@ -100,6 +100,10 @@ EXPECTED_SHUFFLES = {
     # repartition, distinct, df/cf rollups, per-term posting window
     "term_postings_stats": 8,
     "user_activity_trend": 2,  # (user,day) partials; user moment sums
+    "lexical_diversity_correlation": 1,  # one lang rollup of moment sums
+    # three anti-joins + two null scans, each a 1-row reduce; scalar
+    # assembly rides broadcast-only cross joins
+    "referential_integrity_audit": 5,
 }
 
 
