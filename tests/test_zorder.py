@@ -1,0 +1,88 @@
+"""Z-order layout: 2-D predicates must touch FEWER files than a linear
+single-key sort, with zero row loss — the measurable claim behind the
+layout (parquet footer min/max on both columns stay tight along the
+Morton curve)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.operators.zorder import (
+    morton_interleave,
+    write_linear_sorted,
+    write_zordered,
+)
+
+from conftest import SF_DIR_MID
+
+
+def _files_touched(spark, path, predicate):
+    df = spark.read.parquet(path).where(predicate)
+    return (
+        df.select(F.input_file_name().alias("f")).distinct().count(),
+        df.count(),
+    )
+
+
+def test_morton_interleave_known_values(spark):
+    rows = spark.range(1).select(
+        morton_interleave(F.lit(0b101).cast("bigint"), F.lit(0b011).cast("bigint"), 3).alias("z")
+    ).collect()
+    # x=101, y=011 -> z bits (y2 x2)(y1 x1)(y0 x0) = 01 10 11 = 0b011011 = 27
+    assert rows[0]["z"] == 0b011011
+
+
+def test_zorder_prunes_2d_predicates_better_than_linear(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR_MID}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(orders, zpath, "o_custkey", "o_totalprice", n_files=16)
+    write_linear_sorted(orders, lpath, "o_custkey", n_files=16)
+
+    # no row loss, either layout
+    n = orders.count()
+    assert spark.read.parquet(zpath).count() == n
+    assert spark.read.parquet(lpath).count() == n
+
+    # a selective 2-D rectangle: mid-range customer band x price band
+    cmin, cmax = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).collect()[0]
+    pmin, pmax = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    cw, pw = (cmax - cmin) / 8, (pmax - pmin) / 8
+    pred = (
+        (F.col("o_custkey") >= cmin + 3 * cw)
+        & (F.col("o_custkey") < cmin + 4 * cw)
+        & (F.col("o_totalprice") >= pmin + 3 * pw)
+        & (F.col("o_totalprice") < pmin + 4 * pw)
+    )
+
+    zf, zrows = _files_touched(spark, zpath, pred)
+    lf, lrows = _files_touched(spark, lpath, pred)
+    assert zrows == lrows > 0  # same answer from both layouts
+    # linear sort on o_custkey prunes the custkey band (~2 of 16 files)
+    # but every surviving file spans the full price range; the z-order
+    # layout keeps BOTH dimensions tight.  Require a strict win on the
+    # dimension the linear layout cannot prune: z-files touched must
+    # not exceed linear's, and the price spread per file must be
+    # materially narrower.
+    assert zf <= lf, (zf, lf)
+
+    # footer-tightness proxy: average per-file o_totalprice span
+    def avg_span(path):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("o_totalprice") - F.min("o_totalprice")).alias("s")
+            )
+        )
+        return per.agg(F.avg("s")).collect()[0][0]
+
+    assert avg_span(zpath) < 0.6 * avg_span(lpath), (
+        avg_span(zpath),
+        avg_span(lpath),
+    )
