@@ -573,6 +573,67 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Embedding int8 quantization audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantization_report",
+    """
+    WITH v AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS scale
+        FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (
+        SELECT vec_id, label, scale,
+               len(embedding) AS dim,
+               list_reduce(
+                   list_transform(embedding, x ->
+                       pow(CAST(x AS DOUBLE)
+                           - round(CAST(x AS DOUBLE) / scale * 127)
+                             * scale / 127, 2)),
+                   (a, b) -> a + b) AS sse
+        FROM v WHERE scale > 0)
+    SELECT vec_id, label,
+           round(scale, 6) AS max_abs,
+           round(sse / dim, 9) AS mse
+    FROM q
+    """,
+    doc="int8 symmetric quantization audit for the embedding store (the "
+    "4× memory lever before ANN serving): per vector, the max-abs "
+    "scale and the reconstruction MSE of round(x/scale·127) — all "
+    "element math is per-array higher-order functions, and the SSE is "
+    "an IN-ORDER sequential reduce over the array (F.aggregate / "
+    "list_reduce, same element order in both engines — array order is "
+    "data, not execution order), so the report is bit-identical "
+    "cross-engine with zero shuffles: a pure map over the store",
+)
+def q_embedding_quantization_report(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda e: e.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs))
+    v = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", "label", x.alias("xd"), scale.alias("scale")
+    ).where(F.col("scale") > 0)
+    err2 = F.transform(
+        F.col("xd"),
+        lambda e: F.pow(
+            e
+            - F.round(e / F.col("scale") * 127) * F.col("scale") / 127,
+            F.lit(2),
+        ),
+    )
+    sse = F.aggregate(err2, F.lit(0.0), lambda acc, t: acc + t)
+    return v.select(
+        "vec_id",
+        "label",
+        F.round(F.col("scale"), 6).alias("max_abs"),
+        F.round(sse / F.size("xd"), 9).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Referential-integrity audit
 # ---------------------------------------------------------------------------
 

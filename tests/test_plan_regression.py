@@ -104,6 +104,7 @@ EXPECTED_SHUFFLES = {
     # three anti-joins + two null scans, each a 1-row reduce; scalar
     # assembly rides broadcast-only cross joins
     "referential_integrity_audit": 5,
+    "embedding_quantization_report": 0,  # pure map over the store
 }
 
 
