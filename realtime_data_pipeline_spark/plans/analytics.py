@@ -157,9 +157,15 @@ def q_doc_lm_scores(spark, sf_dir):
     )
     c12 = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # NO broadcast hints: the LM tables are vocabulary-sized — tiny
+    # here (Catalyst's size stats broadcast them on their own) but
+    # 100M+ rows on a real corpus, where a forced broadcast OOMs the
+    # driver; unhinted, the same code degrades to a keyed equi-join
+    # (the hint policy from PLANS.md: explicit broadcast only on
+    # TRUE bounded dimensions).
     scored = (
-        ex.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
+        ex.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
         .select(
             "doc_id",
             (F.col("c12").cast("double") / F.col("c1")).alias("p"),
