@@ -126,7 +126,8 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # stratified_doc_sample, rolling_daily_revenue, user_activity_zscores,
 # source_overlap_matrix, event_type_islands, user_activity_trend,
 # streaming_window_topk_items, lexical_diversity_correlation,
-# referential_integrity_audit, embedding_quantization_report).
+# referential_integrity_audit, embedding_quantization_report,
+# minhash_calibration_report).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -24,7 +24,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.functions import dedup
-from realtime_data_pipeline_spark.plans.northstar import D_HASH32, D_TOKS
+from realtime_data_pipeline_spark.plans.northstar import (
+    _MINHASH_CTES,
+    D_HASH32,
+    D_TOKS,
+)
 from realtime_data_pipeline_spark.plans.registry import _events, _t, register
 
 # ---------------------------------------------------------------------------
@@ -575,6 +579,102 @@ def q_lexical_diversity_correlation(spark, sf_dir):
         "lang",
         F.col("n").cast("bigint").alias("n_docs"),
         F.round(num / den, 6).alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate calibration (sketch-quality audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_calibration_report",
+    f"""
+    WITH {_MINHASH_CTES},
+    ds AS (SELECT doc_id, list_distinct(h) AS s FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM ds),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM ds),
+    tru AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+            FROM pairs p
+            JOIN ex a ON a.doc_id = p.doc_a
+            JOIN ex b ON b.doc_id = p.doc_b AND b.g = a.g
+            GROUP BY 1, 2),
+    jj AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+                  coalesce(t.shared, 0) AS shared,
+                  na.n + nb.n - coalesce(t.shared, 0) AS uni
+           FROM pairs p
+           LEFT JOIN tru t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+           JOIN sz na ON na.doc_id = p.doc_a
+           JOIN sz nb ON nb.doc_id = p.doc_b),
+    b AS (SELECT *,
+                 CAST(least(floor(est_jaccard * 5), 4) AS INT) AS est_band,
+                 round(CAST(shared AS DOUBLE) / uni, 4) AS true_j
+          FROM jj)
+    SELECT est_band, count(*) AS n_pairs,
+           round(CAST(sum(shared) AS DOUBLE) / sum(uni), 4)
+               AS micro_true_jaccard,
+           CAST(sum(CASE WHEN abs(est_jaccard - true_j) <= 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_02
+    FROM b GROUP BY 1
+    """,
+    doc="sketch-quality audit: for every MinHash-LSH candidate pair, "
+    "the signature-agreement Jaccard ESTIMATE vs the TRUE shingle-set "
+    "Jaccard, rolled up by estimate band — how trustworthy is the "
+    "12-perm sketch before you delete documents with it?  Per band: "
+    "pair count, micro-averaged true Jaccard (Σshared/Σunion — EXACT "
+    "integer sums, not an order-dependent mean of ratios), and the "
+    "count within ±0.2 of the estimate (per-pair boolean on "
+    "deterministic doubles).  True-Jaccard join is pair-bounded "
+    "(explode only candidate docs' shingles, equi-join on (doc, "
+    "shingle)) — cost ∝ candidates × doc length, never corpus²",
+)
+def q_minhash_calibration_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(docs, limit=None)
+    sh = dedup.shingle_sets(docs)
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "g")
+    exb = ex.select(F.col("doc_id").alias("doc_b"), "g")
+    tru = (
+        pairs.select("doc_a", "doc_b")
+        .join(exa, "doc_a")
+        .join(exb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jj = (
+        pairs.join(tru, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("shared", F.coalesce("shared", F.lit(0)))
+        .withColumn(
+            "uni", F.col("na") + F.col("nb") - F.col("shared")
+        )
+        .withColumn(
+            "true_j",
+            F.round(F.col("shared").cast("double") / F.col("uni"), 4),
+        )
+        .withColumn(
+            "est_band",
+            F.least(F.floor(F.col("est_jaccard") * 5), F.lit(4)).cast(
+                "int"
+            ),
+        )
+    )
+    return jj.groupBy("est_band").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum("shared").cast("double") / F.sum("uni"), 4
+        ).alias("micro_true_jaccard"),
+        F.sum(
+            (
+                F.abs(F.col("est_jaccard") - F.col("true_j")) <= 0.2
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_within_02"),
     )
 
 

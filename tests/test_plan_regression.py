@@ -105,6 +105,9 @@ EXPECTED_SHUFFLES = {
     # assembly rides broadcast-only cross joins
     "referential_integrity_audit": 5,
     "embedding_quantization_report": 0,  # pure map over the store
+    # minhash pair-gen (3) + persisted shingle subtree printed per
+    # consumer branch + pair-bounded true-jaccard joins + band rollup
+    "minhash_calibration_report": 13,
 }
 
 
