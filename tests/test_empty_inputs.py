@@ -51,6 +51,11 @@ _QUERIES = [
     "user_activity_zscores",
     "source_overlap_matrix",
     "event_type_islands",
+    "user_activity_trend",
+    "lexical_diversity_correlation",
+    "referential_integrity_audit",
+    "embedding_quantization_report",
+    "minhash_calibration_report",
 ]
 
 
