@@ -583,6 +583,59 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Arrow-batched model inference (classifier-over-corpus shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_model_scores",
+    """
+    WITH f AS (
+        SELECT doc_id, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS n_distinct
+        FROM documents WHERE text IS NOT NULL),
+    z AS (SELECT doc_id,
+                 -1.0 + -0.002 * n_chars + 0.05 * n_tokens
+                      + 0.08 * n_distinct AS zv
+          FROM f)
+    SELECT doc_id,
+           round(zv / (1 + abs(zv)), 6) AS score,
+           zv / (1 + abs(zv)) > 0 AS kept
+    FROM z
+    """,
+    doc="classifier-over-corpus: the Arrow-batched model-inference "
+    "pipeline (functions/inference.py) — features computed JVM-side "
+    "as exact integer expressions (Python never sees raw text), then "
+    "a mapInPandas stage scores NARROW numeric batches with a model "
+    "loaded once per task (the swap-in point for a real torch/onnx "
+    "quality classifier).  The stub model is linear + the rational "
+    "sigmoid z/(1+|z|) — exp()-free, so scores are IEEE-exact and the "
+    "whole Arrow path is hash-checked against the same formula in "
+    "SQL.  At 100 TB this stage is embarrassingly parallel; batch "
+    "size rides spark.sql.execution.arrow.maxRecordsPerBatch",
+)
+def q_doc_model_scores(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import inference
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    scored = inference.batch_score(feats)
+    return scored.select(
+        "doc_id",
+        F.round(F.col("score"), 6).alias("score"),
+        (F.col("score") > 0).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimate calibration (sketch-quality audit)
 # ---------------------------------------------------------------------------
 

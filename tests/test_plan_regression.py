@@ -108,6 +108,7 @@ EXPECTED_SHUFFLES = {
     # minhash pair-gen (3) + persisted shingle subtree printed per
     # consumer branch + pair-bounded true-jaccard joins + band rollup
     "minhash_calibration_report": 13,
+    "doc_model_scores": 0,  # JVM features -> mapInPandas, pure map
 }
 
 
