@@ -127,7 +127,8 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # source_overlap_matrix, event_type_islands, user_activity_trend,
 # streaming_window_topk_items, lexical_diversity_correlation,
 # referential_integrity_audit, embedding_quantization_report,
-# minhash_calibration_report, doc_model_scores).
+# minhash_calibration_report, doc_model_scores,
+# streaming_model_scored_counts).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

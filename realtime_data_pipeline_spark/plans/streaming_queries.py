@@ -967,3 +967,82 @@ def _attach_window_topk_oracle() -> None:
 
 
 _attach_window_topk_oracle()
+
+
+@register(
+    "streaming_model_scored_counts",
+    """
+    WITH f AS (
+        SELECT doc_id, source, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS n_distinct
+        FROM documents WHERE text IS NOT NULL),
+    z AS (SELECT doc_id, source,
+                 -1.0 + -0.002 * n_chars + 0.05 * n_tokens
+                      + 0.08 * n_distinct AS zv
+          FROM f),
+    s AS (SELECT source, zv / (1 + abs(zv)) AS score FROM z)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score
+    FROM s GROUP BY source
+    """,
+    doc="STREAMING model inference: documents replayed as a stream, "
+    "scored mid-stream by the Arrow-batched classifier "
+    "(functions/inference.batch_score — mapInPandas is stateless, so "
+    "it composes with streaming with no extra state store), rolled up "
+    "per source in an update-mode unwindowed agg.  Counts are exact; "
+    "min/max of deterministic per-row scores are order-independent, "
+    "so the streamed result hash-equals the batch formula in SQL — "
+    "the shape of online quality-filtering on an ingest stream",
+    tags=("streaming",),
+)
+def q_streaming_model_scored_counts(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import inference
+    from realtime_data_pipeline_spark.plans.registry import _t
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    half.coalesce(1).write.mode("overwrite").parquet(replay)
+    docs.subtract(half).coalesce(1).write.mode("append").parquet(replay)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = stream.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    scored = inference.batch_score(feats)
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("int")).cast("bigint").alias("n_kept"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+    table = UpsertTable(spark, os.path.join(base, "table"), ["source"])
+    q = start_upsert_query(
+        agg,
+        table,
+        os.path.join(base, "ckpt"),
+        "model_scored_counts",
+        trigger_available_now=True,
+        output_mode="update",
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    return table.read()
