@@ -583,6 +583,70 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dedup-graph topology stats (triangle counting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_stats",
+    f"""
+    WITH {_MINHASH_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+    deg AS (SELECT v, count(*) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            GROUP BY v),
+    tri AS (SELECT count(*) AS n
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT max(d) FROM deg) AS max_degree,
+           (SELECT n FROM tri) AS n_triangles
+    """,
+    doc="topology audit of the near-dup graph before clustering: node/"
+    "edge counts, max degree (the boilerplate-hub detector — a doc "
+    "near-duplicating hundreds of others IS boilerplate), and the "
+    "triangle count (triangle-dense graphs collapse into tight "
+    "clusters; sparse chains are transcription drift).  Triangles via "
+    "the ordered-edge double join (a<b<c by construction, so each "
+    "triangle counts exactly once) — the standard distributed shape, "
+    "cost ∝ Σ degree², never materializing wedges beyond the join",
+)
+def q_dedup_graph_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        dedup.minhash_candidates(docs, limit=None)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()  # consumed by nodes, degrees, and the triangle join ×3
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    nodes = e.select(F.col("a").alias("v")).union(
+        e.select(F.col("b").alias("v"))
+    )
+    n_nodes = nodes.distinct().agg(F.count("*").alias("n_nodes"))
+    max_deg = (
+        nodes.groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("max_degree"))
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        n_nodes.crossJoin(n_edges).crossJoin(max_deg).crossJoin(tri)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Arrow-batched model inference (classifier-over-corpus shape)
 # ---------------------------------------------------------------------------
 

@@ -48,11 +48,20 @@ class UpsertTable:
         path: str,
         key_cols: list[str],
         n_buckets: int = N_BUCKETS,
+        retain_versions: int = 1,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        # How many SUPERSEDED versions stay readable (the vacuum grace
+        # window).  1 = the original contract: current + the previous
+        # version (for in-flight readers).  Larger values buy time
+        # travel depth at the cost of disk — the lakehouse retention
+        # knob (Delta's deletedFileRetentionDuration, in versions).
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        self.retain_versions = retain_versions
 
     # -- manifest management --------------------------------------------
     def _manifest(self) -> dict | None:
@@ -75,6 +84,14 @@ class UpsertTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.path, _CURRENT))
+        # Immutable snapshot of this version's manifest — the metadata
+        # log that makes read(version=N) possible.  Kilobytes per
+        # merge; kept forever (like a table-format transaction log);
+        # whether N's DATA is still on disk is governed by
+        # retain_versions.
+        snap = os.path.join(self.path, f"manifest.v{manifest['version']}.json")
+        with open(snap, "w") as f:
+            json.dump(manifest, f)
 
     def _leaf(self, version: int, bucket: int | str) -> str:
         return os.path.join(self.path, f"v={version}", f"{_BUCKET}={bucket}")
@@ -83,14 +100,51 @@ class UpsertTable:
         return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
 
     # -- reads ------------------------------------------------------------
-    def read(self) -> DataFrame | None:
-        m = self._manifest()
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Snapshot read.  version=None → current; version=N → time
+        travel to the state after merge N (requires N's data leaves to
+        still be within the retain_versions vacuum window)."""
+        if version is None:
+            m = self._manifest()
+        else:
+            snap = os.path.join(self.path, f"manifest.v{version}.json")
+            try:
+                with open(snap) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"no snapshot manifest for version {version}; "
+                    f"available: {self.versions()}"
+                ) from None
         if m is None:
             return None
         paths = [self._leaf(v, b) for b, v in sorted(m["buckets"].items())]
         if not paths:
             return None
+        if version is not None:
+            gone = [p for p in paths if not os.path.isdir(p)]
+            if gone:
+                raise ValueError(
+                    f"version {version} is older than the vacuum "
+                    f"retention window (retain_versions="
+                    f"{self.retain_versions}); {len(gone)} leaves "
+                    "deleted — raise retain_versions at write time to "
+                    "keep deeper history"
+                )
         return self.spark.read.parquet(*paths)
+
+    def versions(self) -> list[int]:
+        """Snapshot versions with a manifest on disk (data availability
+        is narrower — governed by retain_versions)."""
+        try:
+            entries = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            if e.startswith("manifest.v") and e.endswith(".json"):
+                out.append(int(e[len("manifest.v"):-len(".json")]))
+        return sorted(out)
 
     # -- merge --------------------------------------------------------------
     def merge(self, batch: DataFrame) -> None:
@@ -171,8 +225,14 @@ class UpsertTable:
             v_old = m["buckets"].get(str(b))
             if v_old is not None:
                 pending.append([v_old, str(b), v_new])
-        ripe = [p for p in pending if p[2] < v_new]
-        m["pending"] = [p for p in pending if p[2] >= v_new - 1]
+        # A leaf [v_old, b, v_sup] is referenced by snapshots
+        # v_old..v_sup-1; the newest of those is v_sup-1.  It is safe
+        # to delete once every snapshot referencing it has aged past
+        # the retain_versions window: v_sup-1 < v_new - R.  R=1 is the
+        # original contract (current + one grace version).
+        r = self.retain_versions
+        ripe = [p for p in pending if p[2] < v_new - (r - 1)]
+        m["pending"] = [p for p in pending if p[2] >= v_new - r]
         m["version"] = v_new
         for b in touched:
             m["buckets"][str(b)] = v_new

@@ -109,6 +109,10 @@ EXPECTED_SHUFFLES = {
     # consumer branch + pair-bounded true-jaccard joins + band rollup
     "minhash_calibration_report": 13,
     "doc_model_scores": 0,  # JVM features -> mapInPandas, pure map
+    # persisted minhash edge subtree prints once per consumer branch
+    # (edges, nodes x2, degrees, triangle join x3); runtime: pair-gen
+    # once (cached) + degree rollup + ordered-edge double join
+    "dedup_graph_stats": 30,
 }
 
 
