@@ -583,6 +583,111 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A/B experimentation report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_report",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'A' ELSE 'B' END AS grp,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY 1, 2),
+    g AS (SELECT
+              CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_a,
+              CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_b,
+              CAST(sum(CASE WHEN grp = 'A' THEN converted ELSE 0 END)
+                   AS BIGINT) AS conv_a,
+              CAST(sum(CASE WHEN grp = 'B' THEN converted ELSE 0 END)
+                   AS BIGINT) AS conv_b
+          FROM u)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                THEN round((CAST(conv_a AS DOUBLE) / n_a
+                            - CAST(conv_b AS DOUBLE) / n_b)
+                           / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                                   / (n_a + n_b))
+                                  * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                                         / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)), 4)
+                ELSE NULL END AS z_score
+    FROM g
+    """,
+    doc="A/B experimentation report: deterministic 50/50 assignment via "
+    "the md5(user_id) hex threshold (the same engine-neutral selector "
+    "family as the train/val split), per-arm user/conversion counts, "
+    "and the pooled two-proportion z statistic — every input an EXACT "
+    "integer count, the statistic single double ops on four scalars, "
+    "bit-identical cross-engine; degenerate 0%/100% pooled arms "
+    "emit NULL in both engines.  One user_id rollup + a 1-row "
+    "reduction: the experimentation readout at any event volume",
+)
+def q_ab_test_report(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    grp = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    u = ev.groupBy("user_id", grp.alias("grp")).agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150)
+            ).cast("int")
+        ).alias("converted")
+    )
+    g = u.agg(
+        F.sum((F.col("grp") == "A").cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("grp") == "B").cast("int")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.when(F.col("grp") == "A", F.col("converted")).otherwise(0)
+        ).cast("bigint").alias("conv_a"),
+        F.sum(
+            F.when(F.col("grp") == "B", F.col("converted")).otherwise(0)
+        ).cast("bigint").alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    nconv = F.col("conv_a") + F.col("conv_b")
+    ntot = F.col("n_a") + F.col("n_b")
+    # Degenerate arms (0% or 100% pooled conversion) make the z
+    # denominator 0: emit NULL in BOTH engines instead of Spark's ANSI
+    # divide-by-zero error vs DuckDB's inf (fixture-regeneration-proof).
+    z = F.when(
+        (nconv > 0) & (nconv < ntot),
+        F.round(
+            (pa - pb)
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        ),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup-graph topology stats (triangle counting)
 # ---------------------------------------------------------------------------
 

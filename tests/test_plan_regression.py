@@ -113,6 +113,7 @@ EXPECTED_SHUFFLES = {
     # (edges, nodes x2, degrees, triangle join x3); runtime: pair-gen
     # once (cached) + degree rollup + ordered-edge double join
     "dedup_graph_stats": 30,
+    "ab_test_report": 2,  # (user,grp) rollup; 1-row arm reduce
 }
 
 
