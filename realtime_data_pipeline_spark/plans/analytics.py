@@ -583,6 +583,183 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Market-basket lift over event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_lift",
+    """
+    WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+               FROM events WHERE ts IS NOT NULL),
+    nb AS (SELECT count(*) AS n FROM
+               (SELECT DISTINCT user_id, d FROM b)),
+    per AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY 1),
+    p AS (SELECT a.user_id, a.d, a.event_type AS ta, x.event_type AS tb
+          FROM b a JOIN b x
+          ON a.user_id = x.user_id AND a.d = x.d
+             AND a.event_type < x.event_type),
+    pc AS (SELECT ta, tb, count(*) AS n_ab FROM p GROUP BY 1, 2)
+    SELECT ta, tb, n_ab,
+           round(CAST(n_ab AS DOUBLE) / nb.n, 4) AS support,
+           round(CAST(n_ab AS DOUBLE) * nb.n
+                 / (pa.n_t * CAST(pb.n_t AS DOUBLE)), 4) AS lift
+    FROM pc
+    JOIN per pa ON pa.event_type = pc.ta
+    JOIN per pb ON pb.event_type = pc.tb
+    CROSS JOIN nb
+    """,
+    doc="market-basket association over event types: baskets are "
+    "(user, day); per type pair, co-occurrence count, support, and "
+    "lift = P(ab)·N / (P(a)P(b)·N²) — all from EXACT distinct-basket "
+    "integer counts, the ratios single double ops.  Pairs are "
+    "generated basket-LOCALLY (the per-basket type set is bounded by "
+    "the event-type vocabulary, ≤5 here), so the join never exceeds "
+    "baskets × |types|²; type counts broadcast back onto the "
+    "10-row pair rollup — the co-occurrence shape behind "
+    "recommendation and anomaly lift analyses at any event volume",
+)
+def q_event_type_lift(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    b = (
+        ev.where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            "event_type",
+        )
+        .distinct()
+        .persist()  # three consumers: basket count, per-type, pairs
+    )
+    nb = b.select("user_id", "d").distinct().agg(
+        F.count("*").alias("n")
+    )
+    per = b.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    other = b.select(
+        F.col("user_id"),
+        F.col("d"),
+        F.col("event_type").alias("tb"),
+    )
+    pairs = (
+        b.select("user_id", "d", F.col("event_type").alias("ta"))
+        .join(other, ["user_id", "d"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    pa = per.select(F.col("event_type").alias("ta"), F.col("n_t").alias("na"))
+    pb = per.select(F.col("event_type").alias("tb"), F.col("n_t").alias("nbt"))
+    return (
+        pairs.join(F.broadcast(pa), "ta")
+        .join(F.broadcast(pb), "tb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 4).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("na") * F.col("nbt").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# χ² term–source association
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "term_source_association",
+    f"""
+    WITH ex AS (
+        SELECT source, unnest({D_TOKS}) AS term
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    ts AS (SELECT source, term, count(*) AS o FROM ex GROUP BY 1, 2),
+    t AS (SELECT term, sum(o) AS n_t FROM ts GROUP BY 1),
+    s AS (SELECT source, sum(o) AS n_s FROM ts GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM ts),
+    x AS (SELECT ts.source, ts.term, ts.o,
+                 CAST(t.n_t AS DOUBLE) * s.n_s / tot.n AS e
+          FROM ts JOIN t USING (term) JOIN s USING (source) CROSS JOIN tot),
+    c AS (SELECT source, term, o,
+                 round((o - e) * (o - e) / e, 4) AS chi2
+          FROM x WHERE o > e),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+               ORDER BY chi2 DESC, term) AS INT) AS rk FROM c)
+    SELECT source, term, CAST(o AS BIGINT) AS n_occurrences, chi2, rk
+    FROM r WHERE rk <= 10
+    """,
+    doc="distinctive vocabulary per source: one-cell χ² score "
+    "(O−E)²/E with E = n_term·n_source/N — observed and marginal "
+    "counts are EXACT integer rollups of the token stream, the score "
+    "single double ops, over-represented cells only (O > E), top-10 "
+    "per source.  The (term, source) contingency table is one "
+    "partial-agg'd shuffle; marginals are rollups OF the table, not "
+    "re-scans; the rank window runs on the vocabulary-sized score "
+    "relation.  The corpus-drift / domain-signature audit for "
+    "multi-source 100 TB mixes",
+)
+def q_term_source_association(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks_arr = (
+        docs.where(
+            F.col("text").isNotNull() & F.col("source").isNotNull()
+        )
+        .repartition(n)
+        .select(
+            "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        )
+        .persist()  # Generate-pathology barrier
+    )
+    ts = (
+        toks_arr.select("source", F.explode("t").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("o"))
+        .persist()  # three rollup consumers
+    )
+    t = ts.groupBy("term").agg(F.sum("o").alias("n_t"))
+    s = ts.groupBy("source").agg(F.sum("o").alias("n_s"))
+    tot = ts.agg(F.sum("o").alias("n"))
+    e = F.col("n_t").cast("double") * F.col("n_s") / F.col("n")
+    scored = (
+        ts.join(t, "term")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", e)
+        .where(F.col("o") > F.col("e"))
+        .withColumn(
+            "chi2",
+            F.round(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e"),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "source",
+            "term",
+            F.col("o").cast("bigint").alias("n_occurrences"),
+            "chi2",
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A/B experimentation report
 # ---------------------------------------------------------------------------
 

@@ -114,6 +114,10 @@ EXPECTED_SHUFFLES = {
     # once (cached) + degree rollup + ordered-edge double join
     "dedup_graph_stats": 30,
     "ab_test_report": 2,  # (user,grp) rollup; 1-row arm reduce
+    # persisted basket/contingency subtrees print per consumer branch;
+    # runtime: distinct, basket-local pair join, marginal rollups
+    "event_type_lift": 10,
+    "term_source_association": 12,
 }
 
 
