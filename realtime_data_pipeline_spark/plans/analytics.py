@@ -583,6 +583,121 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH c AS (
+        SELECT o_custkey, count(*) AS f,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS m,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec,
+               max(CAST(o_orderdate AS DATE)) AS last_d
+        FROM orders GROUP BY 1),
+    g AS (SELECT max(last_d) AS ref FROM c),
+    cr AS (SELECT o_custkey, f, m, m_dec,
+                  date_diff('day', last_d, g.ref) AS r
+           FROM c CROSS JOIN g),
+    q AS (SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+                 quantile_cont(r, 0.75) AS r3,
+                 quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+                 quantile_cont(f, 0.75) AS f3,
+                 quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+                 quantile_cont(m, 0.75) AS m3
+          FROM cr),
+    s AS (SELECT o_custkey, m_dec,
+                 CAST(1 + (CASE WHEN r < r1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN r < r2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN r < r3 THEN 1 ELSE 0 END) AS INT)
+                     AS r_score,
+                 CAST(1 + (CASE WHEN f > f1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN f > f2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN f > f3 THEN 1 ELSE 0 END) AS INT)
+                     AS f_score,
+                 CAST(1 + (CASE WHEN m > m1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN m > m2 THEN 1 ELSE 0 END)
+                        + (CASE WHEN m > m3 THEN 1 ELSE 0 END) AS INT)
+                     AS m_score
+          FROM cr CROSS JOIN q)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(round(sum(m_dec), 2) AS DOUBLE) AS total_monetary
+    FROM s GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation: per customer recency (days since their last "
+    "order vs the corpus max date), frequency, monetary (exact DECIMAL "
+    "sum), quartile-scored 1-4 against interpolated percentile "
+    "boundaries (Spark percentile ≙ DuckDB quantile_cont — identical "
+    "sort-based interpolation), cell rollup with exact decimal "
+    "monetary totals.  Boundary scoring is a broadcast of ONE 9-value "
+    "row onto a map-side CASE chain — no per-customer rank, no "
+    "window; the exact percentile is the test-exactness path, "
+    "approx_percentile the documented 100 TB swap (same call shape, "
+    "mergeable sketch)",
+)
+def q_rfm_segments(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("f"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("m"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m_dec"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    ref = c.agg(F.max("last_d").alias("ref"))
+    cr = c.crossJoin(F.broadcast(ref)).withColumn(
+        "r", F.datediff(F.col("ref"), F.col("last_d"))
+    )
+    q = cr.agg(
+        *[
+            F.expr(f"percentile({col}, {p})").alias(f"{col}{i}")
+            for col in ("r", "f", "m")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    s = cr.crossJoin(F.broadcast(q))
+    r_score = (
+        1
+        + (F.col("r") < F.col("r1")).cast("int")
+        + (F.col("r") < F.col("r2")).cast("int")
+        + (F.col("r") < F.col("r3")).cast("int")
+    ).cast("int")
+    f_score = (
+        1
+        + (F.col("f") > F.col("f1")).cast("int")
+        + (F.col("f") > F.col("f2")).cast("int")
+        + (F.col("f") > F.col("f3")).cast("int")
+    ).cast("int")
+    m_score = (
+        1
+        + (F.col("m") > F.col("m1")).cast("int")
+        + (F.col("m") > F.col("m2")).cast("int")
+        + (F.col("m") > F.col("m3")).cast("int")
+    ).cast("int")
+    return (
+        s.select(
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+            "m_dec",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("m_dec"), 2)
+            .cast("double")
+            .alias("total_monetary"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Market-basket lift over event types
 # ---------------------------------------------------------------------------
 

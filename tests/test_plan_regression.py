@@ -118,6 +118,10 @@ EXPECTED_SHUFFLES = {
     # runtime: distinct, basket-local pair join, marginal rollups
     "event_type_lift": 10,
     "term_source_association": 12,
+    # customer-rollup subtree prints per consumer branch (ref, q,
+    # score); runtime: one o_custkey rollup + two 1-row reduces +
+    # cell rollup
+    "rfm_segments": 8,
 }
 
 
