@@ -583,6 +583,136 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Gini-Simpson lexical diversity per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_diversity_report",
+    f"""
+    WITH ex AS (
+        SELECT source, unnest({D_TOKS}) AS term
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    ts AS (SELECT source, term, count(*) AS n FROM ex GROUP BY 1, 2),
+    s AS (SELECT source,
+                 count(*) AS vocab,
+                 sum(n) AS total,
+                 sum(n * n) AS sum_sq,
+                 max(n) AS top_n
+          FROM ts GROUP BY 1)
+    SELECT source, CAST(vocab AS BIGINT) AS vocab,
+           CAST(total AS BIGINT) AS n_tokens,
+           round(1 - CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE)
+                 * total), 6) AS gini_simpson,
+           round(CAST(top_n AS DOUBLE) / total, 6) AS top_term_share
+    FROM s
+    """,
+    doc="lexical diversity per source via the Gini-Simpson index "
+    "1 − Σpᵢ² — the entropy-style repetitiveness signal computed "
+    "WITHOUT log() (engine log ulp hazard): Σnᵢ² is an exact int64 "
+    "sum over the (source,term) contingency rollup, the index single "
+    "double ops.  Low diversity or a high top-term share flags "
+    "boilerplate-dominated sources before they enter a 100 TB mix.  "
+    "Two partial-agg'd shuffles",
+)
+def q_source_diversity_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    toks_arr = (
+        docs.where(
+            F.col("text").isNotNull() & F.col("source").isNotNull()
+        )
+        .repartition(n)
+        .select(
+            "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        )
+        .persist()  # Generate-pathology barrier
+    )
+    ts = (
+        toks_arr.select("source", F.explode("t").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    s = ts.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.max("n").alias("top_n"),
+    )
+    return s.select(
+        "source",
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("total").cast("bigint").alias("n_tokens"),
+        F.round(
+            1
+            - F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total")),
+            6,
+        ).alias("gini_simpson"),
+        F.round(
+            F.col("top_n").cast("double") / F.col("total"), 6
+        ).alias("top_term_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+               FROM events),
+    t AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+          FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM t
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lead() under the unique (ts, event_id) order, "
+    "transition counts, and row-normalized probabilities P(to|from) — "
+    "the normalizer a window over the |types|² COUNT relation, not "
+    "the event stream.  One user_id exchange feeds the lead window "
+    "AND the transition rollup (subset-key clustering); the behavior "
+    "model behind next-action prediction features and bot detection "
+    "(improbable transition chains)",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row_tot), 4
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # RFM customer segmentation
 # ---------------------------------------------------------------------------
 

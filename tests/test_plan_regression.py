@@ -122,6 +122,8 @@ EXPECTED_SHUFFLES = {
     # score); runtime: one o_custkey rollup + two 1-row reduces +
     # cell rollup
     "rfm_segments": 8,
+    "source_diversity_report": 3,  # repartition; (source,term); source rollup
+    "event_transition_matrix": 3,  # user window; pair rollup; row-total window
 }
 
 
