@@ -583,6 +583,88 @@ def q_lexical_diversity_correlation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Binned two-sample Kolmogorov-Smirnov drift report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_drift_report",
+    """
+    WITH e AS (
+        SELECT CAST(least(floor(value / 2), 499) AS INT) AS bin,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events
+        WHERE value IS NOT NULL AND value >= 0
+          AND event_type IN ('click', 'error')),
+    b AS (SELECT bin,
+                 sum(is_a) AS na_bin,
+                 sum(1 - is_a) AS nb_bin
+          FROM e GROUP BY 1),
+    c AS (SELECT bin,
+                 sum(na_bin) OVER (ORDER BY bin) AS ca,
+                 sum(nb_bin) OVER (ORDER BY bin) AS cb,
+                 sum(na_bin) OVER () AS na,
+                 sum(nb_bin) OVER () AS nb
+          FROM b)
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(abs(CAST(ca AS DOUBLE) / na
+                         - CAST(cb AS DOUBLE) / nb)), 6) AS d_stat
+    FROM c
+    """,
+    doc="distribution-drift audit: binned two-sample Kolmogorov-"
+    "Smirnov D statistic between the click and error value "
+    "distributions — the feature-drift gate a production pipeline "
+    "runs between data vintages.  One pass bins both samples "
+    "(map-side integer binning, fixed 500-bin grid), the CDF "
+    "difference is a cumulative window over the BIN relation "
+    "(bounded by the grid, never by data volume), D = max of "
+    "per-bin exact-count ratios — order-independent, bit-identical "
+    "cross-engine.  Exact-value KS needs a global sort; the fixed "
+    "grid is the scale-correct estimator (error ≤ bin width)",
+)
+def q_ks_drift_report(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    e = ev.where(
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("event_type").isin("click", "error")
+    ).select(
+        F.least(F.floor(F.col("value") / 2), F.lit(499))
+        .cast("int")
+        .alias("bin"),
+        (F.col("event_type") == "click").cast("int").alias("is_a"),
+    )
+    b = e.groupBy("bin").agg(
+        F.sum("is_a").alias("na_bin"),
+        F.sum(1 - F.col("is_a")).alias("nb_bin"),
+    )
+    cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    c = b.select(
+        F.sum("na_bin").over(cum).alias("ca"),
+        F.sum("nb_bin").over(cum).alias("cb"),
+        F.sum("na_bin").over(tot).alias("na"),
+        F.sum("nb_bin").over(tot).alias("nb"),
+    )
+    return c.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("d_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gini-Simpson lexical diversity per source
 # ---------------------------------------------------------------------------
 

@@ -124,6 +124,7 @@ EXPECTED_SHUFFLES = {
     "rfm_segments": 8,
     "source_diversity_report": 3,  # repartition; (source,term); source rollup
     "event_transition_matrix": 3,  # user window; pair rollup; row-total window
+    "ks_drift_report": 2,  # bin rollup; bounded-bin CDF window + 1-row max
 }
 
 
