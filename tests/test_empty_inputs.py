@@ -56,6 +56,15 @@ _QUERIES = [
     "referential_integrity_audit",
     "embedding_quantization_report",
     "minhash_calibration_report",
+    "doc_model_scores",
+    "dedup_graph_stats",
+    "ab_test_report",
+    "event_type_lift",
+    "term_source_association",
+    "rfm_segments",
+    "source_diversity_report",
+    "event_transition_matrix",
+    "ks_drift_report",
 ]
 
 
