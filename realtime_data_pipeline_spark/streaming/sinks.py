@@ -168,6 +168,83 @@ class UpsertTable:
         finally:
             batch.unpersist()
 
+    def delete_keys(self, keys: DataFrame) -> int:
+        """Targeted delete (the right-to-be-forgotten primitive): remove
+        every row whose key appears in `keys`, rewriting ONLY the hash
+        buckets those keys land in — same bucket-addressable shape as
+        merge, so a delete of k keys costs O(buckets(k)), not a table
+        rewrite.  Returns the number of rows removed.
+
+        Privacy note: superseded leaves stay readable for the
+        retain_versions grace window (and via time-travel snapshots)
+        until vacuum unlinks them — hard erasure completes after the
+        next `retain_versions` merges, the same contract as lakehouse
+        VACUUM-based deletion."""
+        keys = (
+            keys.select(self.key_cols)
+            .dropDuplicates(self.key_cols)
+            .withColumn(_BUCKET, self._bucket_col())
+            .persist()
+        )
+        try:
+            m = self._manifest()
+            if m is None:
+                return 0
+            touched = sorted(
+                b
+                for b in (
+                    r[0] for r in keys.select(_BUCKET).distinct().collect()
+                )
+                if str(b) in m["buckets"]
+            )
+            if not touched:
+                return 0
+            parts = [
+                self.spark.read.parquet(
+                    self._leaf(m["buckets"][str(b)], b)
+                ).withColumn(_BUCKET, F.lit(b))
+                for b in touched
+            ]
+            current = parts[0]
+            for p in parts[1:]:
+                current = current.unionByName(p)
+            current = current.persist()
+            try:
+                n_deleted = current.join(
+                    keys.select(self.key_cols), self.key_cols, "left_semi"
+                ).count()
+                if n_deleted == 0:
+                    return 0
+                kept = current.join(
+                    keys.select(self.key_cols), self.key_cols, "left_anti"
+                )
+                v_new = m["version"] + 1
+                kept.repartition(len(touched), F.col(_BUCKET)).write.mode(
+                    "overwrite"
+                ).partitionBy(_BUCKET).parquet(
+                    os.path.join(self.path, f"v={v_new}")
+                )
+                pending = [list(p) for p in m.get("pending", [])]
+                for b in touched:
+                    pending.append([m["buckets"][str(b)], str(b), v_new])
+                    # a fully-emptied bucket writes no leaf: drop it
+                    # from the manifest instead of pointing at nothing
+                    if os.path.isdir(self._leaf(v_new, b)):
+                        m["buckets"][str(b)] = v_new
+                    else:
+                        del m["buckets"][str(b)]
+                r = self.retain_versions
+                ripe = [p for p in pending if p[2] < v_new - (r - 1)]
+                m["pending"] = [p for p in pending if p[2] >= v_new - r]
+                m["version"] = v_new
+                self._flip(m)
+                self._vacuum(ripe)
+                return n_deleted
+            finally:
+                current.unpersist()
+        finally:
+            keys.unpersist()
+
     def _merge_persisted(self, batch: DataFrame) -> None:
         # ≤ n_buckets values — O(1) driver-side, not a collect of data.
         touched = sorted(
