@@ -200,6 +200,23 @@ EXPECTED_SCAN_SHAPES = {
         # permutation key needs only doc_id — the narrowest scan
         "ReadSchema: struct<doc_id:bigint>",
     ],
+    # round-5 analytics module
+    "user_activity_trend": [
+        # 2 of 6 event columns — the trend needs only (ts, user)
+        "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>",
+    ],
+    "ks_drift_report": [
+        # both sample filters reach the scan: null, range, AND the
+        # two-type IN list — row groups of other types skip entirely
+        "GreaterThanOrEqual(value,0.0)",
+        "In(event_type, [click,error]",
+        "ReadSchema: struct<event_type:string,value:double>",
+    ],
+    "stratified_doc_sample": [
+        # text column NOT read — sampling never deserializes payloads
+        "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
+        "PushedFilters: [IsNotNull(lang)]",
+    ],
 }
 
 

@@ -86,3 +86,30 @@ def test_zorder_prunes_2d_predicates_better_than_linear(spark, tmp_path):
         avg_span(zpath),
         avg_span(lpath),
     )
+
+
+def test_morton_matches_python_model(spark):
+    """Property check: the JVM bit-interleave equals a direct Python
+    interleave for arbitrary 16-bit inputs (one Spark job for the whole
+    batch — hypothesis would respawn jobs per example)."""
+    import random
+
+    rng = random.Random(7)
+    cases = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(64)]
+    cases += [(0, 0), (65535, 65535), (0, 65535), (1, 0)]
+
+    def model(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_interleave(F.col("x"), F.col("y"), 16).alias("z")
+        ).collect()
+    }
+    assert got == {(x, y): model(x, y) for x, y in cases}
