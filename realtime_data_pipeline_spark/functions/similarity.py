@@ -662,3 +662,112 @@ def ivf_codebook_topk(
             F.col("cs").alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-quality audits over the label column (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def _labeled_pairs(vectors: DataFrame, query_pred) -> DataFrame:
+    """Broadcast the bounded query set against all candidates, carrying
+    both sides' labels.  Same scale shape as brute_force_topk: the
+    corpus is scanned once, the query batch rides in the broadcast."""
+    e = with_norm(vectors)
+    q = e.where(query_pred).alias("q")
+    c = e.alias("c")
+    return F.broadcast(q).join(
+        c, F.col("q.vec_id") != F.col("c.vec_id")
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.label").alias("true_label"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("c.label").alias("n_label"),
+        _cosine().alias("cs"),
+    )
+
+
+def knn_label_votes(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """kNN label-consistency audit: for each query vector, the majority
+    label among its k exact nearest neighbors vs its own label — the
+    standard embedding-quality gate before trusting an embedding table
+    for curation (a label whose members' neighbors mostly carry OTHER
+    labels is an embedding-space smell).
+
+    Plan: broadcast query batch → one corpus scan → per-query rank
+    (k nearest) → per-(query,label) vote counts → per-query argmax.
+    All post-broadcast exchanges are clustered by query_id, so Spark
+    reuses one hash partitioning across the rank window, the vote
+    rollup, and the winner window.  At 100 TB the exact scan is the
+    audit baseline; the serving path swaps in the LSH/IVF candidate
+    generators above (same rerank contract).
+
+    Ties are deterministic in both engines: neighbors by (cs DESC,
+    neighbor_id ASC), winning label by (votes DESC, label ASC)."""
+    pairs = _labeled_pairs(vectors, query_pred)
+    w_nn = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    nn = pairs.withColumn("rnk", F.row_number().over(w_nn)).where(
+        F.col("rnk") <= k
+    )
+    votes = nn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w_win = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("n_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w_win))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("predicted_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label"))
+            .cast("int")
+            .alias("consistent"),
+        )
+    )
+
+
+def hard_negative_margins(vectors: DataFrame, query_pred) -> DataFrame:
+    """Triplet-margin mining audit: per anchor, the nearest SAME-label
+    vector (easiest positive), the nearest OTHER-label vector (hardest
+    negative), and the margin between them.  violation=1 marks anchors
+    whose hardest negative is closer than their nearest positive — the
+    triplets a contrastive trainer would mine, and the rows a label
+    auditor would inspect first.
+
+    Plan: one broadcast-join pair pass, then a single groupBy(query)
+    with conditional struct-max aggregates — the argmax is a map-side
+    partial (max of (cs, -neighbor_id) structs), so the exchange
+    carries one struct per (anchor, side), never the pair set.  No
+    window, no second join.  Tie-breaks mirror (cs DESC, neighbor_id
+    ASC) via lexicographic struct ordering.  Anchors whose label has
+    no second member keep a NULL positive side (violation stays 0),
+    matching the SQL oracle's CASE-on-NULL semantics."""
+    pairs = _labeled_pairs(vectors, query_pred)
+    same = F.col("n_label") == F.col("true_label")
+    best = F.struct(
+        F.col("cs").alias("cs"), (-F.col("neighbor_id")).alias("neg_id")
+    )
+    agg = pairs.groupBy("query_id", F.col("true_label").alias("label")).agg(
+        F.max(F.when(same, best)).alias("pos"),
+        F.max(F.when(~same, best)).alias("neg"),
+    )
+    cs_pos = F.col("pos.cs")
+    cs_neg = F.col("neg.cs")
+    return agg.select(
+        "query_id",
+        "label",
+        (-F.col("pos.neg_id")).alias("pos_id"),
+        (-F.col("neg.neg_id")).alias("neg_id"),
+        F.round(cs_pos, 6).alias("cos_pos"),
+        F.round(cs_neg, 6).alias("cos_neg"),
+        F.round(cs_pos - cs_neg, 6).alias("margin"),
+        F.when(cs_neg > cs_pos, F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("violation"),
+    )

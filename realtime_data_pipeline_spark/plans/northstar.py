@@ -624,6 +624,76 @@ def q_ann_pandas_topk(spark, sf_dir):
     )
 
 
+_D_LP = f"""
+    e AS ({_D_E}),
+    lp AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+                  c.vec_id AS neighbor_id, c.label AS n_label, {_D_COS} AS cs
+           FROM e q JOIN e c ON q.vec_id < 64 AND c.vec_id != q.vec_id)"""
+
+
+@register(
+    "knn_label_consistency",
+    f"""
+    WITH {_D_LP},
+    nn AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id) AS rnk
+                          FROM lp) WHERE rnk <= 5),
+    v AS (SELECT query_id, true_label, n_label, count(*) AS n_votes
+          FROM nn GROUP BY 1, 2, 3)
+    SELECT query_id, true_label, n_label AS predicted_label, n_votes,
+           CAST(CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS INT)
+               AS consistent
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY n_votes DESC, n_label) AS rn FROM v)
+    WHERE rn = 1
+    """,
+    doc="embedding-quality audit: 5-NN majority-vote label vs actual per "
+    "query vector — broadcast query batch, ONE corpus scan, every "
+    "post-broadcast exchange clustered by query_id (rank window, vote "
+    "rollup, winner window reuse one partitioning); deterministic ties "
+    "(cs DESC, neighbor_id) / (votes DESC, label)",
+)
+def q_knn_label_consistency(spark, sf_dir):
+    return similarity.knn_label_votes(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 64, k=5
+    )
+
+
+@register(
+    "hard_negative_report",
+    f"""
+    WITH {_D_LP},
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY query_id, (n_label = true_label)
+              ORDER BY cs DESC, neighbor_id) AS rn
+          FROM lp),
+    pos AS (SELECT query_id, neighbor_id AS pos_id, cs AS cs_pos
+            FROM r WHERE n_label = true_label AND rn = 1),
+    neg AS (SELECT query_id, neighbor_id AS neg_id, cs AS cs_neg
+            FROM r WHERE n_label != true_label AND rn = 1),
+    base AS (SELECT DISTINCT query_id, true_label AS label FROM lp)
+    SELECT b.query_id, b.label, p.pos_id, n.neg_id,
+           round(p.cs_pos, 6) AS cos_pos, round(n.cs_neg, 6) AS cos_neg,
+           round(p.cs_pos - n.cs_neg, 6) AS margin,
+           CAST(CASE WHEN n.cs_neg > p.cs_pos THEN 1 ELSE 0 END AS INT)
+               AS violation
+    FROM base b
+    LEFT JOIN pos p ON p.query_id = b.query_id
+    LEFT JOIN neg n ON n.query_id = b.query_id
+    """,
+    doc="contrastive-training triplet mining: per anchor the nearest "
+    "same-label positive, the hardest other-label negative, and the "
+    "margin; violation=1 anchors are the triplets a trainer mines and "
+    "the rows a label auditor reads first.  One broadcast pair pass + "
+    "one groupBy with conditional struct-max argmax (map-side partial; "
+    "the exchange carries 2 structs/anchor, never the pair set)",
+)
+def q_hard_negative_report(spark, sf_dir):
+    return similarity.hard_negative_margins(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 64
+    )
+
+
 @register(
     "corpus_curation_stats",
     f"""

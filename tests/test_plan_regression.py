@@ -125,6 +125,12 @@ EXPECTED_SHUFFLES = {
     "source_diversity_report": 3,  # repartition; (source,term); source rollup
     "event_transition_matrix": 3,  # user window; pair rollup; row-total window
     "ks_drift_report": 2,  # bin rollup; bounded-bin CDF window + 1-row max
+    # embedding-label audits: broadcast query batch, ONE exchange —
+    # knn reuses the query_id partitioning across rank window, vote
+    # rollup (subset-clustered) and winner window; hard-negative's
+    # argmax is a conditional struct-max with map-side partials
+    "knn_label_consistency": 1,
+    "hard_negative_report": 1,
 }
 
 
