@@ -927,6 +927,36 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+_FREQ_PHI = 0.005
+
+
+@register(
+    "frequent_terms_report",
+    f"""
+    WITH t AS (SELECT unnest({D_TOKS}) AS term FROM documents),
+    n AS (SELECT count(*) AS n_tok FROM t),
+    c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+    SELECT term, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS share
+    FROM c, n
+    WHERE CAST(cnt AS DOUBLE) >= {_FREQ_PHI} * n_tok
+    """,
+    doc="exact heavy hitters (frequency >= 0.5% of all tokens) via the "
+    "2-pass Misra-Gries shape (functions/sketches.py): pass 1 is a "
+    "zero-shuffle Arrow-batch MG sketch (O(capacity) executor state, "
+    "no-false-negative guarantee), pass 2 broadcast-semi-joins the "
+    "candidate union so the count shuffle carries only head terms, "
+    "never the long tail — the 100 TB alternative to shuffling the "
+    "full vocabulary; final counts exact, so batching never shows",
+)
+def q_frequent_terms_report(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import sketches
+
+    return sketches.frequent_terms(
+        _t(spark, sf_dir, "documents"), phi=_FREQ_PHI
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: sequence bucketing, decontamination,
 # quality-aware canonical selection

@@ -131,6 +131,10 @@ EXPECTED_SHUFFLES = {
     # argmax is a conditional struct-max with map-side partials
     "knn_label_consistency": 1,
     "hard_negative_report": 1,
+    # 2-pass Misra-Gries heavy hitters: candidate distinct (≤ capacity
+    # × batches rows); head-term count (long tail dropped by the
+    # broadcast semi-join BEFORE the exchange); 1-row token total
+    "frequent_terms_report": 3,
 }
 
 
