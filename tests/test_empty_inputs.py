@@ -65,6 +65,10 @@ _QUERIES = [
     "source_diversity_report",
     "event_transition_matrix",
     "ks_drift_report",
+    # embedding-label audits + MG heavy hitters
+    "knn_label_consistency",
+    "hard_negative_report",
+    "frequent_terms_report",
 ]
 
 
