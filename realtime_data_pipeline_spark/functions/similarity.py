@@ -672,8 +672,19 @@ def ivf_codebook_topk(
 def _labeled_pairs(vectors: DataFrame, query_pred) -> DataFrame:
     """Broadcast the bounded query set against all candidates, carrying
     both sides' labels.  Same scale shape as brute_force_topk: the
-    corpus is scanned once, the query batch rides in the broadcast."""
-    e = with_norm(vectors)
+    corpus is scanned once, the query batch rides in the broadcast.
+
+    NULL-label / NULL-embedding rows are dropped up front on BOTH
+    sides: Spark's groupBy buckets NULL keys together while a SQL
+    equi-join drops them, so leaving them in would make the vote
+    rollup diverge from any relational oracle the moment a fixture
+    gains such a row (the fuzzy-dedup NULL-lang lesson).  The paired
+    oracles carry the same IS NOT NULL predicates."""
+    e = with_norm(
+        vectors.where(
+            F.col("label").isNotNull() & F.col("embedding").isNotNull()
+        )
+    )
     q = e.where(query_pred).alias("q")
     c = e.alias("c")
     return F.broadcast(q).join(

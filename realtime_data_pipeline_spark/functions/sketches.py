@@ -58,12 +58,20 @@ def _mg_kernel(capacity: int):
     return run
 
 
+def _tok_frame(docs: DataFrame) -> DataFrame:
+    # NULL text dropped up front: the MG kernel iterates the token
+    # array (None would crash it), and both engines then agree by
+    # construction (the oracle carries the same predicate).
+    return docs.where(F.col("text").isNotNull()).select(
+        tokens("text").alias("toks")
+    )
+
+
 def mg_candidate_terms(docs: DataFrame, capacity: int) -> DataFrame:
     """Pass 1: per-Arrow-batch Misra-Gries summaries over the token
     stream, zero shuffle.  Superset guarantee: contains every term
     with global frequency > n/capacity."""
-    toks = docs.select(tokens("text").alias("toks"))
-    return toks.mapInPandas(
+    return _tok_frame(docs).mapInPandas(
         _mg_kernel(capacity), schema="term string"
     ).distinct()
 
@@ -74,7 +82,7 @@ def frequent_terms(docs: DataFrame, phi: float = 0.005) -> DataFrame:
     no-false-negative bound."""
     capacity = int(2.0 / phi) + 1
     cand = mg_candidate_terms(docs, capacity)
-    toks = docs.select(tokens("text").alias("toks"))
+    toks = _tok_frame(docs)
     n_tok = toks.agg(F.sum(F.size("toks")).alias("n_tok"))
     exact = (
         toks.select(F.explode("toks").alias("term"))

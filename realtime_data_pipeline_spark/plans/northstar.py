@@ -624,8 +624,14 @@ def q_ann_pandas_topk(spark, sf_dir):
     )
 
 
+# NULL-label/embedding rows dropped on both sides, mirroring
+# similarity._labeled_pairs — Spark groupBy buckets NULL keys, a SQL
+# equi-join drops them; filtering up front keeps both engines agreeing
+# by construction even if a regenerated fixture gains such rows.
 _D_LP = f"""
-    e AS ({_D_E}),
+    e0 AS ({_D_E}),
+    e AS (SELECT * FROM e0
+          WHERE label IS NOT NULL AND embedding IS NOT NULL),
     lp AS (SELECT q.vec_id AS query_id, q.label AS true_label,
                   c.vec_id AS neighbor_id, c.label AS n_label, {_D_COS} AS cs
            FROM e q JOIN e c ON q.vec_id < 64 AND c.vec_id != q.vec_id)"""
@@ -933,7 +939,8 @@ _FREQ_PHI = 0.005
 @register(
     "frequent_terms_report",
     f"""
-    WITH t AS (SELECT unnest({D_TOKS}) AS term FROM documents),
+    WITH t AS (SELECT unnest({D_TOKS}) AS term FROM documents
+               WHERE text IS NOT NULL),
     n AS (SELECT count(*) AS n_tok FROM t),
     c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
     SELECT term, cnt,

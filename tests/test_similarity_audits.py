@@ -86,3 +86,21 @@ def test_hard_negative_margins_and_singleton_null_contract(spark):
     assert rows[7]["cos_pos"] is None
     assert rows[7]["margin"] is None
     assert rows[7]["violation"] == 0
+
+
+def test_null_label_and_embedding_rows_are_dropped(spark):
+    base = _planted(spark)
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [
+                (100, [1.0, 0.0, 0.0], None),  # NULL label
+                (101, None, 1),  # NULL embedding
+            ],
+            _SCHEMA,
+        )
+    )
+    votes = similarity.knn_label_votes(dirty, F.lit(True), k=3)
+    margins = similarity.hard_negative_margins(dirty, F.lit(True))
+    for out in (votes, margins):
+        ids = {r["query_id"] for r in out.collect()}
+        assert ids == set(range(8)), ids

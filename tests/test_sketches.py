@@ -71,3 +71,13 @@ def test_mg_kernel_bounded_state_and_decrement_path(spark):
     got = {r["term"]: r["cnt"] for r in out}
     # n=120, threshold 36: a(60) and b(40) qualify, c(20) does not
     assert got == {"a": 60, "b": 40}
+
+
+def test_null_text_rows_do_not_crash_the_mg_kernel(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, None), (2, "a b b")],
+        "doc_id long, text string",
+    )
+    out = sketches.frequent_terms(docs, phi=0.3).collect()
+    got = {r["term"]: r["cnt"] for r in out}
+    assert got == {"a": 4, "b": 3}
