@@ -131,7 +131,8 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # streaming_model_scored_counts, dedup_graph_stats, ab_test_report,
 # event_type_lift, term_source_association, rfm_segments,
 # source_diversity_report, event_transition_matrix, ks_drift_report,
-# knn_label_consistency, hard_negative_report, frequent_terms_report).
+# knn_label_consistency, hard_negative_report, frequent_terms_report,
+# streaming_frequent_terms).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -1046,3 +1046,89 @@ def q_streaming_model_scored_counts(spark, sf_dir):
     while q.isActive:
         q.awaitTermination(5)
     return table.read()
+
+
+@register(
+    "streaming_frequent_terms",
+    None,  # attached below — reuses frequent_terms_report's oracle verbatim
+    doc="STREAMING heavy hitters: the document corpus replayed as two "
+    "micro-batches, per-term counts held as update-mode streaming "
+    "state and upserted per batch; the threshold (frequency >= 0.5% "
+    "of all tokens) is applied at read time over the CONVERGED table, "
+    "so the result equals the batch 2-pass MG operator exactly — "
+    "counts are additive, which is what makes the sketch family "
+    "streamable.  At 100 TB the update-mode state is bounded by the "
+    "MG candidate prefilter (functions/sketches.mg_candidate_terms) "
+    "run on each batch before the stateful agg; the fixture vocabulary "
+    "is small enough to carry whole, keeping the query oracle-exact",
+    tags=("streaming",),
+)
+def q_streaming_frequent_terms(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions.text import tokens
+    from realtime_data_pipeline_spark.plans.registry import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    replay = os.path.join(base, "replay")
+    # two files → two micro-batches: the update-mode upsert provably
+    # overwrites batch-1 partial counts with converged totals
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    half.coalesce(1).write.mode("overwrite").parquet(replay)
+    docs.subtract(half).coalesce(1).write.mode("append").parquet(replay)
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    stream = file_replay_stream(spark, replay, doc_schema, max_files_per_trigger=1)
+    counts = (
+        stream.where(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    table = UpsertTable(spark, os.path.join(base, "table"), ["term"])
+    q = start_upsert_query(
+        counts,
+        table,
+        os.path.join(base, "ckpt"),
+        "frequent_terms",
+        trigger_available_now=True,
+        output_mode="update",
+    )
+    while q.isActive:
+        q.awaitTermination(5)
+    t = table.read()
+    n_tok = t.agg(F.sum("cnt").alias("n_tok"))
+    phi = 0.005  # mirrors northstar._FREQ_PHI (asserted in the attach below)
+    return (
+        t.crossJoin(F.broadcast(n_tok))
+        .where(F.col("cnt").cast("double") >= F.lit(phi) * F.col("n_tok"))
+        .select(
+            "term",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_tok").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+def _attach_frequent_terms_oracle() -> None:
+    """Same converged result as the batch operator → same oracle string,
+    copied verbatim so the two can never drift."""
+    from dataclasses import replace
+
+    from realtime_data_pipeline_spark.plans import northstar
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    assert northstar._FREQ_PHI == 0.005
+    REGISTRY["streaming_frequent_terms"] = replace(
+        REGISTRY["streaming_frequent_terms"],
+        oracle=REGISTRY["frequent_terms_report"].oracle,
+    )
+
+
+_attach_frequent_terms_oracle()
