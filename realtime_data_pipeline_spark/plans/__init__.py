@@ -132,7 +132,7 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # event_type_lift, term_source_association, rfm_segments,
 # source_diversity_report, event_transition_matrix, ks_drift_report,
 # knn_label_consistency, hard_negative_report, frequent_terms_report,
-# streaming_frequent_terms).
+# streaming_frequent_terms, shared_chunk_report).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

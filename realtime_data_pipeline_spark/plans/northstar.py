@@ -1221,6 +1221,63 @@ def q_doc_chunks(spark, sf_dir):
 
 
 @register(
+    "shared_chunk_report",
+    # composes doc_chunks' oracle verbatim as a CTE — the chunking
+    # definition can never drift between the two queries
+    None,  # attached immediately below (needs the registered string)
+    doc="cross-document boilerplate detection at sub-document "
+    "granularity (the CCNet-style complement to the intra-doc "
+    "doc_repetition_scores): chunk fingerprints appearing in >= 2 "
+    "distinct documents, top-100 by spread.  Map-only chunking → one "
+    "(fingerprint, doc) distinct rollup → fingerprint rollup → "
+    "TakeOrdered top-k; the shuffle carries fingerprint partials, "
+    "never chunk text — at 100 TB this is the repeated-template "
+    "killer that doc-level dedup cannot see",
+)
+def q_shared_chunk_report(spark, sf_dir):
+    chunks = q_doc_chunks(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("chunk_fingerprint", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("chunk_fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("chunk_fingerprint"))
+        .limit(100)
+    )
+
+
+def _attach_shared_chunk_oracle() -> None:
+    from dataclasses import replace
+
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    sql = f"""
+    WITH chunks AS ({REGISTRY['doc_chunks'].oracle}),
+    per_doc AS (SELECT chunk_fingerprint, doc_id, count(*) AS c
+                FROM chunks GROUP BY 1, 2)
+    SELECT chunk_fingerprint, count(*) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM per_doc
+    GROUP BY 1
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, chunk_fingerprint
+    LIMIT 100
+    """
+    REGISTRY["shared_chunk_report"] = replace(
+        REGISTRY["shared_chunk_report"], oracle=sql
+    )
+
+
+_attach_shared_chunk_oracle()
+
+
+@register(
     "doc_repetition_scores",
     f"""
     WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),

@@ -69,6 +69,7 @@ _QUERIES = [
     "knn_label_consistency",
     "hard_negative_report",
     "frequent_terms_report",
+    "shared_chunk_report",
 ]
 
 

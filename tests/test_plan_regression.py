@@ -135,6 +135,9 @@ EXPECTED_SHUFFLES = {
     # × batches rows); head-term count (long tail dropped by the
     # broadcast semi-join BEFORE the exchange); 1-row token total
     "frequent_terms_report": 3,
+    # chunk fingerprints: (fp,doc) distinct rollup; fp rollup (top-k
+    # is TakeOrdered, no extra exchange)
+    "shared_chunk_report": 2,
 }
 
 
