@@ -81,3 +81,46 @@ def test_null_text_rows_do_not_crash_the_mg_kernel(spark):
     out = sketches.frequent_terms(docs, phi=0.3).collect()
     got = {r["term"]: r["cnt"] for r in out}
     assert got == {"a": 4, "b": 3}
+
+
+# ---------------------------------------------------------------------------
+# Property-based model check of the MG kernel itself (no Spark):
+# the no-false-negative guarantee must hold for ANY stream and ANY
+# batch split — an item absent from every batch summary has global
+# count <= n/capacity, so anything above that bound must survive.
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from realtime_data_pipeline_spark.functions.sketches import _mg_kernel
+
+_token_lists = st.lists(
+    st.lists(
+        st.integers(0, 15).map(lambda i: f"w{i}"), min_size=0, max_size=40
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs=_token_lists, capacity=st.integers(2, 8), split=st.integers(0, 25))
+def test_mg_superset_guarantee_any_stream_any_split(docs, capacity, split):
+    split = min(split, len(docs))
+    batches = [
+        pd.DataFrame({"toks": part})
+        for part in (docs[:split], docs[split:])
+        if part
+    ]
+    union: set[str] = set()
+    for out in _mg_kernel(capacity)(iter(batches)):
+        union |= set(out["term"])
+    cnt = Counter(t for d in docs for t in d)
+    n = sum(cnt.values())
+    for t, c in cnt.items():
+        if c > n / capacity:
+            assert t in union, (t, c, n, capacity)
