@@ -11,6 +11,7 @@ from realtime_data_pipeline_spark.plans import tpch_shapes  # noqa: F401
 from realtime_data_pipeline_spark.plans import extras  # noqa: F401
 from realtime_data_pipeline_spark.plans import training  # noqa: F401
 from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
+from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r1 item 3).
@@ -132,7 +133,9 @@ from realtime_data_pipeline_spark.plans import analytics  # noqa: F401
 # event_type_lift, term_source_association, rfm_segments,
 # source_diversity_report, event_transition_matrix, ks_drift_report,
 # knn_label_consistency, hard_negative_report, frequent_terms_report,
-# streaming_frequent_terms, shared_chunk_report).
+# streaming_frequent_terms, shared_chunk_report) and the round-5
+# lifecycle/eval module plans/lake.py (corpus_snapshot_diff,
+# purchase_window_views, pagerank_top_items, model_eval_report).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

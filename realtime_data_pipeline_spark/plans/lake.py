@@ -1,0 +1,453 @@
+"""Dataset-lifecycle & model-evaluation operators (round 5, wave 2).
+
+North-star extensions past the reference's surface (the reference's
+sink is a last-write-wins Mongo upsert with no history, versioning, or
+evaluation surface at all — SURVEY §1.4.3): corpus snapshot diffing,
+a bucketed big×big time-range join, fixed-point PageRank over the
+item-transition graph, and an exact AUC / calibration report for the
+Arrow-batched quality classifier.
+
+Cross-engine determinism notes (on top of plans/relational.py's
+contract):
+  * PageRank runs in INTEGER fixed-point (pico-mass units, total mass
+    10^12): every update is `div` on int64, every sum an int64 sum —
+    order-independent and bit-identical across engines, where a
+    double-valued power iteration would drift by summation order;
+  * AUC comes from the rank-sum (Mann–Whitney) form with tie groups
+    handled via min/max row-number per score group — all-integer until
+    one final double division;
+  * the snapshot selectors are md5-hex thresholds (plans/training.py
+    convention), so both engines derive the identical snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.operators import ranks, snapshot, windows
+from realtime_data_pipeline_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (added / removed / changed / unchanged)
+# ---------------------------------------------------------------------------
+
+# Two deterministic snapshots derived from `documents` (the driver's
+# fixtures are immutable, so version-pairs must be simulated — same
+# md5-threshold selector style as plans/training.py): snapshot A keeps
+# ~90% of docs by md5(doc_id||':a'), snapshot B keeps ~90% by
+# md5(doc_id||':b') (so ~9% of A is "removed" and ~9% of B is "added"),
+# and ~10% of docs (md5(doc_id||':rev') < '1a') carry a simulated
+# revision in B (text || ' rev2') so their content fingerprint changes.
+_SNAP_SQL = """
+    a AS (SELECT doc_id, lang, md5(coalesce(text, '')) AS fp
+          FROM documents
+          WHERE md5(CAST(doc_id AS VARCHAR) || ':a') < 'e6'),
+    b AS (SELECT doc_id, lang,
+                 md5(coalesce(CASE
+                     WHEN md5(CAST(doc_id AS VARCHAR) || ':rev') < '1a'
+                     THEN text || ' rev2' ELSE text END, '')) AS fp
+          FROM documents
+          WHERE md5(CAST(doc_id AS VARCHAR) || ':b') < 'e6')
+"""
+
+
+@register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH {_SNAP_SQL},
+    d AS (SELECT coalesce(b.lang, a.lang) AS lang,
+                 CASE WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN a.fp <> b.fp THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT lang, status, count(*) AS n_docs
+    FROM d GROUP BY 1, 2
+    """,
+    doc="incremental-corpus refresh audit: full-outer diff of two "
+    "snapshot versions classifying every doc_id as added / removed / "
+    "changed / unchanged (operators/snapshot.py), rolled up per "
+    "language.  The exchange payload is (key, md5 fingerprint, lang) "
+    "— never the text — and with both snapshots written "
+    "bucketed-by-doc_id (operators/writer.py) the join needs no "
+    "exchange at all.  The reference's Mongo sink discards history "
+    "(SURVEY §1.4.3); this is what replaces it in a lakehouse",
+)
+def q_corpus_snapshot_diff(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    key_a = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":a")))
+    key_b = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":b")))
+    rev = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rev")))
+    snap_a = docs.where(key_a < "e6").select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+    text_b = F.when(
+        rev < "1a", F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    snap_b = docs.where(key_b < "e6").select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(text_b, F.lit(""))).alias("fp"),
+    )
+    diff = snapshot.snapshot_diff(
+        snap_a, snap_b, key="doc_id", fingerprint="fp", carry=["lang"]
+    )
+    return diff.groupBy("lang", "status").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed big×big time-range join (views within 24h before a purchase)
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 86_400_000_000  # 24 hours in microseconds
+
+
+@register(
+    "purchase_window_views",
+    f"""
+    WITH e AS (SELECT event_id, ts,
+                      json_extract_string(props, '$.k') AS item, event_type
+               FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT p.event_id, p.item, p.ts AS purchase_ts,
+           count(v.event_id) AS n_prior_views
+    FROM p LEFT JOIN v
+      ON v.item = p.item
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - {_RANGE_US}
+     AND epoch_us(v.ts) < epoch_us(p.ts)
+    GROUP BY 1, 2, 3
+    """,
+    doc="big×big time-range join without a nested loop: count same-item "
+    "view events in the 24h before each purchase.  A bare range "
+    "predicate would force BroadcastNestedLoopJoin (quadratic, "
+    "un-broadcastable at 100 TB); instead both sides bucket on "
+    "floor(epoch_us/24h) — a view lands in exactly one bucket, a "
+    "purchase's window spans exactly two consecutive buckets "
+    "(explode of 2) — so the physical join is an EQUI-join on "
+    "(item, bucket) with the range check as a residual filter.  "
+    "Fan-out is a fixed 2×, the bucket width is the query's own range "
+    "(the standard interval-bucketing identity), and skew follows "
+    "item popularity (saltable like any hot equi-key).  The as-of "
+    "variant is purchase_click_attribution; this is the "
+    "count-in-window variant",
+)
+def q_purchase_window_views(spark, sf_dir):
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        windows.item_key().alias("item"),
+        "event_type",
+        # NTZ→timestamp cast is exact (session tz pinned UTC — the
+        # plans/training.py:518 convention for epoch_us parity)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("item").alias("v_item"),
+        F.col("us").alias("v_us"),
+        (F.col("us") - F.col("us") % F.lit(_RANGE_US)).alias("v_bucket"),
+        F.col("event_id").alias("v_id"),
+    )
+    # a 24h look-back window overlaps exactly two 24h-wide buckets
+    probed = purchases.select(
+        "event_id",
+        "item",
+        F.col("ts").alias("purchase_ts"),
+        "us",
+        F.explode(
+            F.array(
+                F.col("us") - F.col("us") % F.lit(_RANGE_US),
+                F.col("us") - F.col("us") % F.lit(_RANGE_US) - F.lit(_RANGE_US),
+            )
+        ).alias("bucket"),
+    )
+    joined = probed.join(
+        views,
+        (F.col("v_item") == F.col("item"))
+        & (F.col("v_bucket") == F.col("bucket"))
+        & (F.col("v_us") >= F.col("us") - F.lit(_RANGE_US))
+        & (F.col("v_us") < F.col("us")),
+        "left",
+    )
+    return joined.groupBy("event_id", "item", "purchase_ts").agg(
+        F.count("v_id").alias("n_prior_views")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the item-transition graph
+# ---------------------------------------------------------------------------
+
+_PR_TOTAL = 1_000_000_000_000  # total mass in pico-units (10^12)
+_PR_ITERS = 3
+_PR_TOP = 20
+
+_PR_EDGE_SQL = """
+    seq AS (SELECT json_extract_string(props, '$.k') AS item,
+                   lead(json_extract_string(props, '$.k'))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS nxt
+            FROM events),
+    edges AS (SELECT DISTINCT item AS src, nxt AS dst FROM seq
+              WHERE item IS NOT NULL AND nxt IS NOT NULL AND item <> nxt),
+    outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+    nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"pr{i - 1}"
+    return f"""
+    it{i} AS (SELECT e.dst AS v,
+                     sum(CAST(p.pr // o.od AS BIGINT)) AS s
+              FROM {prev} p
+              JOIN edges e ON e.src = p.v
+              JOIN outdeg o ON o.src = e.src
+              GROUP BY 1),
+    pr{i} AS (SELECT nodes.v,
+                     CAST({15 * _PR_TOTAL} // (100 * nn.n) AS BIGINT)
+                     + CAST((85 * coalesce(it{i}.s, 0)) // 100 AS BIGINT)
+                         AS pr
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN it{i} ON it{i}.v = nodes.v)"""
+
+
+@register(
+    "pagerank_top_items",
+    f"""
+    WITH {_PR_EDGE_SQL},
+    pr0 AS (SELECT v, CAST({_PR_TOTAL} // n AS BIGINT) AS pr
+            FROM nodes CROSS JOIN nn),
+    {",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT v AS item, pr AS pr_fp,
+           round(CAST(pr AS DOUBLE) / {_PR_TOTAL}, 6) AS pr
+    FROM pr{_PR_ITERS}
+    ORDER BY pr_fp DESC, item LIMIT {_PR_TOP}
+    """,
+    doc=f"PageRank over the item-transition graph (edges = consecutive "
+    "same-user events, distinct (src,dst), damping 0.85, "
+    f"{_PR_ITERS} power iterations): the classic importance signal for "
+    "catalog ranking and crawl prioritization.  Runs entirely in "
+    "INTEGER fixed-point (pico-mass units, total 10^12; every update "
+    "an int64 div, every sum an int64 sum) so the result is "
+    "bit-identical regardless of partition summation order — a "
+    "double-valued power iteration cannot be hash-checked across "
+    "engines.  Scale shape: edge extraction is one user_id exchange "
+    "(lead window) + one distinct rollup over the ITEM-VOCABULARY-"
+    "sized edge relation; each iteration joins the node-sized pr "
+    "relation (vocab-sized, broadcastable) to edges — corpus volume "
+    "is touched exactly once.  Dangling-node mass leaks (standard "
+    "simplified PR) identically in both engines",
+)
+def q_pagerank_top_items(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    item = windows.item_key()
+    seq = ev.select(
+        item.alias("item"), F.lead(item).over(w).alias("nxt")
+    )
+    edges = (
+        seq.where(
+            F.col("item").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("item") != F.col("nxt"))
+        )
+        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+        .persist()  # consumed by outdeg, nodes, and 3 iteration joins
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # nodes / esrc / pr are all ITEM-VOCABULARY-sized — persist the two
+    # shared relations (consumed per iteration) and broadcast pr/contrib
+    # into each iteration's joins, so the only per-iteration exchange is
+    # the dst contribution rollup and the plan doesn't re-derive the
+    # corpus-sized edge extraction once per iteration branch.
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", F.expr(f"{_PR_TOTAL} div n").alias("pr")
+    )
+    esrc = edges.join(outdeg, "src").persist()
+    for _ in range(_PR_ITERS):
+        contrib = (
+            esrc.join(F.broadcast(pr), pr["v"] == esrc["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div od")).alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(F.broadcast(contrib), nodes["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.expr(f"{15 * _PR_TOTAL} div (100 * n)")
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).alias("pr"),
+            )
+            # superstep barrier (operators/graph.py convention): an
+            # eager localCheckpoint truncates the lineage, so each
+            # iteration reads a materialized vocab-sized relation
+            # instead of re-deriving every prior iteration inside its
+            # broadcast; on a real cluster use a reliable checkpoint
+            # dir (executor loss is re-runnable from source anyway).
+            .localCheckpoint()
+        )
+    return (
+        pr.select(
+            F.col("v").alias("item"),
+            F.col("pr").alias("pr_fp"),
+            F.round(F.col("pr").cast("double") / F.lit(_PR_TOTAL), 6).alias(
+                "pr"
+            ),
+        )
+        .orderBy(F.col("pr_fp").desc(), "item")
+        .limit(_PR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation: exact AUC + decile calibration of the quality scorer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_eval_report",
+    """
+    WITH f AS (
+        SELECT doc_id, coalesce(lang = 'en', FALSE) AS label, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS n_distinct
+        FROM documents WHERE text IS NOT NULL),
+    -- CAST literals to DOUBLE: DuckDB parses bare decimal literals as
+    -- DECIMAL and would evaluate the linear form in decimal arithmetic,
+    -- 1 ulp off the Arrow/pandas float64 path (verified: with the casts
+    -- the scores are bit-identical, so no rounding is needed before
+    -- grouping/ranking on the raw score)
+    s AS (SELECT doc_id, label,
+                 zv / (1 + abs(zv)) AS score
+          FROM (SELECT doc_id, label,
+                       CAST(-1.0 AS DOUBLE)
+                       + CAST(-0.002 AS DOUBLE) * n_chars
+                       + CAST(0.05 AS DOUBLE) * n_tokens
+                       + CAST(0.08 AS DOUBLE) * n_distinct AS zv
+                FROM f)),
+    r AS (SELECT score, label,
+                 row_number() OVER (ORDER BY score, doc_id) AS rn
+          FROM s),
+    g AS (SELECT score, min(rn) AS mn, max(rn) AS mx, count(*) AS c,
+                 count(*) FILTER (WHERE label) AS p
+          FROM r GROUP BY 1),
+    tot AS (SELECT sum(p * (mn + mx)) AS two_rank_sum,
+                   sum(p) AS n_pos_tot, sum(c) - sum(p) AS n_neg_tot
+            FROM g),
+    auc AS (SELECT CASE WHEN n_pos_tot > 0 AND n_neg_tot > 0 THEN
+                round(CAST(two_rank_sum - n_pos_tot * (n_pos_tot + 1)
+                           AS DOUBLE)
+                      / (2 * n_pos_tot * n_neg_tot), 6)
+                END AS auc FROM tot),
+    bins AS (SELECT CAST(least(floor((score + 1) * 5), 9) AS INTEGER)
+                        AS bin,
+                    count(*) AS n,
+                    count(*) FILTER (WHERE label) AS n_pos,
+                    round(min(score), 6) AS score_lo,
+                    round(max(score), 6) AS score_hi
+             FROM s GROUP BY 1)
+    SELECT bin, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 4) AS pos_rate,
+           score_lo, score_hi, auc.auc AS auc
+    FROM bins CROSS JOIN auc
+    """,
+    doc="model-quality gate for the Arrow-batched classifier "
+    "(functions/inference.py, same scores as doc_model_scores): exact "
+    "ROC-AUC via the rank-sum (Mann–Whitney) identity with tie groups "
+    "handled through min/max global row-number per score group — "
+    "all-integer arithmetic until one final division — plus a "
+    "10-bin calibration table (per-bin count, positive rate, score "
+    "bounds).  Label = (lang = 'en').  The global rank uses the "
+    "range-partitioned two-pass row number (operators/ranks.py), "
+    "never a bare Window.orderBy, so the sort is distributed; the "
+    "tie-group rollup keys on score (one hash exchange).  Degenerate "
+    "label distributions emit NULL AUC in both engines "
+    "(ab_test_report convention)",
+)
+def q_model_eval_report(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import inference
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.coalesce(F.col("lang") == "en", F.lit(False)).alias("label"),
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    # persist: the Arrow scoring pass feeds BOTH the rank path and the
+    # calibration bins — without the barrier the mapInPandas stage (and
+    # the scan under it) executes twice.  Lazy return ⇒ no eager
+    # unpersist; repeat callers rely on LRU (plans/northstar.py:1548
+    # convention).
+    scored = (
+        inference.batch_score(feats)
+        .select("doc_id", "label", "score")
+        .persist()
+    )
+    ranked, _total = ranks.with_global_row_number(
+        scored, ["score", "doc_id"], rn_col="rn"
+    )
+    g = ranked.groupBy("score").agg(
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+        F.count("*").alias("c"),
+        F.sum(F.col("label").cast("long")).alias("p"),
+    )
+    tot = g.agg(
+        F.sum(F.col("p") * (F.col("mn") + F.col("mx"))).alias("two_rank_sum"),
+        F.sum("p").alias("n_pos_tot"),
+        (F.sum("c") - F.sum("p")).alias("n_neg_tot"),
+    )
+    auc = tot.select(
+        F.when(
+            (F.col("n_pos_tot") > 0) & (F.col("n_neg_tot") > 0),
+            F.round(
+                (
+                    F.col("two_rank_sum")
+                    - F.col("n_pos_tot") * (F.col("n_pos_tot") + 1)
+                ).cast("double")
+                / (2 * F.col("n_pos_tot") * F.col("n_neg_tot")),
+                6,
+            ),
+        ).alias("auc")
+    )
+    bins = scored.groupBy(
+        F.least(F.floor((F.col("score") + 1) * 5), F.lit(9))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("label").cast("long")).alias("n_pos"),
+        F.round(F.min("score"), 6).alias("score_lo"),
+        F.round(F.max("score"), 6).alias("score_hi"),
+    )
+    return bins.crossJoin(F.broadcast(auc)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 4).alias(
+            "pos_rate"
+        ),
+        "score_lo",
+        "score_hi",
+        "auc",
+    )

@@ -70,6 +70,11 @@ _QUERIES = [
     "hard_negative_report",
     "frequent_terms_report",
     "shared_chunk_report",
+    # round-5 lifecycle/eval module (plans/lake.py)
+    "corpus_snapshot_diff",
+    "purchase_window_views",
+    "pagerank_top_items",
+    "model_eval_report",
 ]
 
 

@@ -1,0 +1,203 @@
+"""Unit + model checks for the plans/lake.py wave: snapshot diff
+classification, range-join boundary semantics, a pure-Python
+fixed-point PageRank twin, and a brute-force pairwise AUC oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from realtime_data_pipeline_spark.operators import snapshot
+from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+from conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff classification
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    a = spark.createDataFrame(
+        [(1, "fp1", "en"), (2, "fp2", "en"), (3, "fp3", "de")],
+        "doc_id long, fp string, lang string",
+    )
+    b = spark.createDataFrame(
+        [(1, "fp1", "en"), (2, "fp2-CHANGED", "en"), (4, "fp4", "fr")],
+        "doc_id long, fp string, lang string",
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["lang"])
+        for r in snapshot.snapshot_diff(
+            a, b, key="doc_id", fingerprint="fp", carry=["lang"]
+        ).collect()
+    }
+    assert rows == {
+        1: ("unchanged", "en"),
+        2: ("changed", "en"),
+        3: ("removed", "de"),
+        4: ("added", "fr"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# purchase_window_views: planted window-boundary semantics
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _write_events(tmp_path, rows):
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    recs = []
+    for i, (etype, item, offset_us) in enumerate(rows):
+        recs.append(
+            {
+                "event_id": i,
+                "ts": t0 + dt.timedelta(microseconds=offset_us),
+                "user_id": i % 3,
+                "event_type": etype,
+                "value": 1.0,
+                "props": json.dumps({"k": item}),
+            }
+        )
+    pdf = pd.DataFrame(recs)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        f"{tmp_path}/events.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_range_join_window_boundaries(spark, tmp_path):
+    # purchase at offset 2*DAY; the 24h look-back is [DAY, 2*DAY)
+    p = 2 * _DAY_US
+    d = _write_events(
+        tmp_path,
+        [
+            ("purchase", 7, p),
+            ("view", 7, p - _DAY_US),  # exactly at lower bound -> IN
+            ("view", 7, p - _DAY_US - 1),  # 1us below -> OUT
+            ("view", 7, p - 1),  # 1us before purchase -> IN
+            ("view", 7, p),  # at purchase instant -> OUT
+            # 12h before: inside the range but in the PREVIOUS calendar
+            # bucket relative to the purchase's own bucket -> the
+            # 2-bucket explode must catch it
+            ("view", 7, p - _DAY_US // 2),
+            ("view", 8, p - 1000),  # other item -> OUT
+        ],
+    )
+    rows = REGISTRY["purchase_window_views"].fn(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_prior_views"] == 3
+
+
+# ---------------------------------------------------------------------------
+# pagerank_top_items: independent pure-Python fixed-point twin
+# ---------------------------------------------------------------------------
+
+
+def _python_pagerank(sf_dir, total=10**12, iters=3, top=20):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    ev["item"] = ev["props"].map(lambda s: str(json.loads(s)["k"]))
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    edges = set()
+    for _, grp in ev.groupby("user_id"):
+        items = grp["item"].tolist()
+        for a, b in zip(items, items[1:]):
+            if a is not None and b is not None and a != b:
+                edges.add((a, b))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    pr = {v: total // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += pr[a] // outdeg[a]
+        pr = {v: (15 * total) // (100 * n) + (85 * s[v]) // 100 for v in nodes}
+    ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return dict(ranked)
+
+
+def test_pagerank_matches_python_model_exactly(spark):
+    got = {
+        r["item"]: r["pr_fp"]
+        for r in REGISTRY["pagerank_top_items"].fn(spark, SF_DIR).collect()
+    }
+    want = _python_pagerank(SF_DIR)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# model_eval_report: brute-force pairwise AUC oracle
+# ---------------------------------------------------------------------------
+
+
+def test_auc_matches_bruteforce_pairwise(spark):
+    import duckdb
+
+    rows = REGISTRY["model_eval_report"].fn(spark, SF_DIR).collect()
+    aucs = {r["auc"] for r in rows}
+    assert len(aucs) == 1  # constant column
+    got = aucs.pop()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    sc = con.execute(
+        """
+        SELECT coalesce(lang = 'en', FALSE) AS label,
+               zv / (1 + abs(zv)) AS score
+        FROM (SELECT lang,
+                     CAST(-1.0 AS DOUBLE)
+                     + CAST(-0.002 AS DOUBLE) * n_chars
+                     + CAST(0.05 AS DOUBLE)
+                       * len(string_split_regex(trim(text), '\\s+'))
+                     + CAST(0.08 AS DOUBLE)
+                       * len(list_distinct(
+                             string_split_regex(trim(text), '\\s+'))) AS zv
+              FROM documents WHERE text IS NOT NULL)
+        """
+    ).df()
+    pos = sc[sc.label].score.to_numpy()
+    neg = sc[~sc.label].score.to_numpy()
+    if len(pos) == 0 or len(neg) == 0:
+        pytest.skip("degenerate label split in fixture")
+    # O(P*N) pairwise count: concordant + half-credit ties — a genuinely
+    # different algorithm from the rank-sum the query uses
+    wins = sum((p > neg).sum() + 0.5 * (p == neg).sum() for p in pos)
+    brute = round(wins / (len(pos) * len(neg)), 6)
+    assert got == pytest.approx(brute, abs=1e-6)
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    rows = REGISTRY["model_eval_report"].fn(spark, SF_DIR).collect()
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    assert all(0 <= r["n_pos"] <= r["n"] for r in rows)
+    assert all(r["score_lo"] <= r["score_hi"] for r in rows)
+    # bins tile the score axis without overlap
+    by_bin = sorted(rows, key=lambda r: r["bin"])
+    for a, b in zip(by_bin, by_bin[1:]):
+        assert a["score_hi"] <= b["score_lo"]

@@ -138,6 +138,19 @@ EXPECTED_SHUFFLES = {
     # chunk fingerprints: (fp,doc) distinct rollup; fp rollup (top-k
     # is TakeOrdered, no extra exchange)
     "shared_chunk_report": 2,
+    # round-5 lifecycle/eval module (plans/lake.py)
+    "corpus_snapshot_diff": 3,  # full-outer SMJ (2 sides) + lang rollup
+    # 24h-range join via (item, bucket) equi-join: AQE broadcasts the
+    # exploded purchase side at this sf, leaving the final per-purchase
+    # rollup; at scale both sides exchange on (item, bucket) — the
+    # point is that it is never a nested loop
+    "purchase_window_views": 1,
+    # 0 = the FINAL plan reads the localCheckpoint()ed third-iteration
+    # pr relation (TakeOrdered, no exchange); the per-iteration work
+    # (one dst rollup each, vocab-sized) materializes eagerly during
+    # construction, same shape as *_dedup_clusters' CC supersteps
+    "pagerank_top_items": 0,
+    "model_eval_report": 6,  # Arrow score barrier; range-rank 2-pass; tie groups; bins
 }
 
 
