@@ -135,7 +135,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # knn_label_consistency, hard_negative_report, frequent_terms_report,
 # streaming_frequent_terms, shared_chunk_report) and the round-5
 # lifecycle/eval module plans/lake.py (corpus_snapshot_diff,
-# purchase_window_views, pagerank_top_items, model_eval_report).
+# purchase_window_views, pagerank_top_items, model_eval_report,
+# scd2_user_segment_history, join_skew_report).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

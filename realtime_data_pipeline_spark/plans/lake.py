@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from realtime_data_pipeline_spark.operators import ranks, snapshot, windows
+from realtime_data_pipeline_spark.operators import ranks, scd, snapshot, windows
 from realtime_data_pipeline_spark.plans.registry import _events, _t, register
 
 # ---------------------------------------------------------------------------
@@ -451,3 +451,179 @@ def q_model_eval_report(spark, sf_dir):
         "score_hi",
         "auc",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_segment_history",
+    """
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR prev != event_type
+                         THEN 1 ELSE 0 END AS flg FROM o),
+    r AS (SELECT user_id, event_type, ts,
+                 sum(flg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS ep
+          FROM f),
+    eps AS (SELECT user_id, ep, min(event_type) AS segment,
+                   min(ts) AS effective_from
+            FROM r GROUP BY 1, 2)
+    SELECT user_id, segment, effective_from,
+           lead(effective_from) OVER (PARTITION BY user_id
+               ORDER BY effective_from) AS effective_to,
+           lead(effective_from) OVER (PARTITION BY user_id
+               ORDER BY effective_from) IS NULL AS is_current
+    FROM eps
+    """,
+    doc="SCD Type-2 dimension build (operators/scd.py "
+    "scd2_from_history): each user's behavioral state (latest event "
+    "type) as one row per VALUE EPISODE with effective_from / "
+    "effective_to validity bounds, the open episode flagged "
+    "is_current — the Kimball history table the reference's "
+    "last-write-wins Mongo upsert cannot express.  One user_id "
+    "exchange end to end: change-flag lag, running-sum episode ids, "
+    "episode rollup, and the next-start lead all share "
+    "HashPartitioning(user_id).  The INCREMENTAL path (scd2_merge: "
+    "closed episodes pass through untouched, only open episodes "
+    "replay with the batch) is pinned by a slicing property test — "
+    "merge(history<=T, changes(T,T2]) == rebuild(<=T2) "
+    "(tests/test_lake.py)",
+)
+def q_scd2_user_segment_history(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    dim = scd.scd2_from_history(
+        ev, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
+    )
+    return dim.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit
+# ---------------------------------------------------------------------------
+
+def _skew_sql(fam: str, src: str) -> str:
+    return f"""
+    SELECT '{fam}' AS family,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           max(n) AS max_per_key,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS avg_per_key,
+           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4)
+               AS skew_factor,
+           max({{'n': n, 'k': k}})['k'] AS top_key
+    FROM (SELECT k, count(*) AS n FROM ({src}) GROUP BY 1)
+    """
+
+
+_SKEW_FAMILIES_SQL = [
+    (
+        "events.user_id",
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events "
+        "WHERE user_id IS NOT NULL",
+    ),
+    (
+        "events.item",
+        "SELECT json_extract_string(props, '$.k') AS k FROM events "
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL",
+    ),
+    (
+        "orders.o_custkey",
+        "SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders "
+        "WHERE o_custkey IS NOT NULL",
+    ),
+    (
+        "lineitem.l_partkey",
+        "SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem "
+        "WHERE l_partkey IS NOT NULL",
+    ),
+]
+
+
+@register(
+    "join_skew_report",
+    " UNION ALL ".join(_skew_sql(f, s) for f, s in _SKEW_FAMILIES_SQL),
+    doc="join-key skew audit over the join/aggregation keys the "
+    "engine's heavy plans shuffle on: per key family, row and key "
+    "cardinalities, the heaviest key's row count, the mean, the skew "
+    "factor max/avg (1.0 = perfectly balanced; the salting trigger "
+    "operators/skew.py exists for exactly the keys this flags), and "
+    "the offending key itself (deterministic via struct-max with a "
+    "key tie-break).  Shape per family: one key rollup exchange, then "
+    "a single-row reduce over the KEY-VOCABULARY-sized count relation "
+    "— the report that decides salt factors and AQE skew thresholds "
+    "before a 100 TB backfill, run on a sample or the full corpus",
+)
+def q_join_skew_report(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    families = [
+        (
+            "events.user_id",
+            ev.select(F.col("user_id").cast("string").alias("k")),
+        ),
+        ("events.item", ev.select(windows.item_key().alias("k"))),
+        (
+            "orders.o_custkey",
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_custkey").cast("string").alias("k")
+            ),
+        ),
+        (
+            "lineitem.l_partkey",
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_partkey").cast("string").alias("k")
+            ),
+        ),
+    ]
+    out = None
+    for fam, df in families:
+        counts = (
+            df.where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+        )
+        row = counts.agg(
+            # coalesce: empty input reports 0 rows, not NULL (the
+            # ratio columns stay NULL — no rows means no average)
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("n").alias("max_per_key"),
+            F.max(F.struct("n", "k")).alias("_top"),
+        ).select(
+            F.lit(fam).alias("family"),
+            "n_rows",
+            "n_keys",
+            "max_per_key",
+            # when-guard: ANSI mode turns the empty-input 0-divisor into
+            # an error, not a NULL (ab_test_report convention)
+            F.when(
+                F.col("n_keys") > 0,
+                F.round(
+                    F.col("n_rows").cast("double") / F.col("n_keys"), 4
+                ),
+            ).alias("avg_per_key"),
+            F.when(
+                F.col("n_rows") > 0,
+                F.round(
+                    F.col("max_per_key").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows"),
+                    4,
+                ),
+            ).alias("skew_factor"),
+            F.col("_top")["k"].alias("top_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

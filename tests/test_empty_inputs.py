@@ -75,6 +75,8 @@ _QUERIES = [
     "purchase_window_views",
     "pagerank_top_items",
     "model_eval_report",
+    "scd2_user_segment_history",
+    "join_skew_report",
 ]
 
 
@@ -99,7 +101,12 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
     # collapse to zero rows; unpivoted reports keep one row per
     # reported unit — either way nothing null-explodes
     fixed_rows = {"documents_profile": 5}
-    if name in fixed_rows:
+    if name == "join_skew_report":
+        # one row per audited key family, zero rows counted, ratio
+        # columns NULL (no rows -> no average to report)
+        assert len(rows) == 4
+        assert all(r["n_rows"] == 0 and r["n_keys"] == 0 for r in rows)
+    elif name in fixed_rows:
         assert len(rows) == fixed_rows[name], (name, len(rows))
         # the profile must stay NUMERIC on empty input (n_nulls = 0,
         # not null — sum-over-zero-rows coalesced in the operator)

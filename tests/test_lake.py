@@ -201,3 +201,101 @@ def test_calibration_bins_partition_the_corpus(spark):
     by_bin = sorted(rows, key=lambda r: r["bin"])
     for a, b in zip(by_bin, by_bin[1:]):
         assert a["score_hi"] <= b["score_lo"]
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2: merge == rebuild slicing property + guards
+# ---------------------------------------------------------------------------
+
+
+def _collect_dim(dim):
+    return sorted(
+        (
+            r["user_id"],
+            r["event_type"],
+            r["effective_from"],
+            r["effective_to"],
+            r["is_current"],
+        )
+        for r in dim.collect()
+    )
+
+
+def test_scd2_episodes_planted(spark):
+    from realtime_data_pipeline_spark.operators import scd
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t, 1),
+        (1, "a", t + dt.timedelta(minutes=1), 2),  # repeat -> same episode
+        (1, "b", t + dt.timedelta(minutes=2), 3),  # change
+        (2, "x", t, 4),  # single-episode key
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz, event_id long"
+    )
+    dim = scd.scd2_from_history(
+        df, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
+    )
+    got = _collect_dim(dim)
+    assert got == sorted(
+        [
+            (1, "a", t, t + dt.timedelta(minutes=2), False),
+            (1, "b", t + dt.timedelta(minutes=2), None, True),
+            (2, "x", t, None, True),
+        ]
+    )
+
+
+@pytest.mark.parametrize("frac", [0.25, 0.5, 0.9])
+def test_scd2_merge_equals_rebuild_at_any_cut(spark, frac):
+    from realtime_data_pipeline_spark.operators import scd
+
+    ev = (
+        pq.read_table(f"{SF_DIR}/events.parquet")
+        .to_pandas()
+        .sort_values("ts")
+    )
+    cut = ev["ts"].iloc[int(len(ev) * frac)]
+    log = REGISTRY["scd2_user_segment_history"]  # ensure module import
+    assert log is not None
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark.plans.registry import _events
+
+    full = _events(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    before = full.where(F.col("ts") <= F.lit(cut))
+    after = full.where(F.col("ts") > F.lit(cut))
+    dim_t = scd.scd2_from_history(
+        before, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
+    )
+    merged = scd.scd2_merge(
+        dim_t, after, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
+    )
+    rebuilt = scd.scd2_from_history(
+        full, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
+    )
+    assert _collect_dim(merged) == _collect_dim(rebuilt)
+
+
+def test_scd2_merge_rejects_history_rewrites(spark):
+    from realtime_data_pipeline_spark.operators import scd
+
+    t = dt.datetime(2024, 1, 1)
+    log = spark.createDataFrame(
+        [(1, "a", t, 1), (1, "b", t + dt.timedelta(hours=1), 2)],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+    dim = scd.scd2_from_history(
+        log, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
+    )
+    late = spark.createDataFrame(
+        [(1, "c", t + dt.timedelta(minutes=30), 3)],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+    with pytest.raises(ValueError, match="predate"):
+        scd.scd2_merge(
+            dim, late, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
+        )

@@ -151,6 +151,10 @@ EXPECTED_SHUFFLES = {
     # construction, same shape as *_dedup_clusters' CC supersteps
     "pagerank_top_items": 0,
     "model_eval_report": 6,  # Arrow score barrier; range-rank 2-pass; tie groups; bins
+    # ONE user_id exchange feeds the change-flag lag, episode-id cumsum,
+    # episode rollup, AND the next-start lead (subset-key clustering)
+    "scd2_user_segment_history": 1,
+    "join_skew_report": 8,  # 4 families x (key rollup + 1-row reduce)
 }
 
 
