@@ -136,7 +136,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # streaming_frequent_terms, shared_chunk_report) and the round-5
 # lifecycle/eval module plans/lake.py (corpus_snapshot_diff,
 # purchase_window_views, pagerank_top_items, model_eval_report,
-# scd2_user_segment_history, join_skew_report).
+# scd2_user_segment_history, join_skew_report,
+# streaming_scd2_user_segments).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -627,3 +627,100 @@ def q_join_skew_report(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance (streaming/scd_sink.py)
+# ---------------------------------------------------------------------------
+
+
+def _register_streaming_scd2() -> None:
+    """Registered AFTER the batch query so the streaming twin shares the
+    batch oracle STRING verbatim (the streaming_frequent_terms pattern —
+    convergence to the batch result is the contract, so the two oracles
+    can never drift)."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    batch_oracle = REGISTRY["scd2_user_segment_history"].oracle
+
+    @register(
+        "streaming_scd2_user_segments",
+        batch_oracle,
+        doc="streaming SCD Type-2 maintenance end to end: the event log "
+        "replayed as THREE time-ordered micro-batches, each folded into "
+        "the dimension via foreachBatch + scd2_merge "
+        "(streaming/scd_sink.py) with batch-keyed idempotent version "
+        "dirs (a redelivered batch recomputes from the same predecessor "
+        "version), then the final snapshot read back.  Because "
+        "merge(history<=T, changes(T,T2]) == rebuild(<=T2) — the pinned "
+        "slicing property — three sequential merges converge to the "
+        "batch scd2_user_segment_history result, whose oracle this "
+        "query shares verbatim",
+        tags=("streaming",),
+    )
+    def q_streaming_scd2_user_segments(spark, sf_dir):
+        import os
+        import tempfile
+        import time
+
+        from realtime_data_pipeline_spark.streaming.scd_sink import (
+            read_scd2_dim,
+            start_scd2_merge_query,
+        )
+
+        ev = _events(spark, sf_dir).select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        base = tempfile.mkdtemp(prefix="rdp_scd2_")
+        replay = os.path.join(base, "replay")
+        tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (tmax - tmin) / 3
+        c1, c2 = tmin + span, tmin + 2 * span
+        # three GLOBAL time cuts: scd2_merge's late-row guard requires
+        # batches in non-decreasing event time; mtime gaps order the
+        # files for maxFilesPerTrigger=1 (corpus_sink convention)
+        ev.where(F.col("ts") <= F.lit(c1)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(replay)
+        time.sleep(1.1)
+        ev.where(
+            (F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))
+        ).coalesce(1).write.mode("append").parquet(replay)
+        time.sleep(1.1)
+        ev.where(F.col("ts") > F.lit(c2)).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay)
+
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        q = start_scd2_merge_query(
+            stream,
+            os.path.join(base, "dim"),
+            os.path.join(base, "ckpt"),
+            key="user_id",
+            attr="event_type",
+            ts_col="ts",
+            tiebreak="event_id",
+            query_name="scd2_stream",
+            trigger_available_now=True,
+        )
+        while q.isActive:
+            q.awaitTermination(5)
+        dim = read_scd2_dim(spark, os.path.join(base, "dim"))
+        return dim.select(
+            "user_id",
+            F.col("event_type").alias("segment"),
+            "effective_from",
+            "effective_to",
+            "is_current",
+        )
+
+
+_register_streaming_scd2()

@@ -299,3 +299,51 @@ def test_scd2_merge_rejects_history_rewrites(spark):
         scd.scd2_merge(
             dim, late, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
         )
+
+
+def test_scd2_sink_redelivered_batch_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch recomputes its version from the SAME
+    predecessor and overwrites it — the dimension read back is unchanged
+    (the batch-keyed exactly-once discipline of streaming/scd_sink.py)."""
+    from realtime_data_pipeline_spark.operators import scd
+    from realtime_data_pipeline_spark.streaming import scd_sink
+
+    t = dt.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame(
+        [(1, "a", t, 1), (2, "x", t, 2)],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "b", t + dt.timedelta(hours=1), 3)],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+    dim_dir = str(tmp_path / "dim")
+
+    def apply_batch(batch_df, batch_id):
+        older = [v for v in scd_sink._versions(dim_dir) if v < batch_id]
+        prev = (
+            spark.read.parquet(f"{dim_dir}/v{older[-1]}") if older else None
+        )
+        dim = (
+            scd.scd2_from_history(
+                batch_df, "user_id", "event_type", "ts", "event_id"
+            )
+            if prev is None
+            else scd.scd2_merge(
+                prev, batch_df, "user_id", "event_type", "ts", "event_id"
+            )
+        )
+        dim.write.mode("overwrite").parquet(f"{dim_dir}/v{batch_id}")
+
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    first = _collect_dim(scd_sink.read_scd2_dim(spark, dim_dir))
+    apply_batch(b1, 1)  # redelivery
+    second = _collect_dim(scd_sink.read_scd2_dim(spark, dim_dir))
+    assert first == second
+    assert scd_sink._versions(dim_dir) == [0, 1]
+    # and the converged dim is the full-log rebuild
+    full = scd.scd2_from_history(
+        b0.unionByName(b1), "user_id", "event_type", "ts", "event_id"
+    )
+    assert first == _collect_dim(full)
