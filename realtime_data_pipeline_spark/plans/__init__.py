@@ -137,7 +137,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # lifecycle/eval module plans/lake.py (corpus_snapshot_diff,
 # purchase_window_views, pagerank_top_items, model_eval_report,
 # scd2_user_segment_history, join_skew_report,
-# streaming_scd2_user_segments).
+# streaming_scd2_user_segments, doc_crossdup_rates,
+# k_anonymity_audit).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

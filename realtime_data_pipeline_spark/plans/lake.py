@@ -724,3 +724,189 @@ def _register_streaming_scd2() -> None:
 
 
 _register_streaming_scd2()
+
+
+# ---------------------------------------------------------------------------
+# Per-document cross-duplication score (subdocument leakage audit)
+# ---------------------------------------------------------------------------
+
+
+def _crossdup_sql() -> str:
+    from realtime_data_pipeline_spark.functions import dedup as dd
+    from realtime_data_pipeline_spark.plans.northstar import D_HASH32, D_TOKS
+
+    return f"""
+    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
+    tk AS (SELECT doc_id,
+                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
+           FROM t WHERE len(toks) >= 3),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(th) - 1),
+                     i -> (((th[i] * {dd.SHINGLE_B} + th[i + 1])
+                            % {dd.MINHASH_P}) * {dd.SHINGLE_B} + th[i + 2])
+                          % {dd.MINHASH_P})) AS hs
+          FROM tk),
+    e AS (SELECT doc_id, unnest(hs) AS h FROM d),
+    c AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 2),
+    per AS (SELECT e.doc_id, count(*) AS n_shared
+            FROM e JOIN c USING (h) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(len(hs) AS BIGINT) AS n_shingles,
+           coalesce(per.n_shared, 0) AS n_shared,
+           round(CAST(coalesce(per.n_shared, 0) AS DOUBLE) / len(hs), 4)
+               AS crossdup_frac
+    FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
+@register(
+    "doc_crossdup_rates",
+    _crossdup_sql(),
+    doc="per-document cross-duplication score: the fraction of a doc's "
+    "distinct 3-gram shingle hashes that appear in at least one OTHER "
+    "document — the subdocument leakage signal that doc-level dedup "
+    "misses and shared_chunk_report only sees at chunk granularity.  "
+    "High-score docs are paste-heavy boilerplate even when no single "
+    "near-dup pair exists.  Shape: shingle explode (over the persisted "
+    "shingle_sets barrier) → one int64-hash rollup for the >=2-doc "
+    "set → semi-join back → one doc_id rollup; every exchange carries "
+    "8-byte hashes, never text.  Docs with <3 tokens (incl. NULL "
+    "text) are excluded identically in both engines via the NULL-"
+    "propagating len(toks) >= 3 filter",
+)
+def q_doc_crossdup_rates(spark, sf_dir):
+    from realtime_data_pipeline_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    ss = dd.shingle_sets(docs)
+    expl = ss.select("doc_id", F.explode("sh").alias("h"))
+    shared = (
+        expl.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    per = (
+        expl.join(shared, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        ss.select("doc_id", F.col("n_sh").cast("long").alias("n_shingles"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                4,
+            ).alias("crossdup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy governance)
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def _kanon_sql(level: str, qi2: str, src: str) -> str:
+    return f"""
+    SELECT '{level}' AS level,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           min(n) AS min_group_size,
+           CAST(count(*) FILTER (WHERE n < {_K_ANON}) AS BIGINT)
+               AS n_risky_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE n < {_K_ANON}), 0) AS BIGINT)
+               AS n_risky_rows,
+           round(CAST(coalesce(sum(n) FILTER (WHERE n < {_K_ANON}), 0)
+                      AS DOUBLE) / sum(n), 4) AS risky_row_pct
+    FROM (SELECT c_mktsegment, {qi2}, count(*) AS n
+          FROM {src} GROUP BY 1, 2)
+    """
+
+
+@register(
+    "k_anonymity_audit",
+    _kanon_sql(
+        "segment_x_nation", "c_nationkey", "customer"
+    )
+    + " UNION ALL "
+    + _kanon_sql(
+        "segment_x_region",
+        "n_regionkey",
+        "(SELECT c_mktsegment, n_regionkey FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey)",
+    ),
+    doc=f"privacy governance: k-anonymity (k={_K_ANON}) of the customer "
+    "table under the quasi-identifier (market segment, nation), and "
+    "again after one generalization step up the lattice "
+    "(nation→region, broadcast dimension join) — the standard "
+    "re-identification risk readout: how many QI groups are smaller "
+    "than k, how many rows they expose, and whether coarsening the "
+    "geography fixes it.  Shape per level: one QI rollup + a "
+    "single-row reduce over the GROUP relation (QI-cardinality-sized, "
+    "orders below row count); the generalization join broadcasts the "
+    "25-row nation dim",
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    levels = [
+        (
+            "segment_x_nation",
+            cust.select(
+                F.col("c_mktsegment").alias("q1"),
+                F.col("c_nationkey").alias("q2"),
+            ),
+        ),
+        (
+            "segment_x_region",
+            cust.join(
+                F.broadcast(nation),
+                cust["c_nationkey"] == nation["n_nationkey"],
+            ).select(
+                F.col("c_mktsegment").alias("q1"),
+                F.col("n_regionkey").alias("q2"),
+            ),
+        ),
+    ]
+    out = None
+    for level, df in levels:
+        groups = df.groupBy("q1", "q2").agg(F.count("*").alias("n"))
+        risky_rows = F.coalesce(
+            F.sum(F.when(F.col("n") < _K_ANON, F.col("n"))), F.lit(0)
+        )
+        row = groups.agg(
+            # coalesce: empty input reports 0 counts, not NULL sums
+            # (min_group_size / risky_row_pct stay NULL — no groups)
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+            F.count("*").alias("n_groups"),
+            F.min("n").alias("min_group_size"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_risky_groups"),
+            risky_rows.alias("n_risky_rows"),
+        ).select(
+            F.lit(level).alias("level"),
+            "n_rows",
+            "n_groups",
+            "min_group_size",
+            "n_risky_groups",
+            "n_risky_rows",
+            F.when(
+                F.col("n_rows") > 0,
+                F.round(
+                    F.col("n_risky_rows").cast("double") / F.col("n_rows"),
+                    4,
+                ),
+            ).alias("risky_row_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -77,6 +77,8 @@ _QUERIES = [
     "model_eval_report",
     "scd2_user_segment_history",
     "join_skew_report",
+    "doc_crossdup_rates",
+    "k_anonymity_audit",
 ]
 
 
@@ -101,7 +103,11 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
     # collapse to zero rows; unpivoted reports keep one row per
     # reported unit — either way nothing null-explodes
     fixed_rows = {"documents_profile": 5}
-    if name == "join_skew_report":
+    if name == "k_anonymity_audit":
+        # one row per QI level; zero rows, no risky groups
+        assert len(rows) == 2
+        assert all(r["n_risky_groups"] == 0 for r in rows)
+    elif name == "join_skew_report":
         # one row per audited key family, zero rows counted, ratio
         # columns NULL (no rows -> no average to report)
         assert len(rows) == 4

@@ -155,6 +155,10 @@ EXPECTED_SHUFFLES = {
     # episode rollup, AND the next-start lead (subset-key clustering)
     "scd2_user_segment_history": 1,
     "join_skew_report": 8,  # 4 families x (key rollup + 1-row reduce)
+    # shingle_sets' parallelizing repartition; shared-hash rollup;
+    # semi-join probe side; per-doc rollup; final doc_id join
+    "doc_crossdup_rates": 5,
+    "k_anonymity_audit": 4,  # 2 levels x (QI rollup + 1-row reduce)
 }
 
 
