@@ -1,11 +1,15 @@
-"""Dataset-lifecycle & model-evaluation operators (round 5, wave 2).
+"""Dataset-lifecycle, governance & model-evaluation operators
+(round 5, wave 2).
 
 North-star extensions past the reference's surface (the reference's
 sink is a last-write-wins Mongo upsert with no history, versioning, or
 evaluation surface at all — SURVEY §1.4.3): corpus snapshot diffing,
 a bucketed big×big time-range join, fixed-point PageRank over the
-item-transition graph, and an exact AUC / calibration report for the
-Arrow-batched quality classifier.
+item-transition graph, an exact AUC / calibration report for the
+Arrow-batched quality classifier, SCD Type-2 dimension build +
+streaming maintenance (operators/scd.py, streaming/scd_sink.py),
+join-key skew and k-anonymity audits, and per-document
+cross-duplication scoring.
 
 Cross-engine determinism notes (on top of plans/relational.py's
 contract):
@@ -910,3 +914,185 @@ def q_k_anonymity_audit(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Data-contract validation (dbt-tests analogue: N rules, ONE scan/table)
+# ---------------------------------------------------------------------------
+
+_EVENT_ENUM = "'view','click','purchase','signup','error'"
+
+
+@register(
+    "data_contract_violations",
+    f"""
+    WITH ev AS (
+        SELECT count(*) AS n,
+               coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0)
+                   AS ts_null,
+               coalesce(sum(CASE WHEN ts < TIMESTAMP '2020-01-01'
+                                   OR ts >= TIMESTAMP '2030-01-01'
+                                 THEN 1 ELSE 0 END), 0) AS ts_range,
+               coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+                   AS uid_null,
+               coalesce(sum(CASE WHEN event_type IS NULL
+                                   OR event_type NOT IN ({_EVENT_ENUM})
+                                 THEN 1 ELSE 0 END), 0) AS etype_bad,
+               coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)
+                   AS val_neg,
+               coalesce(sum(CASE WHEN props IS NULL
+                                   OR json_extract_string(props, '$.k')
+                                      IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS props_bad
+        FROM events),
+    orr AS (
+        SELECT count(*) AS n,
+               coalesce(sum(CASE WHEN o_orderdate IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS od_null,
+               coalesce(sum(CASE WHEN o_totalprice <= 0
+                                 THEN 1 ELSE 0 END), 0) AS tp_bad
+        FROM orders),
+    u AS (
+        SELECT 'events.ts_not_null' AS rule, n, ts_null AS v FROM ev
+        UNION ALL SELECT 'events.ts_in_range', n, ts_range FROM ev
+        UNION ALL SELECT 'events.user_id_not_null', n, uid_null FROM ev
+        UNION ALL SELECT 'events.event_type_in_enum', n, etype_bad FROM ev
+        UNION ALL SELECT 'events.value_non_negative', n, val_neg FROM ev
+        UNION ALL SELECT 'events.props_has_item_key', n, props_bad FROM ev
+        UNION ALL SELECT 'orders.orderdate_not_null', n, od_null FROM orr
+        UNION ALL SELECT 'orders.totalprice_positive', n, tp_bad FROM orr)
+    SELECT rule, CAST(n AS BIGINT) AS n_checked,
+           CAST(v AS BIGINT) AS n_violations,
+           CASE WHEN n > 0
+                THEN round(CAST(v AS DOUBLE) / n, 4) END AS violation_pct
+    FROM u
+    """,
+    doc="data-contract validation (the dbt-tests analogue): NULLability, "
+    "range, enum-membership, sign, and JSON-shape rules over events + "
+    "orders, reported one row per rule.  ALL of a table's rules ride "
+    "ONE aggregation pass (conditional sums in a single agg, then a "
+    "stack unpivot) — N rules never cost N scans, which is the whole "
+    "game at 100 TB where a contract suite runs on every refresh.  "
+    "The JSON rule flags missing/NULL $.k only (fixture props are "
+    "well-formed JSON by schema; malformed-JSON behavior is "
+    "engine-specific and belongs to ingest-time validation)",
+)
+def q_data_contract_violations(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+
+    def c(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        )
+
+    enum = ["view", "click", "purchase", "signup", "error"]
+    ev_agg = ev.agg(
+        F.count("*").alias("n"),
+        c(F.col("ts").isNull()).alias("ts_null"),
+        c(
+            (F.col("ts") < F.expr("TIMESTAMP_NTZ '2020-01-01 00:00:00'"))
+            | (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2030-01-01 00:00:00'"))
+        ).alias("ts_range"),
+        c(F.col("user_id").isNull()).alias("uid_null"),
+        c(
+            F.col("event_type").isNull() | ~F.col("event_type").isin(enum)
+        ).alias("etype_bad"),
+        c(F.col("value") < 0).alias("val_neg"),
+        c(
+            F.col("props").isNull() | windows.item_key().isNull()
+        ).alias("props_bad"),
+    )
+    ev_rules = ev_agg.selectExpr(
+        "stack(6, "
+        "'events.ts_not_null', ts_null, "
+        "'events.ts_in_range', ts_range, "
+        "'events.user_id_not_null', uid_null, "
+        "'events.event_type_in_enum', etype_bad, "
+        "'events.value_non_negative', val_neg, "
+        "'events.props_has_item_key', props_bad"
+        ") AS (rule, n_violations)",
+        "n AS n_checked",
+    )
+    or_agg = orders.agg(
+        F.count("*").alias("n"),
+        c(F.col("o_orderdate").isNull()).alias("od_null"),
+        c(F.col("o_totalprice") <= 0).alias("tp_bad"),
+    )
+    or_rules = or_agg.selectExpr(
+        "stack(2, "
+        "'orders.orderdate_not_null', od_null, "
+        "'orders.totalprice_positive', tp_bad"
+        ") AS (rule, n_violations)",
+        "n AS n_checked",
+    )
+    return ev_rules.unionByName(or_rules).select(
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(
+            F.col("n_checked") > 0,
+            F.round(
+                F.col("n_violations").cast("double") / F.col("n_checked"), 4
+            ),
+        ).alias("violation_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomaly report (median + MAD over the day relation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_anomaly_report",
+    """
+    WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                          count(*) AS n_events
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    m AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+    d AS (SELECT quantile_cont(abs(n_events - med), 0.5) AS mad
+          FROM daily, m)
+    SELECT day, n_events,
+           round(med, 4) AS med, round(mad, 4) AS mad,
+           abs(n_events - med) > 3 * mad AS is_anomaly
+    FROM daily, m, d
+    """,
+    doc="event-volume anomaly detection: daily counts flagged when "
+    "|count - median| > 3 x MAD (median absolute deviation) — the "
+    "robust outlier rule that a mean/stddev z-score gets wrong when "
+    "the outliers themselves inflate the baseline.  The ingest-health "
+    "monitor for a streaming pipeline: a day that lost (or doubled) "
+    "its feed trips the flag.  Shape: one (day) rollup exchange over "
+    "the events scan, then both percentile passes and the flag join "
+    "run on the O(days) DAY relation (persisted — tiny) with "
+    "broadcast scalars; exact sort-based percentiles are safe here "
+    "BECAUSE the relation is calendar-sized, the corpus-sized "
+    "quantile path is approx_quantiles_report",
+)
+def q_daily_anomaly_report(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .persist()  # O(days); consumed by med, mad, and the output
+    )
+    med = daily.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(n_events - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            F.round(F.col("med"), 4).alias("med"),
+            F.round(F.col("mad"), 4).alias("mad"),
+            (
+                F.abs(F.col("n_events") - F.col("med"))
+                > 3 * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )

@@ -79,6 +79,8 @@ _QUERIES = [
     "join_skew_report",
     "doc_crossdup_rates",
     "k_anonymity_audit",
+    "data_contract_violations",
+    "daily_anomaly_report",
 ]
 
 
@@ -103,7 +105,13 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
     # collapse to zero rows; unpivoted reports keep one row per
     # reported unit — either way nothing null-explodes
     fixed_rows = {"documents_profile": 5}
-    if name == "k_anonymity_audit":
+    if name == "data_contract_violations":
+        # one row per contract rule; zero rows checked, zero violations
+        assert len(rows) == 8
+        assert all(
+            r["n_checked"] == 0 and r["n_violations"] == 0 for r in rows
+        )
+    elif name == "k_anonymity_audit":
         # one row per QI level; zero rows, no risky groups
         assert len(rows) == 2
         assert all(r["n_risky_groups"] == 0 for r in rows)

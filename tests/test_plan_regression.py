@@ -159,6 +159,11 @@ EXPECTED_SHUFFLES = {
     # semi-join probe side; per-doc rollup; final doc_id join
     "doc_crossdup_rates": 5,
     "k_anonymity_audit": 4,  # 2 levels x (QI rollup + 1-row reduce)
+    "data_contract_violations": 2,  # 8 rules, ONE agg pass per table
+    # 7 = the day-rollup exchange prints once per consumer subtree
+    # (daily is persisted — materializes once at runtime) + the two
+    # O(days) percentile single-partition reduces
+    "daily_anomaly_report": 7,
 }
 
 
