@@ -138,7 +138,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # purchase_window_views, pagerank_top_items, model_eval_report,
 # scd2_user_segment_history, join_skew_report,
 # streaming_scd2_user_segments, doc_crossdup_rates,
-# k_anonymity_audit, data_contract_violations, daily_anomaly_report).
+# k_anonymity_audit, data_contract_violations, daily_anomaly_report,
+# jsonl_roundtrip_stats).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -1096,3 +1096,49 @@ def q_daily_anomaly_report(spark, sf_dir):
             ).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL export round-trip (interchange-format contract)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="interchange-format contract, hash-checked: the documents table "
+    "exported through operators/writer.write_corpus_jsonl (gzip JSON-"
+    "lines, lang partition dirs, 4 md5 shards, key-sorted lines — the "
+    "layout training loaders and annotation tools stream directly), "
+    "read back with the DECLARED schema (never inference — a schema "
+    "pass over 100 TB of gzip JSONL is a full extra epoch), and "
+    "rolled up per language.  A lossless export means the stats over "
+    "the round-tripped corpus equal the stats over the source table — "
+    "which is what the oracle computes.  The parquet twin is "
+    "streaming_corpus_materialized_stats; this is the text-interchange "
+    "path (JSON string escaping, gzip framing, partition-column "
+    "re-derivation all in play)",
+)
+def q_jsonl_roundtrip_stats(spark, sf_dir):
+    import tempfile
+
+    from realtime_data_pipeline_spark.operators import writer
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="rdp_jsonl_")
+    writer.write_corpus_jsonl(docs, out, partition_cols=("lang",), n_shards=4)
+    back = writer.read_corpus_jsonl(spark, out, schema=docs.schema)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

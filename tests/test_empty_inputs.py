@@ -81,6 +81,7 @@ _QUERIES = [
     "k_anonymity_audit",
     "data_contract_violations",
     "daily_anomaly_report",
+    "jsonl_roundtrip_stats",
 ]
 
 

@@ -164,6 +164,9 @@ EXPECTED_SHUFFLES = {
     # (daily is persisted — materializes once at runtime) + the two
     # O(days) percentile single-partition reduces
     "daily_anomaly_report": 7,
+    # final read-back plan: one lang rollup over the JSONL scan (the
+    # export's own single shuffle runs eagerly during construction)
+    "jsonl_roundtrip_stats": 1,
 }
 
 
