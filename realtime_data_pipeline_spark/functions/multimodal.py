@@ -178,3 +178,80 @@ def byte_histogram_by_lang(media_docs: DataFrame) -> DataFrame:
             for i in range(N_BUCKETS)
         ],
     )
+
+
+PCM_CENTER = 64  # deterministic fake-PCM convention: amplitude = byte - 64
+# (ASCII payloads span ~32..122, so both signs occur — centering at 128
+# would leave every sample negative and zero-crossing degenerate)
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("sq_power", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_signal_stats(media_docs: DataFrame) -> DataFrame:
+    """Audio-DSP plumbing with a codec-free kernel: interpret the binary
+    payload as PCM samples (amplitude = byte - PCM_CENTER), compute the
+    exact integer sum of squared amplitudes and the zero-crossing count
+    per payload via vectorized numpy inside mapInPandas.  A real
+    deployment decodes with soundfile/librosa in the same kernel slot;
+    the Arrow batch shape, metadata-first projection, and integer
+    outputs (hash-checkable, no float DSP) stay identical.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n_samples, power, zcr = [], [], []
+            for data in pdf["data"]:
+                a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                a -= PCM_CENTER
+                n_samples.append(a.size)
+                power.append(int((a * a).sum()))
+                neg = a < 0
+                zcr.append(int((neg[:-1] != neg[1:]).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "n_samples": n_samples,
+                    "sq_power": power,
+                    "zero_crossings": zcr,
+                }
+            )
+
+    flat = media_docs.select("doc_id", "lang", F.col("media.data").alias("data"))
+    return flat.mapInPandas(_extract, schema=_AUDIO_SCHEMA)
+
+
+def audio_stats_by_lang(media_docs: DataFrame) -> DataFrame:
+    """decode→signal-stats→rollup pipeline shape, per language; the
+    mean power is the one double division, rounded in both engines."""
+    s = audio_signal_stats(media_docs)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("sq_power").alias("total_sq_power"),
+        F.sum("zero_crossings").alias("total_zero_crossings"),
+    ).select(
+        "lang",
+        "n_docs",
+        "total_samples",
+        "total_sq_power",
+        "total_zero_crossings",
+        F.when(
+            F.col("total_samples") > 0,
+            F.round(
+                F.col("total_sq_power").cast("double")
+                / F.col("total_samples"),
+                4,
+            ),
+        ).alias("mean_sq_power"),
+    )

@@ -601,6 +601,48 @@ def q_multimodal_frame_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_stats",
+    f"""
+    WITH s AS (
+        SELECT lang, length(text) AS n,
+               list_transform(range(1, length(text) + 1),
+                   p -> ord(substr(text, p, 1)) - {multimodal.PCM_CENTER})
+                   AS a
+        FROM documents WHERE text IS NOT NULL),
+    d AS (
+        SELECT lang, n,
+               coalesce(list_sum(list_transform(a, x -> x * x)), 0) AS pw,
+               coalesce(list_sum(list_transform(range(1, n),
+                   p -> CASE WHEN (a[p] < 0) != (a[p + 1] < 0)
+                             THEN 1 ELSE 0 END)), 0) AS zc
+        FROM s)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_samples,
+           CAST(sum(pw) AS BIGINT) AS total_sq_power,
+           CAST(sum(zc) AS BIGINT) AS total_zero_crossings,
+           CASE WHEN sum(n) > 0
+                THEN round(CAST(sum(pw) AS DOUBLE) / sum(n), 4)
+           END AS mean_sq_power
+    FROM d GROUP BY lang
+    """,
+    doc="audio-DSP plumbing with a codec-free kernel "
+    "(functions/multimodal.audio_signal_stats): the binary payload "
+    "read as PCM samples (amplitude = byte - PCM_CENTER), exact "
+    "integer squared-power sums and zero-crossing counts per payload "
+    "via vectorized numpy in mapInPandas, rolled up per language — "
+    "the signal-statistics complement to the strided frame sampler.  "
+    "All outputs are integer sums (hash-exact) except one rounded "
+    "mean division; a real deployment swaps the kernel for a "
+    "soundfile/librosa decode in the same Arrow slot",
+)
+def q_multimodal_audio_stats(spark, sf_dir):
+    docs = multimodal.attach_media(
+        _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
+    return multimodal.audio_stats_by_lang(docs)
+
+
+@register(
     "ann_pandas_topk",
     f"""
     WITH e AS ({_D_E}),

@@ -82,6 +82,7 @@ _QUERIES = [
     "data_contract_violations",
     "daily_anomaly_report",
     "jsonl_roundtrip_stats",
+    "multimodal_audio_stats",
 ]
 
 

@@ -105,3 +105,28 @@ def test_frame_sample_stats_matches_numpy_oracle(spark):
         mask = (np.arange(arr.size) % stride) < fb
         want = ((arr.size + stride - 1) // stride, int(arr[mask].sum()))
         assert got[row["doc_id"]] == want
+
+
+def test_audio_signal_stats_numpy_oracle(spark):
+    """The mapInPandas PCM kernel vs a direct numpy computation over
+    the same payload bytes — per-doc exact integer equality."""
+    docs = tables.load_table(spark, SF_DIR, "documents").where(
+        "text IS NOT NULL"
+    )
+    got = {
+        r["doc_id"]: (r["n_samples"], r["sq_power"], r["zero_crossings"])
+        for r in multimodal.audio_signal_stats(
+            multimodal.attach_media(docs)
+        ).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        a = np.frombuffer(
+            row["text"].encode("utf-8"), dtype=np.uint8
+        ).astype(np.int64) - multimodal.PCM_CENTER
+        neg = a < 0
+        want = (
+            a.size,
+            int((a * a).sum()),
+            int((neg[:-1] != neg[1:]).sum()),
+        )
+        assert got[row["doc_id"]] == want, row["doc_id"]

@@ -167,6 +167,7 @@ EXPECTED_SHUFFLES = {
     # final read-back plan: one lang rollup over the JSONL scan (the
     # export's own single shuffle runs eagerly during construction)
     "jsonl_roundtrip_stats": 1,
+    "multimodal_audio_stats": 1,  # Arrow kernel map + one lang rollup
 }
 
 
