@@ -139,7 +139,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # scd2_user_segment_history, join_skew_report,
 # streaming_scd2_user_segments, doc_crossdup_rates,
 # k_anonymity_audit, data_contract_violations, daily_anomaly_report,
-# jsonl_roundtrip_stats).
+# jsonl_roundtrip_stats, multimodal_audio_stats,
+# scd2_pointintime_enrichment).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

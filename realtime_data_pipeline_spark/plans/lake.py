@@ -1142,3 +1142,83 @@ def q_jsonl_roundtrip_stats(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_PIT_BAND = "CASE WHEN value >= 50 THEN 'high' ELSE 'low' END"
+
+
+@register(
+    "scd2_pointintime_enrichment",
+    f"""
+    WITH log AS (SELECT user_id, {_PIT_BAND} AS band, ts, event_id
+                 FROM events
+                 WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    o AS (SELECT user_id, band, ts, event_id,
+                 lag(band) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev
+          FROM log),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR prev != band
+                         THEN 1 ELSE 0 END AS flg FROM o),
+    r AS (SELECT user_id, band, ts,
+                 sum(flg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS ep
+          FROM f),
+    eps AS (SELECT user_id, ep, min(band) AS band,
+                   min(ts) AS effective_from
+            FROM r GROUP BY 1, 2),
+    dim AS (SELECT user_id, band, effective_from,
+                   lead(effective_from) OVER (PARTITION BY user_id
+                       ORDER BY effective_from) AS effective_to
+            FROM eps)
+    SELECT coalesce(dim.band, 'none') AS band,
+           e.event_type,
+           count(*) AS n_events
+    FROM events e
+    LEFT JOIN dim
+      ON dim.user_id = e.user_id
+     AND e.ts >= dim.effective_from
+     AND (dim.effective_to IS NULL OR e.ts < dim.effective_to)
+    GROUP BY 1, 2
+    """,
+    doc="point-in-time (temporal) join — the consumption pattern every "
+    "SCD2 dimension exists for: each event enriched with the value-"
+    "band episode (high/low spend state, scd2_from_history over the "
+    "band change log) whose validity interval contains the event's "
+    "timestamp, rolled up per (band, event_type).  The Spark plan is "
+    "NOT an interval-containment join (quadratic per key): because "
+    "SCD2 intervals partition each key's timeline, interval "
+    "containment == backward as-of on effective_from, so the "
+    "operators/asof.py union-scan shape applies — ONE user_id "
+    "exchange, linear in |events| + |dim|.  Events before a user's "
+    "first episode (or with NULL user/value) land in the 'none' band "
+    "in both engines (dim side filters NULL keys; the oracle's "
+    "equi-join drops them identically)",
+)
+def q_scd2_pointintime_enrichment(spark, sf_dir):
+    from realtime_data_pipeline_spark.operators import asof
+
+    ev = _events(spark, sf_dir)
+    band = F.when(F.col("value") >= 50, "high").otherwise("low")
+    log = ev.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select("user_id", band.alias("band"), "ts", "event_id")
+    dim = scd.scd2_from_history(
+        log, key="user_id", attr="band", ts_col="ts", tiebreak="event_id"
+    )
+    enriched = asof.asof_join(
+        ev.select("user_id", "ts", "event_type"),
+        dim.select("user_id", "band", "effective_from"),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="effective_from",
+        payload_cols=["band"],
+    )
+    return enriched.groupBy(
+        F.coalesce(F.col("asof.band"), F.lit("none")).alias("band"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))

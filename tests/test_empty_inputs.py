@@ -83,6 +83,7 @@ _QUERIES = [
     "daily_anomaly_report",
     "jsonl_roundtrip_stats",
     "multimodal_audio_stats",
+    "scd2_pointintime_enrichment",
 ]
 
 

@@ -168,6 +168,10 @@ EXPECTED_SHUFFLES = {
     # export's own single shuffle runs eagerly during construction)
     "jsonl_roundtrip_stats": 1,
     "multimodal_audio_stats": 1,  # Arrow kernel map + one lang rollup
+    # dim-build user_id exchange + as-of union exchange + (band,type)
+    # rollup — interval containment expressed as backward as-of, never
+    # a per-key quadratic containment join
+    "scd2_pointintime_enrichment": 3,
 }
 
 
