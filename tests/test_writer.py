@@ -100,3 +100,22 @@ def test_jsonl_export_roundtrip(spark, tmp_path):
         for r in spark.read.schema(docs.schema).json(f).select("doc_id").collect()
     ]
     assert ids == sorted(ids) and len(ids) > 0
+
+
+def test_jsonl_partition_pruning_on_read(spark, tmp_path):
+    """A lang filter over the JSONL layout must prune partition DIRS at
+    plan time (PartitionFilters on the scan), exactly like the parquet
+    layout — gzip text files can't skip row groups, so directory
+    pruning is the ONLY data-skipping lever the export format has."""
+    out = str(tmp_path / "jsonl")
+    docs = _docs(spark)
+    writer.write_corpus_jsonl(docs, out, partition_cols=("lang",), n_shards=4)
+    q = writer.read_corpus_jsonl(spark, out, schema=docs.schema).where(
+        F.col("lang") == "en"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan[:2000]
+    oracle = docs.where(F.col("lang") == "en").count()
+    assert q.count() == oracle
