@@ -1222,3 +1222,103 @@ def q_scd2_pointintime_enrichment(spark, sf_dir):
         F.coalesce(F.col("asof.band"), F.lit("none")).alias("band"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality funnel (per-stage attrition, ONE scan)
+# ---------------------------------------------------------------------------
+
+# Stage predicates are ALL integer comparisons (ratio thresholds
+# rewritten as cross-multiplications), so the funnel is bit-exact
+# cross-engine with zero float arithmetic.
+_FUNNEL_STAGES = [
+    ("s1_nonempty", "text IS NOT NULL AND n_chars > 0"),
+    ("s2_min_length", "n_chars >= 100"),
+    ("s3_min_tokens", "n_tokens >= 20"),
+    # mean token length in [3, 12] without a division
+    ("s4_word_shape", "n_chars >= 3 * n_tokens AND n_chars <= 12 * n_tokens"),
+    # distinct-token ratio >= 0.3 without a division
+    ("s5_diversity", "10 * n_distinct >= 3 * n_tokens"),
+]
+
+
+def _funnel_sql() -> str:
+    from realtime_data_pipeline_spark.plans.northstar import D_TOKS
+
+    conj, rows = [], []
+    for name, pred in _FUNNEL_STAGES:
+        conj.append(f"({pred})")
+        rows.append(
+            f"SELECT '{name}' AS stage, "
+            f"coalesce(sum(CASE WHEN {' AND '.join(conj)} "
+            f"THEN 1 ELSE 0 END), 0) AS n_surviving, "
+            f"count(*) AS n_total FROM t"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH t AS (SELECT n_chars, text,
+                      len({D_TOKS}) AS n_tokens,
+                      len(list_distinct({D_TOKS})) AS n_distinct
+               FROM documents)
+    SELECT stage, CAST(n_surviving AS BIGINT) AS n_surviving,
+           CAST(n_total AS BIGINT) AS n_total,
+           CASE WHEN n_total > 0
+                THEN round(CAST(n_surviving AS DOUBLE) / n_total, 4)
+           END AS pct_of_total
+    FROM ({union})
+    """
+
+
+@register(
+    "quality_funnel_stats",
+    _funnel_sql(),
+    doc="corpus-curation funnel: cumulative survivor counts through the "
+    "map-side quality stages (non-empty → min length → min tokens → "
+    "mean-token-length band → distinct-token ratio), one row per "
+    "stage.  The report every filter-pipeline tuning session starts "
+    "from: WHICH stage eats the corpus.  All five cumulative "
+    "conditional sums ride ONE scan and ONE aggregation (never N "
+    "passes); every threshold is an integer cross-multiplication "
+    "(no divisions inside predicates), so the funnel is bit-exact "
+    "cross-engine.  The dedup/cluster stages live in "
+    "corpus_curation_stats (they need joins); this is the map-side "
+    "prefix of that pipeline",
+)
+def q_quality_funnel_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    feats = docs.select(
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    conj = None
+    aggs = [F.count("*").alias("n_total")]
+    for name, pred in _FUNNEL_STAGES:
+        cond = F.expr(pred)
+        conj = cond if conj is None else (conj & cond)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(conj, 1).otherwise(0)), F.lit(0)
+            ).alias(name)
+        )
+    one = feats.agg(*aggs)
+    stacked = one.selectExpr(
+        "stack({n}, {pairs}) AS (stage, n_surviving)".format(
+            n=len(_FUNNEL_STAGES),
+            pairs=", ".join(f"'{s}', {s}" for s, _ in _FUNNEL_STAGES),
+        ),
+        "n_total",
+    )
+    return stacked.select(
+        "stage",
+        F.col("n_surviving").cast("long").alias("n_surviving"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.when(
+            F.col("n_total") > 0,
+            F.round(
+                F.col("n_surviving").cast("double") / F.col("n_total"), 4
+            ),
+        ).alias("pct_of_total"),
+    )

@@ -84,6 +84,7 @@ _QUERIES = [
     "jsonl_roundtrip_stats",
     "multimodal_audio_stats",
     "scd2_pointintime_enrichment",
+    "quality_funnel_stats",
 ]
 
 
@@ -108,7 +109,13 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
     # collapse to zero rows; unpivoted reports keep one row per
     # reported unit — either way nothing null-explodes
     fixed_rows = {"documents_profile": 5}
-    if name == "data_contract_violations":
+    if name == "quality_funnel_stats":
+        # one row per funnel stage, zero docs, zero survivors
+        assert len(rows) == 5
+        assert all(
+            r["n_total"] == 0 and r["n_surviving"] == 0 for r in rows
+        )
+    elif name == "data_contract_violations":
         # one row per contract rule; zero rows checked, zero violations
         assert len(rows) == 8
         assert all(

@@ -172,6 +172,7 @@ EXPECTED_SHUFFLES = {
     # rollup — interval containment expressed as backward as-of, never
     # a per-key quadratic containment join
     "scd2_pointintime_enrichment": 3,
+    "quality_funnel_stats": 1,  # 5 cumulative stages, ONE agg pass + stack
 }
 
 
