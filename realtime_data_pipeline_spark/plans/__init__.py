@@ -140,7 +140,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # streaming_scd2_user_segments, doc_crossdup_rates,
 # k_anonymity_audit, data_contract_violations, daily_anomaly_report,
 # jsonl_roundtrip_stats, multimodal_audio_stats,
-# scd2_pointintime_enrichment, quality_funnel_stats).
+# scd2_pointintime_enrichment, quality_funnel_stats,
+# user_feature_vectors).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -1322,3 +1322,66 @@ def q_quality_funnel_stats(spark, sf_dir):
             ),
         ).alias("pct_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store assembly: one-pass per-user feature vectors
+# ---------------------------------------------------------------------------
+
+_FV_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register(
+    "user_feature_vectors",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' "
+               f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_{t}"
+               for t in _FV_TYPES)},
+           count(*) AS n_events,
+           CAST(round(CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18, 2)))
+                           AS DOUBLE), 2) AS DOUBLE) AS total_value,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           count(DISTINCT date_trunc('day', ts)) AS n_active_days
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="feature-store assembly: the wide per-user feature vector a "
+    "ranking/churn model trains on — per-type event counts "
+    "(conditional sums, NOT a pivot join), exact decimal value total, "
+    "first/last seen, and active-day cardinality — ALL from ONE "
+    "user_id exchange with map-side partials.  The shape matters at "
+    "100 TB: assembling k features as k self-joins (the naive feature "
+    "store) costs k shuffles; conditional aggregation costs one.  "
+    "NULL users excluded identically in both engines; value NULLs "
+    "count 0 toward the total",
+)
+def q_user_feature_vectors(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    type_counts = [
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)),
+            F.lit(0),
+        ).alias(f"n_{t}")
+        for t in _FV_TYPES
+    ]
+    return ev.groupBy("user_id").agg(
+        *type_counts,
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        )
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).alias(
+            "n_active_days"
+        ),
+    )

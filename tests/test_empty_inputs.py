@@ -85,6 +85,7 @@ _QUERIES = [
     "multimodal_audio_stats",
     "scd2_pointintime_enrichment",
     "quality_funnel_stats",
+    "user_feature_vectors",
 ]
 
 

@@ -173,6 +173,9 @@ EXPECTED_SHUFFLES = {
     # a per-key quadratic containment join
     "scd2_pointintime_enrichment": 3,
     "quality_funnel_stats": 1,  # 5 cumulative stages, ONE agg pass + stack
+    # 2 = the countDistinct(day) expands to a (user, day) pre-distinct
+    # exchange + the user rollup; all other features are partial sums
+    "user_feature_vectors": 2,
 }
 
 
