@@ -347,3 +347,84 @@ def test_scd2_sink_redelivered_batch_is_idempotent(spark, tmp_path):
         b0.unionByName(b1), "user_id", "event_type", "ts", "event_id"
     )
     assert first == _collect_dim(full)
+
+
+# ---------------------------------------------------------------------------
+# scd2_from_history: hypothesis model check vs a pure-Python interval fold
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_scd_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.sampled_from(["a", "b", "c"]),  # attr
+        st.integers(min_value=0, max_value=5),  # coarse ts -> forced ties
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _python_scd2(rows):
+    """Reference model: sort per key by (ts, seq), collapse equal-attr
+    runs, close each episode at the next episode's start."""
+    out = []
+    by_user = {}
+    for seq, (u, a, t) in enumerate(rows):
+        by_user.setdefault(u, []).append((t, seq, a))
+    for u, obs in by_user.items():
+        obs.sort()
+        eps = []  # (attr, start_ts)
+        for t, _, a in obs:
+            if not eps or eps[-1][0] != a:
+                eps.append((a, t))
+        for i, (a, start) in enumerate(eps):
+            nxt = eps[i + 1][1] if i + 1 < len(eps) else None
+            out.append((u, a, start, nxt, nxt is None))
+    return sorted(out)
+
+
+@given(_scd_logs)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_matches_python_model(spark, rows):
+    from realtime_data_pipeline_spark.operators import scd
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, a, base + dt.timedelta(hours=t), seq)
+        for seq, (u, a, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+    dim = scd.scd2_from_history(
+        df, "user_id", "event_type", ts_col="ts", tiebreak="event_id"
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r["event_type"],
+            r["effective_from"],
+            r["effective_to"],
+            r["is_current"],
+        )
+        for r in dim.collect()
+    )
+    want = [
+        (
+            u,
+            a,
+            base + dt.timedelta(hours=s),
+            None if e is None else base + dt.timedelta(hours=e),
+            cur,
+        )
+        for u, a, s, e, cur in _python_scd2(rows)
+    ]
+    assert got == sorted(want)
