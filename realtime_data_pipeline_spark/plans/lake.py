@@ -1385,3 +1385,49 @@ def q_user_feature_vectors(spark, sf_dir):
             "n_active_days"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity seasonality profile (hour × weekday matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_seasonality_profile",
+    """
+    WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      (epoch_us(ts) % 86400000000) // 3600000000 AS hr
+               FROM events WHERE ts IS NOT NULL)
+    SELECT CAST((d + 4) % 7 AS INTEGER) AS dow,
+           CAST(hr AS INTEGER) AS hour,
+           count(*) AS n_events
+    FROM e GROUP BY 1, 2
+    """,
+    doc="activity seasonality: the hour-of-day × day-of-week event "
+    "matrix (0=Sunday; 1970-01-01 was a Thursday, hence the +4) — the "
+    "baseline behind load forecasting and bot detection (organic "
+    "traffic has diurnal structure; scripted traffic is flat).  "
+    "Weekday and hour come from INTEGER epoch arithmetic on the NTZ "
+    "timestamp, not engine calendar functions, because Spark "
+    "dayofweek() and DuckDB dayofweek() disagree on week origin and "
+    "both would reintroduce session-timezone sensitivity.  One "
+    "168-group rollup exchange over the pruned (ts-only) scan",
+)
+def q_hourly_seasonality_profile(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    # integer `div`/`%` only — a double division here could round
+    # across a midnight boundary for timestamps microseconds from it
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.select(us.alias("us"))
+        .select(
+            F.expr("CAST((us div 86400000000 + 4) % 7 AS INT)").alias(
+                "dow"
+            ),
+            F.expr(
+                "CAST((us % 86400000000) div 3600000000 AS INT)"
+            ).alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("n_events"))
+    )

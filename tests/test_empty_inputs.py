@@ -86,6 +86,7 @@ _QUERIES = [
     "scd2_pointintime_enrichment",
     "quality_funnel_stats",
     "user_feature_vectors",
+    "hourly_seasonality_profile",
 ]
 
 

@@ -176,6 +176,7 @@ EXPECTED_SHUFFLES = {
     # 2 = the countDistinct(day) expands to a (user, day) pre-distinct
     # exchange + the user rollup; all other features are partial sums
     "user_feature_vectors": 2,
+    "hourly_seasonality_profile": 1,  # 168-group rollup, ts-only scan
 }
 
 
