@@ -141,7 +141,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # k_anonymity_audit, data_contract_violations, daily_anomaly_report,
 # jsonl_roundtrip_stats, multimodal_audio_stats,
 # scd2_pointintime_enrichment, quality_funnel_stats,
-# user_feature_vectors, hourly_seasonality_profile).
+# user_feature_vectors, hourly_seasonality_profile,
+# embedding_health_report).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -1431,3 +1431,72 @@ def q_hourly_seasonality_profile(spark, sf_dir):
         .groupBy("dow", "hour")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-store health report
+# ---------------------------------------------------------------------------
+
+_SQNORM_SPARK = (
+    "aggregate(transform(embedding, x -> cast(x as double) * "
+    "cast(x as double)), cast(0.0 as double), (a, x) -> a + x)"
+)
+_SQNORM_DUCK = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@register(
+    "embedding_health_report",
+    f"""
+    WITH e AS (SELECT label,
+                      embedding IS NULL AS is_null,
+                      len(embedding) AS d,
+                      {_SQNORM_DUCK} AS sq
+               FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+           CAST(coalesce(sum(CASE WHEN is_null THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_null,
+           CAST(coalesce(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_zero_norm,
+           CAST(coalesce(sum(CASE WHEN d IS NOT NULL AND d != 64
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_bad_dim,
+           round(min(sq), 6) AS min_sq_norm,
+           round(max(sq), 6) AS max_sq_norm
+    FROM e GROUP BY label
+    """,
+    doc="vector-store health gate, per label: NULL embeddings, "
+    "zero-norm vectors (they poison cosine similarity — "
+    "functions/kmeans.py silently drops them, this query makes the "
+    "drop VISIBLE), wrong-dimension rows, and the squared-norm range "
+    "— the checks every ANN index build should run first.  Squared "
+    "norms only (no sqrt): computed by the same in-order "
+    "aggregate-fold both engines execute bit-identically "
+    "(embedding_quantization_report convention); min/max are "
+    "order-independent.  One label rollup, zero joins, pure map "
+    "under it",
+)
+def q_embedding_health_report(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.col("embedding").isNull().alias("is_null"),
+        F.size("embedding").alias("d"),
+        F.expr(_SQNORM_SPARK).alias("sq"),
+    )
+
+    def c(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        c(F.col("is_null")).cast("long").alias("n_null"),
+        c(F.col("sq") == 0).cast("long").alias("n_zero_norm"),
+        c(F.col("d").isNotNull() & (F.col("d") != 64))
+        .cast("long")
+        .alias("n_bad_dim"),
+        F.round(F.min("sq"), 6).alias("min_sq_norm"),
+        F.round(F.max("sq"), 6).alias("max_sq_norm"),
+    )

@@ -87,6 +87,7 @@ _QUERIES = [
     "quality_funnel_stats",
     "user_feature_vectors",
     "hourly_seasonality_profile",
+    "embedding_health_report",
 ]
 
 

@@ -177,6 +177,7 @@ EXPECTED_SHUFFLES = {
     # exchange + the user rollup; all other features are partial sums
     "user_feature_vectors": 2,
     "hourly_seasonality_profile": 1,  # 168-group rollup, ts-only scan
+    "embedding_health_report": 1,  # one label rollup, pure map under it
 }
 
 
