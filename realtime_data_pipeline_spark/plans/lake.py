@@ -1500,3 +1500,108 @@ def q_embedding_health_report(spark, sf_dir):
         F.round(F.min("sq"), 6).alias("min_sq_norm"),
         F.round(F.max("sq"), 6).alias("max_sq_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session co-visitation pairs (recommender co-occurrence)
+# ---------------------------------------------------------------------------
+
+_COVIS_MAX_SESSION_ITEMS = 64  # blowup guard: bot-like mega-sessions
+_COVIS_TOP = 50
+
+
+def _covis_sql() -> str:
+    from realtime_data_pipeline_spark.plans.training import SESSION_GAP_MIN
+
+    return f"""
+    WITH o AS (SELECT user_id, json_extract_string(props, '$.k') AS item,
+                      ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+               FROM events
+               WHERE user_id IS NOT NULL
+                 AND json_extract_string(props, '$.k') IS NOT NULL),
+    f AS (SELECT *, CASE WHEN prev IS NULL
+                           OR ts - prev > INTERVAL {SESSION_GAP_MIN} MINUTE
+                         THEN 1 ELSE 0 END AS flg FROM o),
+    s AS (SELECT user_id, item,
+                 sum(flg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sid
+          FROM f),
+    si AS (SELECT DISTINCT user_id, sid, item FROM s),
+    ok AS (SELECT user_id, sid FROM si GROUP BY 1, 2
+           HAVING count(*) BETWEEN 2 AND {_COVIS_MAX_SESSION_ITEMS}),
+    p AS (SELECT a.item AS item_a, b.item AS item_b
+          FROM si a
+          JOIN si b ON a.user_id = b.user_id AND a.sid = b.sid
+                   AND a.item < b.item
+          JOIN ok ON ok.user_id = a.user_id AND ok.sid = a.sid)
+    SELECT item_a, item_b, count(*) AS n_sessions
+    FROM p GROUP BY 1, 2
+    ORDER BY n_sessions DESC, item_a, item_b LIMIT {_COVIS_TOP}
+    """
+
+
+@register(
+    "item_covisitation_pairs",
+    _covis_sql(),
+    doc="recommender co-occurrence ('customers also viewed'): item "
+    "pairs co-visited within the same gap-based user session "
+    "(plans/training.py SESSION_GAP_MIN), top-50 by session count "
+    "with deterministic tie-breaks.  Scale shape is SESSION-LOCAL "
+    "pair generation, the minhash bucket-local idiom: distinct items "
+    "per session collect into a sorted array (bounded by the "
+    f"{_COVIS_MAX_SESSION_ITEMS}-item cap — a free size() filter that "
+    "drops bot-like mega-sessions, which are noise for co-visitation "
+    "anyway), and i<j pairs expand inside the group — never a "
+    "self-join of the (session, item) relation.  One user_id "
+    "exchange feeds sessionization AND the session rollup; pair "
+    "counts are one more exchange over the pair stream",
+)
+def q_item_covisitation_pairs(spark, sf_dir):
+    from realtime_data_pipeline_spark.plans.training import SESSION_GAP_MIN
+
+    ev = _events(spark, sf_dir)
+    base = ev.where(
+        F.col("user_id").isNotNull() & windows.item_key().isNotNull()
+    ).select(
+        "user_id", windows.item_key().alias("item"), "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flg = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = base.withColumn("flg", flg).withColumn(
+        "sid",
+        F.sum("flg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = (
+        s.groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .where(
+            (F.size("items") >= 2)
+            & (F.size("items") <= _COVIS_MAX_SESSION_ITEMS)
+        )
+    )
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(items, (m, i) -> "
+            "transform(slice(items, i + 2, size(items) - i - 1), "
+            "n -> struct(m as item_a, n as item_b)))"
+        )
+    )
+    return (
+        sess.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "item_a", "item_b")
+        .limit(_COVIS_TOP)
+    )

@@ -88,6 +88,7 @@ _QUERIES = [
     "user_feature_vectors",
     "hourly_seasonality_profile",
     "embedding_health_report",
+    "item_covisitation_pairs",
 ]
 
 

@@ -178,6 +178,10 @@ EXPECTED_SHUFFLES = {
     "user_feature_vectors": 2,
     "hourly_seasonality_profile": 1,  # 168-group rollup, ts-only scan
     "embedding_health_report": 1,  # one label rollup, pure map under it
+    # ONE user_id exchange (sessionize windows + session rollup,
+    # subset-key clustering) + the pair-count exchange; top-50 is
+    # TakeOrdered, no extra exchange
+    "item_covisitation_pairs": 2,
 }
 
 
