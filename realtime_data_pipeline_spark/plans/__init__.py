@@ -142,7 +142,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # jsonl_roundtrip_stats, multimodal_audio_stats,
 # scd2_pointintime_enrichment, quality_funnel_stats,
 # user_feature_vectors, hourly_seasonality_profile,
-# embedding_health_report, item_covisitation_pairs).
+# embedding_health_report, item_covisitation_pairs,
+# langid_confusion_matrix).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -117,6 +117,37 @@ def q_language_id(spark, sf_dir):
 
 
 @register(
+    "langid_confusion_matrix",
+    f"""
+    WITH p AS (SELECT lang, {_d_lang_case()} AS predicted_lang
+               FROM (SELECT lang,
+                     {_D_LANG_HITS}
+                     FROM (SELECT *, {D_TOKS} AS toks FROM documents)))
+    SELECT lang AS actual_lang, predicted_lang, count(*) AS n_docs
+    FROM p GROUP BY 1, 2
+    """,
+    doc="classifier evaluation for the lexicon language-ID heuristic: "
+    "the (actual label × predicted) confusion matrix — WHICH languages "
+    "the heuristic confuses, not just how often (per-class precision/"
+    "recall fall out of the row/column marginals).  Shares the "
+    "prediction expression with language_id verbatim, so the eval can "
+    "never drift from the classifier it evaluates; one "
+    "|langs|²-group rollup over the map-side scoring pass",
+)
+def q_langid_confusion_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("lang", *text.language_scores())
+    return (
+        scored.select(
+            F.col("lang").alias("actual_lang"),
+            text.predicted_lang_expr().alias("predicted_lang"),
+        )
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
     "doc_fingerprints",
     f"""
     SELECT doc_id,

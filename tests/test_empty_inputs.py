@@ -89,6 +89,7 @@ _QUERIES = [
     "hourly_seasonality_profile",
     "embedding_health_report",
     "item_covisitation_pairs",
+    "langid_confusion_matrix",
 ]
 
 

@@ -182,6 +182,7 @@ EXPECTED_SHUFFLES = {
     # subset-key clustering) + the pair-count exchange; top-50 is
     # TakeOrdered, no extra exchange
     "item_covisitation_pairs": 2,
+    "langid_confusion_matrix": 1,  # |langs|^2-group rollup, map-side scoring
 }
 
 
