@@ -584,3 +584,47 @@ def test_analytics_joins_invariant_under_join_strategy(spark):
             spark.catalog.clearCache()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """AQE skew-join splitting — the runtime lever PLANS.md leans on for
+    hot keys the salting operator doesn't cover: plant one key holding
+    ~90% of the left side, lower the skew thresholds so the test-sized
+    data trips them, and assert the executed plan actually split the
+    skewed partition (AQEShuffleRead reports it).  Broadcast is
+    disabled so the join is a sort-merge join (skew splitting only
+    applies there)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 500)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        # collect() (not count(), which builds a separate aggregate
+        # execution) so the FINAL adaptive plan lands on this
+        # DataFrame's own QueryExecution
+        n = len(j.collect())
+        assert n == 60_000  # inner join, every key present on the right
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
