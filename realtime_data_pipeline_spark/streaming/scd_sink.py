@@ -14,7 +14,10 @@ replayed micro-batch deterministically recomputes its own version from
 the same predecessor and overwrites it, never compounding.  Readers
 take the highest complete version.  A version directory is committed
 by parquet's own _SUCCESS marker; a crash mid-write leaves a torn
-directory that the replay overwrites.
+directory that the replay overwrites.  ``vacuum_versions`` bounds the
+store to the newest ``retain_versions`` snapshots after every commit
+(the incremental-dedup/corpus-sink retention discipline — one snapshot
+per micro-batch forever is the growth bug this module refuses to have).
 
 At 100 TB the closed-episode bulk is immutable and should live
 partition-separated (``is_current``) so each merge rewrites only the
@@ -54,6 +57,24 @@ def read_scd2_dim(spark: SparkSession, dim_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(dim_dir, f"v{vs[-1]}"))
 
 
+def vacuum_versions(dim_dir: str, keep_last: int) -> int:
+    """Drop all but the newest ``keep_last`` committed versions (the
+    corpus_sink/UpsertTable retention discipline — without this the
+    store grows one snapshot per micro-batch forever).  Returns the
+    number of versions removed.  Retention bounds REPLAY depth the
+    same way checkpoint retention does: a redelivered batch older than
+    the vacuum window cannot find its predecessor and must go through
+    a batch rebuild — keep_last must exceed the source's redelivery
+    horizon (maxBatchesToRetain-style sizing)."""
+    import shutil
+
+    vs = _versions(dim_dir)
+    doomed = vs[:-keep_last] if keep_last > 0 else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(dim_dir, f"v{v}"), ignore_errors=True)
+    return len(doomed)
+
+
 def start_scd2_merge_query(
     stream: DataFrame,
     dim_dir: str,
@@ -64,11 +85,16 @@ def start_scd2_merge_query(
     tiebreak: str | None = None,
     query_name: str = "scd2_merge",
     trigger_available_now: bool = False,
+    retain_versions: int = 3,
 ):
     """foreachBatch maintenance of an SCD2 dimension from a change
     stream.  Batches must arrive in non-decreasing event time overall
     (scd2_merge rejects rows that predate a key's open episode — route
-    genuinely late data through a batch rebuild)."""
+    genuinely late data through a batch rebuild).  ``retain_versions``
+    bounds store growth: older snapshots vacuum after each commit
+    (vacuum runs AFTER the new version is committed, so the newest
+    predecessor always survives for the next batch and for redelivery
+    within the retention window)."""
     spark = stream.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -91,6 +117,8 @@ def start_scd2_merge_query(
         dim.write.mode("overwrite").parquet(
             os.path.join(dim_dir, f"v{batch_id}")
         )
+        if retain_versions:
+            vacuum_versions(dim_dir, retain_versions)
 
     wtr = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -428,3 +428,68 @@ def test_scd2_matches_python_model(spark, rows):
         for u, a, s, e, cur in _python_scd2(rows)
     ]
     assert got == sorted(want)
+
+
+def test_scd2_sink_vacuum_bounds_store_growth(spark, tmp_path):
+    """10 micro-batches with retain_versions=3: the store never holds
+    more than 3 snapshots after a commit, and the surviving newest
+    snapshot still equals the full-log rebuild (vacuum only discards
+    HISTORY OF SNAPSHOTS, never dimension content)."""
+    from realtime_data_pipeline_spark.operators import scd
+    from realtime_data_pipeline_spark.streaming import scd_sink
+
+    t0 = dt.datetime(2024, 1, 1)
+    batches = []
+    rows_all = []
+    for b in range(10):
+        rows = [
+            (
+                u,
+                "abc"[(b + u) % 3],
+                t0 + dt.timedelta(hours=b, minutes=u),
+                b * 10 + u,
+            )
+            for u in range(3)
+        ]
+        rows_all += rows
+        batches.append(
+            spark.createDataFrame(
+                rows,
+                "user_id long, event_type string, ts timestamp_ntz, "
+                "event_id long",
+            )
+        )
+    dim_dir = str(tmp_path / "dim")
+
+    for batch_id, bdf in enumerate(batches):
+        older = [v for v in scd_sink._versions(dim_dir) if v < batch_id]
+        prev = (
+            spark.read.parquet(f"{dim_dir}/v{older[-1]}") if older else None
+        )
+        dim = (
+            scd.scd2_from_history(
+                bdf, "user_id", "event_type", "ts", "event_id"
+            )
+            if prev is None
+            else scd.scd2_merge(
+                prev, bdf, "user_id", "event_type", "ts", "event_id"
+            )
+        )
+        dim.write.mode("overwrite").parquet(f"{dim_dir}/v{batch_id}")
+        scd_sink.vacuum_versions(dim_dir, keep_last=3)
+        assert len(scd_sink._versions(dim_dir)) <= 3
+
+    assert scd_sink._versions(dim_dir) == [7, 8, 9]
+    final = _collect_dim(scd_sink.read_scd2_dim(spark, dim_dir))
+    full = scd.scd2_from_history(
+        spark.createDataFrame(
+            rows_all,
+            "user_id long, event_type string, ts timestamp_ntz, "
+            "event_id long",
+        ),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    assert final == _collect_dim(full)
