@@ -1605,3 +1605,49 @@ def q_item_covisitation_pairs(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "item_a", "item_b")
         .limit(_COVIS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (build once, serve from disk)
+# ---------------------------------------------------------------------------
+
+
+def _register_stored_index() -> None:
+    """Registered after northstar so the stored-index query shares
+    ann_ivf_assigned_topk's oracle STRING verbatim — same math, now
+    routed through the cell-partitioned on-disk index, so the
+    persistence layer itself is hash-checked."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    oracle = REGISTRY["ann_ivf_assigned_topk"].oracle
+
+    @register(
+        "ann_stored_index_topk",
+        oracle,
+        doc="ANN SERVING path, hash-checked end to end: the IVF index "
+        "(codebook rows 8-15 + argmax cell assignments) is BUILT to "
+        "disk partitioned by cell (functions/ann_index.py), then "
+        "top-5 is served from the stored index — broadcast query "
+        "batch, cell equi-join against the partitioned store (dynamic "
+        "partition pruning applies on the cell dirs), exact rerank.  "
+        "Identical results to the inline ann_ivf_assigned_topk, whose "
+        "oracle this query shares verbatim: what the hash proves is "
+        "that materialization (parquet roundtrip, partition-column "
+        "re-derivation, float array storage) loses nothing",
+    )
+    def q_ann_stored_index_topk(spark, sf_dir):
+        import tempfile
+
+        from realtime_data_pipeline_spark.functions import ann_index
+
+        emb = _t(spark, sf_dir, "embeddings")
+        idx = tempfile.mkdtemp(prefix="rdp_ivfidx_")
+        ann_index.build_ivf_index(
+            emb, idx, (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+        )
+        return ann_index.query_ivf_index(
+            spark, idx, F.col("vec_id") < 8, k=5
+        )
+
+
+_register_stored_index()

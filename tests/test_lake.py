@@ -493,3 +493,43 @@ def test_scd2_sink_vacuum_bounds_store_growth(spark, tmp_path):
         "event_id",
     )
     assert final == _collect_dim(full)
+
+
+def test_stored_ivf_index_equals_inline_and_partitions_by_cell(
+    spark, tmp_path
+):
+    """The persisted index serves byte-identical top-k to the inline
+    operator on the same codebook, and the store really is laid out
+    one directory per cell (the pruning unit a probe reads)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import tables
+    from realtime_data_pipeline_spark.functions import ann_index, similarity
+
+    emb = tables.load_table(spark, SF_DIR, "embeddings")
+    cent_pred = (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+    idx = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, idx, cent_pred)
+
+    cell_dirs = glob.glob(f"{idx}/assignments/cell=*")
+    assert 1 <= len(cell_dirs) <= 8  # at most one dir per centroid
+
+    stored = sorted(
+        map(
+            tuple,
+            ann_index.query_ivf_index(
+                spark, idx, F.col("vec_id") < 8, k=5
+            ).collect(),
+        )
+    )
+    inline = sorted(
+        map(
+            tuple,
+            similarity.ivf_assigned_topk(
+                emb, F.col("vec_id") < 8, cent_pred, k=5
+            ).collect(),
+        )
+    )
+    assert stored == inline

@@ -183,6 +183,10 @@ EXPECTED_SHUFFLES = {
     # TakeOrdered, no extra exchange
     "item_covisitation_pairs": 2,
     "langid_confusion_matrix": 1,  # |langs|^2-group rollup, map-side scoring
+    # serving plan reads the cell-partitioned store: broadcast query
+    # batch + per-query rank partials; the build's vec_id shuffle +
+    # partitioned write run during construction
+    "ann_stored_index_topk": 1,
 }
 
 
