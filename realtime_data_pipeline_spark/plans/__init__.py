@@ -143,7 +143,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # scd2_pointintime_enrichment, quality_funnel_stats,
 # user_feature_vectors, hourly_seasonality_profile,
 # embedding_health_report, item_covisitation_pairs,
-# langid_confusion_matrix, ann_stored_index_topk).
+# langid_confusion_matrix, ann_stored_index_topk,
+# zorder_roundtrip_stats, upsert_time_travel_stats).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -1651,3 +1651,113 @@ def _register_stored_index() -> None:
 
 
 _register_stored_index()
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout round-trip (2-D data-skipping materialization check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zorder_roundtrip_stats",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18, 2)))
+                           AS DOUBLE), 2) AS DOUBLE) AS total_qty,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    WHERE l_partkey <= 50 AND l_suppkey <= 5
+    """,
+    doc="Z-order materialization, hash-checked: lineitem written along "
+    "the Morton curve of (l_partkey, l_suppkey) (operators/zorder.py, "
+    "the 2-D data-skipping layout whose pruning advantage "
+    "tests/test_zorder.py measures), read back through a 2-D box "
+    "predicate, aggregated.  A lossless layout means the box query "
+    "over the z-ordered files equals the same query over the source "
+    "table — the oracle.  Completes the materialization-check family "
+    "(jsonl_roundtrip_stats, ann_stored_index_topk, "
+    "streaming_corpus_materialized_stats): every storage layout the "
+    "engine writes is hash-verified through a read-back",
+)
+def q_zorder_roundtrip_stats(spark, sf_dir):
+    import tempfile
+
+    from realtime_data_pipeline_spark.operators import zorder
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="rdp_zorder_")
+    zorder.write_zordered(li, out, "l_partkey", "l_suppkey", n_files=16)
+    back = spark.read.parquet(out).where(
+        (F.col("l_partkey") <= 50) & (F.col("l_suppkey") <= 5)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+            2,
+        )
+        .cast("double")
+        .alias("total_qty"),
+        F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert time-travel read (versioned-sink materialization check)
+# ---------------------------------------------------------------------------
+
+_TT_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "upsert_time_travel_stats",
+    f"""
+    SELECT 'v1' AS snapshot, user_id, count(*) AS n_events
+    FROM events
+    WHERE user_id IS NOT NULL AND ts < TIMESTAMP '{_TT_CUT}'
+    GROUP BY user_id
+    UNION ALL
+    SELECT 'current', user_id, count(*)
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="time travel through the keyed-upsert sink, hash-checked: "
+    "per-user counts over the first half of the event log merge into "
+    "an UpsertTable (version N), the full-log counts merge on top "
+    "(version N+1, every key upserted), then BOTH the historical "
+    "snapshot read(version=N) and the current read come back — a "
+    "correct versioned sink returns exactly the first-half rollup for "
+    "the old snapshot and the full rollup for the current one, which "
+    "is what the oracle computes from the raw log.  retain_versions=2 "
+    "keeps the superseded snapshot inside the vacuum window "
+    "(tests/test_time_travel.py pins expiry beyond it)",
+)
+def q_upsert_time_travel_stats(spark, sf_dir):
+    import tempfile
+
+    from realtime_data_pipeline_spark.streaming.sinks import UpsertTable
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    half = ev.where(F.col("ts") < F.lit(_TT_CUT).cast("timestamp_ntz"))
+    v1 = half.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    v2 = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+    tbl = UpsertTable(
+        spark,
+        tempfile.mkdtemp(prefix="rdp_tt_"),
+        key_cols=["user_id"],
+        retain_versions=2,
+    )
+    tbl.merge(v1)
+    first_version = tbl._manifest()["version"]
+    tbl.merge(v2)
+    old = tbl.read(version=first_version).select(
+        F.lit("v1").alias("snapshot"), "user_id", "n_events"
+    )
+    cur = tbl.read().select(
+        F.lit("current").alias("snapshot"), "user_id", "n_events"
+    )
+    return old.unionByName(cur)

@@ -187,6 +187,10 @@ EXPECTED_SHUFFLES = {
     # batch + per-query rank partials; the build's vec_id shuffle +
     # partitioned write run during construction
     "ann_stored_index_topk": 1,
+    "zorder_roundtrip_stats": 1,  # 1-row reduce over the z-ordered read-back
+    # 0 = both snapshot reads are pure scans of the versioned store;
+    # the rollup + bucketed-merge shuffles run during construction
+    "upsert_time_travel_stats": 0,
 }
 
 
