@@ -119,3 +119,28 @@ def test_jsonl_partition_pruning_on_read(spark, tmp_path):
     )[1][:200], plan[:2000]
     oracle = docs.where(F.col("lang") == "en").count()
     assert q.count() == oracle
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Corpus schema evolution: a later batch gains a column (here
+    `quality`); reading the mixed directory with mergeSchema unions the
+    schemas and backfills NULL for old files — the append-only lake
+    contract.  Without mergeSchema Spark serves whichever footer it
+    samples, which is silent data loss for the new column."""
+    out = str(tmp_path / "evolving")
+    docs = _docs(spark)
+    old = docs.select("doc_id", "lang")
+    new = docs.select(
+        "doc_id", "lang", F.lit(0.5).alias("quality")
+    ).where(F.col("doc_id") % 2 == 0)
+    old.write.mode("overwrite").parquet(f"{out}/batch=0")
+    new.write.mode("overwrite").parquet(f"{out}/batch=1")
+
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"doc_id", "lang", "quality", "batch"}
+    n_old = old.count()
+    n_new = new.count()
+    assert back.count() == n_old + n_new
+    # old rows carry NULL quality; new rows carry the value
+    assert back.where(F.col("quality").isNull()).count() == n_old
+    assert back.where(F.col("quality") == 0.5).count() == n_new
