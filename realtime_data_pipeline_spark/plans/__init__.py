@@ -144,7 +144,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # user_feature_vectors, hourly_seasonality_profile,
 # embedding_health_report, item_covisitation_pairs,
 # langid_confusion_matrix, ann_stored_index_topk,
-# zorder_roundtrip_stats, upsert_time_travel_stats).
+# zorder_roundtrip_stats, upsert_time_travel_stats,
+# pyds_synthetic_sample).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -1761,3 +1761,63 @@ def q_upsert_time_travel_stats(spark, sf_dir):
         F.lit("current").alias("snapshot"), "user_id", "n_events"
     )
     return old.unionByName(cur)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 custom Python DataSource (sources/pydatasource.py)
+# ---------------------------------------------------------------------------
+
+_PYDS_N = 1000
+
+
+@register(
+    "pyds_synthetic_sample",
+    f"""
+    WITH g AS (SELECT i AS event_id,
+                      ('0x' || substr(md5(CAST(i AS VARCHAR) || ':t'), 1, 8))
+                          ::BIGINT % 5 AS tix,
+                      ('0x' || substr(md5(CAST(i AS VARCHAR) || ':v'), 1, 8))
+                          ::BIGINT % 10000 AS vraw
+               FROM range({_PYDS_N}) r(i)),
+    e AS (SELECT event_id,
+                 ['view', 'click', 'purchase', 'signup', 'error'][tix + 1]
+                     AS event_type,
+                 CAST(vraw AS DOUBLE) / 100.0 AS value
+          FROM g)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE), 2)
+                AS DOUBLE) AS total_value,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM e GROUP BY event_type
+    """,
+    doc="Spark 4 custom Python DataSource end to end "
+    "(sources/pydatasource.py — the reference producer as a "
+    "spark.read.format() source): every field an md5-derived pure "
+    "function of the event id, so the oracle recomputes the generator "
+    "in SQL and the hash proves the DATA SOURCE CONTRACT itself — "
+    "partition planning (8 range partitions), per-partition Python "
+    "reads, Arrow type mapping, and completeness (no partition "
+    "dropped or double-read).  Rolled up per event type with the "
+    "exact-decimal value total",
+)
+def q_pyds_synthetic_sample(spark, sf_dir):
+    from realtime_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numRows", _PYDS_N)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        )
+        .cast("double")
+        .alias("total_value"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

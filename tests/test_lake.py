@@ -533,3 +533,22 @@ def test_stored_ivf_index_equals_inline_and_partitions_by_cell(
         )
     )
     assert stored == inline
+
+
+def test_python_datasource_rows_and_partitions(spark):
+    """Row-level contract of the custom Python DataSource: the scan
+    yields exactly synth_row(i) for i in [0, numRows), and the reader
+    really plans the requested number of input partitions."""
+    from realtime_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numRows", 100)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(pydatasource.synth_row(i) for i in range(100))
+    assert got == want

@@ -191,6 +191,7 @@ EXPECTED_SHUFFLES = {
     # 0 = both snapshot reads are pure scans of the versioned store;
     # the rollup + bucketed-merge shuffles run during construction
     "upsert_time_travel_stats": 0,
+    "pyds_synthetic_sample": 1,  # per-type rollup over the Python source scan
 }
 
 
