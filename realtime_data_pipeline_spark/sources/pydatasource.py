@@ -21,7 +21,12 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 BASE_TS = dt.datetime(2024, 1, 1)
@@ -61,6 +66,12 @@ class SyntheticEventsDataSource(DataSource):
             int(self.options.get("numPartitions", 8)),
         )
 
+    def simpleStreamReader(self, schema):
+        return _StreamReader(
+            int(self.options.get("numRows", 1000)),
+            int(self.options.get("rowsPerBatch", 100)),
+        )
+
 
 class _Reader(DataSourceReader):
     def __init__(self, num_rows: int, num_partitions: int):
@@ -82,3 +93,34 @@ class _Reader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: each micro-batch advances
+    the offset by `rowsPerBatch` ids, capped at `numRows` — the
+    reference producer's rate-limited emit loop (producer/producer.py)
+    as a Spark 4 streaming data source.  Offsets are plain dicts (the
+    engine JSON-serializes them into the checkpoint), so restart
+    resumes exactly where the last committed batch ended; replayed
+    ranges regenerate identical rows because the generator is a pure
+    function of the id."""
+
+    def __init__(self, num_rows: int, rows_per_batch: int):
+        self.num_rows = num_rows
+        self.rows_per_batch = rows_per_batch
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.num_rows)
+        return iter([synth_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [synth_row(i) for i in range(start["next"], end["next"])]
+        )
+
+    def commit(self, end):
+        pass  # nothing to acknowledge — the generator is stateless

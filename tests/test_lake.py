@@ -552,3 +552,38 @@ def test_python_datasource_rows_and_partitions(spark):
     got = sorted(map(tuple, df.collect()))
     want = sorted(pydatasource.synth_row(i) for i in range(100))
     assert got == want
+
+
+def test_python_datasource_streaming_emits_exact_rows(spark, tmp_path):
+    """Streaming face of the custom source: micro-batches advance the
+    offset by rowsPerBatch until the numRows cap; the materialized
+    stream holds exactly synth_row(i) for i in [0, numRows) — offset
+    bookkeeping loses and duplicates nothing."""
+    import time
+
+    from realtime_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("numRows", 200)
+        .option("rowsPerBatch", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("pyds_stream_t").count() >= 200:
+                break
+            time.sleep(0.5)
+        got = sorted(map(tuple, spark.table("pyds_stream_t").collect()))
+    finally:
+        q.stop()
+    want = sorted(pydatasource.synth_row(i) for i in range(200))
+    assert got == want
