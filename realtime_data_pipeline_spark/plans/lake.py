@@ -1881,18 +1881,25 @@ def q_waiting_suppliers_q21(spark, sf_dir):
             > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
         ).alias("late"),
     )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # supplier-level pre-aggregate instead of two countDistincts: the
+    # (order, supplier) rollup and everything after it reuse the
+    # orders-join l_orderkey clustering (superset/subset grouping), and
+    # no Expand-based distinct ever touches the fact rows.  Persisted:
+    # per_order and the blame filter both consume it.
+    sup_level = (
+        joined.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late_any"))
+        .persist()
+    )
+    per_order = sup_level.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late_any").cast("int")).alias("n_late_supp"),
     )
     blamed = (
-        joined.where(F.col("late"))
+        sup_level.where(F.col("late_any"))
         .join(per_order, "l_orderkey")
         .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         blamed.join(
