@@ -213,6 +213,11 @@ def _shuffles(df) -> int:
 
 @pytest.mark.parametrize("name", sorted(EXPECTED_SHUFFLES))
 def test_shuffle_count_pinned(spark, name):
+    # cold-cache baseline: earlier tests in a full-suite session leave
+    # persisted subtrees behind, and a cached subtree prints as
+    # InMemoryTableScan (hiding its exchanges) — the pins are
+    # calibrated cold, so measure cold
+    spark.catalog.clearCache()
     df = REGISTRY[name].fn(spark, SF_DIR)
     got = _shuffles(df)
     want = EXPECTED_SHUFFLES[name]
