@@ -72,7 +72,11 @@ def scd2_from_history(
         F.min(attr).alias(attr),
         F.min(ts_col).alias("effective_from"),
     )
-    we = Window.partitionBy(key).orderBy("effective_from")
+    # __ep (the episode sequence) breaks effective_from ties: when a
+    # key's attribute flaps within one timestamp, episodes share a
+    # start and bare orderBy(effective_from) would make lead()
+    # nondeterministic (found by the hypothesis model test)
+    we = Window.partitionBy(key).orderBy("effective_from", "__ep")
     return eps.select(
         key,
         attr,

@@ -145,7 +145,7 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # embedding_health_report, item_covisitation_pairs,
 # langid_confusion_matrix, ann_stored_index_topk,
 # zorder_roundtrip_stats, upsert_time_travel_stats,
-# pyds_synthetic_sample, waiting_suppliers_q21).
+# pyds_synthetic_sample).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -481,9 +481,9 @@ def q_model_eval_report(spark, sf_dir):
             FROM r GROUP BY 1, 2)
     SELECT user_id, segment, effective_from,
            lead(effective_from) OVER (PARTITION BY user_id
-               ORDER BY effective_from) AS effective_to,
+               ORDER BY effective_from, ep) AS effective_to,
            lead(effective_from) OVER (PARTITION BY user_id
-               ORDER BY effective_from) IS NULL AS is_current
+               ORDER BY effective_from, ep) IS NULL AS is_current
     FROM eps
     """,
     doc="SCD Type-2 dimension build (operators/scd.py "
@@ -1173,7 +1173,7 @@ _PIT_BAND = "CASE WHEN value >= 50 THEN 'high' ELSE 'low' END"
             FROM r GROUP BY 1, 2),
     dim AS (SELECT user_id, band, effective_from,
                    lead(effective_from) OVER (PARTITION BY user_id
-                       ORDER BY effective_from) AS effective_to
+                       ORDER BY effective_from, ep) AS effective_to
             FROM eps)
     SELECT coalesce(dim.band, 'none') AS band,
            e.event_type,
@@ -1820,94 +1820,4 @@ def q_pyds_synthetic_sample(spark, sf_dir):
         .alias("total_value"),
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q21 analogue: suppliers who kept multi-supplier orders waiting
-# ---------------------------------------------------------------------------
-
-_Q21_LATE_DAYS = 60
-_Q21_TOP = 20
-
-
-@register(
-    "waiting_suppliers_q21",
-    f"""
-    WITH li AS (SELECT l.l_orderkey, l.l_suppkey,
-                       l.l_shipdate > o.o_orderdate
-                           + INTERVAL {_Q21_LATE_DAYS} DAY AS late
-                FROM lineitem l JOIN orders o
-                  ON l.l_orderkey = o.o_orderkey),
-    per_order AS (SELECT l_orderkey,
-                         count(DISTINCT l_suppkey) AS n_supp,
-                         count(DISTINCT CASE WHEN late THEN l_suppkey END)
-                             AS n_late_supp
-                  FROM li GROUP BY 1),
-    blamed AS (SELECT DISTINCT li.l_orderkey, li.l_suppkey
-               FROM li JOIN per_order p ON p.l_orderkey = li.l_orderkey
-               WHERE li.late AND p.n_supp >= 2 AND p.n_late_supp = 1)
-    SELECT s.s_name, count(*) AS numwait
-    FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
-    GROUP BY 1
-    ORDER BY numwait DESC, s_name LIMIT {_Q21_TOP}
-    """,
-    doc="TPC-H Q21 shape (suppliers who kept orders waiting): for each "
-    "multi-supplier order, blame the supplier IFF it shipped late "
-    "(> orderdate + 60 days) and NO OTHER supplier on the order did — "
-    "the classic double correlated EXISTS / NOT EXISTS, decorrelated "
-    "Spark-first into ONE per-order aggregate (distinct supplier "
-    "count + distinct LATE supplier count) joined back, instead of "
-    "two correlated self-joins of the fact table.  Shape: the "
-    "l_orderkey clustering from the orders join feeds the per-order "
-    "rollup and the blame join; the (order, supplier) distinct and "
-    "the supplier rollup are the only further exchanges; the supplier "
-    "dim broadcasts; top-20 is a TakeOrdered (4 exchanges total — vs "
-    "6+ for the naive double-EXISTS as two fact self-joins)",
-)
-def q_waiting_suppliers_q21(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    joined = li.join(
-        orders, li["l_orderkey"] == orders["o_orderkey"]
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
-        ).alias("late"),
-    )
-    # supplier-level pre-aggregate instead of two countDistincts: the
-    # (order, supplier) rollup and everything after it reuse the
-    # orders-join l_orderkey clustering (superset/subset grouping), and
-    # no Expand-based distinct ever touches the fact rows.  Persisted:
-    # per_order and the blame filter both consume it.
-    sup_level = (
-        joined.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("late").alias("late_any"))
-        .persist()
-    )
-    per_order = sup_level.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.sum(F.col("late_any").cast("int")).alias("n_late_supp"),
-    )
-    blamed = (
-        sup_level.where(F.col("late_any"))
-        .join(per_order, "l_orderkey")
-        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .select("l_orderkey", "l_suppkey")
-    )
-    return (
-        blamed.join(
-            F.broadcast(supplier),
-            blamed["l_suppkey"] == supplier["s_suppkey"],
-        )
-        .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
-        .limit(_Q21_TOP)
     )

@@ -82,7 +82,6 @@ _QUERIES = [
     "data_contract_violations",
     "daily_anomaly_report",
     "jsonl_roundtrip_stats",
-    "waiting_suppliers_q21",
     "multimodal_audio_stats",
     "scd2_pointintime_enrichment",
     "quality_funnel_stats",

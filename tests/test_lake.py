@@ -208,16 +208,26 @@ def test_calibration_bins_partition_the_corpus(spark):
 # ---------------------------------------------------------------------------
 
 
+def _dim_key(t):
+    # effective_to can be None (open episode) — order opens last so
+    # tied-start episodes still sort deterministically
+    u, a, s_, e, cur = t
+    return (u, a, s_, e is None, e or s_, cur)
+
+
 def _collect_dim(dim):
     return sorted(
         (
-            r["user_id"],
-            r["event_type"],
-            r["effective_from"],
-            r["effective_to"],
-            r["is_current"],
-        )
-        for r in dim.collect()
+            (
+                r["user_id"],
+                r["event_type"],
+                r["effective_from"],
+                r["effective_to"],
+                r["is_current"],
+            )
+            for r in dim.collect()
+        ),
+        key=_dim_key,
     )
 
 
@@ -383,7 +393,7 @@ def _python_scd2(rows):
         for i, (a, start) in enumerate(eps):
             nxt = eps[i + 1][1] if i + 1 < len(eps) else None
             out.append((u, a, start, nxt, nxt is None))
-    return sorted(out)
+    return sorted(out, key=lambda t: (t[0], t[1], t[2], t[3] is None, t[3] or t[2]))
 
 
 @given(_scd_logs)
@@ -409,13 +419,16 @@ def test_scd2_matches_python_model(spark, rows):
     )
     got = sorted(
         (
-            r["user_id"],
-            r["event_type"],
-            r["effective_from"],
-            r["effective_to"],
-            r["is_current"],
-        )
-        for r in dim.collect()
+            (
+                r["user_id"],
+                r["event_type"],
+                r["effective_from"],
+                r["effective_to"],
+                r["is_current"],
+            )
+            for r in dim.collect()
+        ),
+        key=_dim_key,
     )
     want = [
         (
@@ -427,7 +440,7 @@ def test_scd2_matches_python_model(spark, rows):
         )
         for u, a, s, e, cur in _python_scd2(rows)
     ]
-    assert got == sorted(want)
+    assert got == sorted(want, key=_dim_key)
 
 
 def test_scd2_sink_vacuum_bounds_store_growth(spark, tmp_path):

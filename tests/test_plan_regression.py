@@ -192,11 +192,6 @@ EXPECTED_SHUFFLES = {
     # the rollup + bucketed-merge shuffles run during construction
     "upsert_time_travel_stats": 0,
     "pyds_synthetic_sample": 1,  # per-type rollup over the Python source scan
-    # persisted (order,supplier) pre-aggregate prints its exchange per
-    # consumer branch (per_order + blame); runtime: orders-join
-    # clustering reused by ALL rollups, supplier rollup, no Expand —
-    # the decorrelated double-EXISTS in one fact pass
-    "waiting_suppliers_q21": 5,
 }
 
 
