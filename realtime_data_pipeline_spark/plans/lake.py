@@ -195,7 +195,7 @@ _PR_EDGE_SQL = """
                    lead(json_extract_string(props, '$.k'))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        AS nxt
-            FROM events),
+            FROM events WHERE ts IS NOT NULL),
     edges AS (SELECT DISTINCT item AS src, nxt AS dst FROM seq
               WHERE item IS NOT NULL AND nxt IS NOT NULL AND item <> nxt),
     outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
@@ -249,7 +249,10 @@ def _pr_iter_sql(i: int) -> str:
     "simplified PR) identically in both engines",
 )
 def q_pagerank_top_items(spark, sf_dir):
-    ev = _events(spark, sf_dir)
+    # NULL-ts events have no position in the sequence — and a NULL in a
+    # window ORDER BY diverges across engines (Spark NULLS FIRST,
+    # DuckDB NULLS LAST): filter identically in both
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     item = windows.item_key()
     seq = ev.select(
@@ -468,7 +471,7 @@ def q_model_eval_report(spark, sf_dir):
     WITH o AS (SELECT user_id, event_type, ts, event_id,
                       lag(event_type) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) AS prev
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     f AS (SELECT *, CASE WHEN prev IS NULL OR prev != event_type
                          THEN 1 ELSE 0 END AS flg FROM o),
     r AS (SELECT user_id, event_type, ts,
@@ -501,7 +504,9 @@ def q_model_eval_report(spark, sf_dir):
     "(tests/test_lake.py)",
 )
 def q_scd2_user_segment_history(spark, sf_dir):
-    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull()).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
     dim = scd.scd2_from_history(
         ev, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
     )
@@ -1156,7 +1161,8 @@ _PIT_BAND = "CASE WHEN value >= 50 THEN 'high' ELSE 'low' END"
     f"""
     WITH log AS (SELECT user_id, {_PIT_BAND} AS band, ts, event_id
                  FROM events
-                 WHERE user_id IS NOT NULL AND value IS NOT NULL),
+                 WHERE user_id IS NOT NULL AND value IS NOT NULL
+                   AND ts IS NOT NULL),
     o AS (SELECT user_id, band, ts, event_id,
                  lag(band) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS prev
@@ -1205,7 +1211,9 @@ def q_scd2_pointintime_enrichment(spark, sf_dir):
     ev = _events(spark, sf_dir)
     band = F.when(F.col("value") >= 50, "high").otherwise("low")
     log = ev.where(
-        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
     ).select("user_id", band.alias("band"), "ts", "event_id")
     dim = scd.scd2_from_history(
         log, key="user_id", attr="band", ts_col="ts", tiebreak="event_id"
@@ -1519,7 +1527,7 @@ def _covis_sql() -> str:
                       lag(ts) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) AS prev
                FROM events
-               WHERE user_id IS NOT NULL
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
                  AND json_extract_string(props, '$.k') IS NOT NULL),
     f AS (SELECT *, CASE WHEN prev IS NULL
                            OR ts - prev > INTERVAL {SESSION_GAP_MIN} MINUTE
@@ -1564,7 +1572,9 @@ def q_item_covisitation_pairs(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     base = ev.where(
-        F.col("user_id").isNotNull() & windows.item_key().isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & windows.item_key().isNotNull()
     ).select(
         "user_id", windows.item_key().alias("item"), "ts", "event_id"
     )

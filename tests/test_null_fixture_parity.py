@@ -1,0 +1,105 @@
+"""Adversarial NULL-fixture parity: the driver's testdata has so far
+carried few NULLs, so a query whose Spark/DuckDB parity silently
+depends on that (ADVICE r4: "breaks if a regenerated testdata round
+ever contains such a row") is a latent correctness failure.  This
+harness rebuilds the sf0.001 star schema with NULLs deterministically
+injected into every nullable hot column and re-runs the EXACT
+driver-strength compare (same normalizer as test_oracle_parity) for
+the round-5 query families over the hostile data.
+
+Known engine divergences this flushes out:
+  * window ORDER BY a NULLable column — Spark defaults NULLS FIRST
+    ascending, DuckDB defaults NULLS LAST;
+  * NULL group keys — Spark groupBy buckets them, SQL equi-joins drop
+    them;
+  * NULL-propagating arithmetic inside conditional sums.
+"""
+
+from __future__ import annotations
+
+import duckdb as _duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from realtime_data_pipeline_spark.plans.registry import REGISTRY
+from realtime_data_pipeline_spark.tables import TABLE_NAMES
+
+from conftest import SF_DIR
+from test_oracle_parity import _norm_frame
+
+# column -> every Nth row nulled (primes, so combinations overlap)
+_NULL_RULES = {
+    "events": {"value": 5, "props": 17, "user_id": 13, "ts": 19},
+    "documents": {"text": 7, "lang": 11, "source": 23},
+}
+
+_QUERIES = [
+    "corpus_snapshot_diff",
+    "purchase_window_views",
+    "pagerank_top_items",
+    "model_eval_report",
+    "scd2_user_segment_history",
+    "scd2_pointintime_enrichment",
+    "join_skew_report",
+    "doc_crossdup_rates",
+    "k_anonymity_audit",
+    "data_contract_violations",
+    "daily_anomaly_report",
+    "quality_funnel_stats",
+    "user_feature_vectors",
+    "hourly_seasonality_profile",
+    "embedding_health_report",
+    "item_covisitation_pairs",
+    "langid_confusion_matrix",
+    "multimodal_audio_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for name in TABLE_NAMES:
+        t = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        rules = _NULL_RULES.get(name, {})
+        if rules:
+            n = t.num_rows
+            cols = {}
+            for field in t.schema:
+                col = t[field.name]
+                if field.name in rules:
+                    k = rules[field.name]
+                    mask = pa.array([i % k == 0 for i in range(n)])
+                    col = pc.if_else(mask, pa.nulls(n, field.type), col)
+                cols[field.name] = col
+            t = pa.table(cols, schema=t.schema)
+        pq.write_table(t, f"{d}/{name}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_duck(null_sf_dir):
+    con = _duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{null_sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_parity_survives_null_injection(spark, null_sf_dir, null_duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, null_sf_dir).toPandas()
+    ddf = null_duck.execute(spec.oracle).df()
+    s_cols, s_rows = _norm_frame(sdf)
+    d_cols, d_rows = _norm_frame(ddf)
+    assert s_cols == [c.lower() for c in d_cols] or s_cols == d_cols, name
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: rowcount spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    mism = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mism, f"{name}: {len(mism)} row diffs, first 2: {mism[:2]}"
