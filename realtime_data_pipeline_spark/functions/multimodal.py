@@ -96,7 +96,14 @@ def byte_histogram(media_docs: DataFrame) -> DataFrame:
         for pdf in batches:
             hists = []
             for data in pdf["data"]:
-                arr = np.frombuffer(data, dtype=np.uint8)
+                # NULL payload -> empty buffer (zero histogram), the
+                # same zero contribution the SQL oracle's NULL-skipping
+                # sums produce
+                arr = (
+                    np.frombuffer(data, dtype=np.uint8)
+                    if data is not None
+                    else np.zeros(0, np.uint8)
+                )
                 hist = np.bincount(arr >> 6, minlength=N_BUCKETS)[:N_BUCKETS]
                 hists.append(hist.astype("int64").tolist())
             yield pd.DataFrame(
@@ -140,7 +147,11 @@ def frame_sample_stats(media_docs: DataFrame) -> DataFrame:
         for pdf in batches:
             n_frames, energy = [], []
             for data in pdf["data"]:
-                arr = np.frombuffer(data, dtype=np.uint8)
+                arr = (
+                    np.frombuffer(data, dtype=np.uint8)
+                    if data is not None
+                    else np.zeros(0, np.uint8)
+                )
                 mask = (np.arange(arr.size) % FRAME_STRIDE) < FRAME_BYTES
                 n_frames.append((arr.size + FRAME_STRIDE - 1) // FRAME_STRIDE)
                 energy.append(int(arr[mask].sum()))
@@ -211,7 +222,11 @@ def audio_signal_stats(media_docs: DataFrame) -> DataFrame:
         for pdf in batches:
             n_samples, power, zcr = [], [], []
             for data in pdf["data"]:
-                a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                a = (
+                    np.frombuffer(data, dtype=np.uint8)
+                    if data is not None
+                    else np.zeros(0, np.uint8)
+                ).astype(np.int64)
                 a -= PCM_CENTER
                 n_samples.append(a.size)
                 power.append(int((a * a).sum()))

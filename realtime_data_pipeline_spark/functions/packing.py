@@ -38,6 +38,7 @@ import math
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.functions import text
 from realtime_data_pipeline_spark.operators import writer
@@ -101,8 +102,12 @@ def ffd_packing_stats(
     if n_shards:
         docs = writer.with_shard(docs, "doc_id", n_shards)
         group_cols = ("shard", *group_cols)
+    # coalesce: a NULL-text doc has no tokens — it packs for free as
+    # nt=0 (and a NULL would reach pandas as NaN and crash int())
     sized = docs.select(
-        *group_cols, "doc_id", text.token_count().alias("nt")
+        *group_cols,
+        "doc_id",
+        F.coalesce(text.token_count(), F.lit(0)).alias("nt"),
     )
     key_schema = ", ".join(
         f"`{c}` {sized.schema[c].dataType.simpleString()}" for c in group_cols

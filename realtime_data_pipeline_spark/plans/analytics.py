@@ -748,7 +748,7 @@ def q_source_diversity_report(spark, sf_dir):
     WITH o AS (SELECT user_id, event_type, ts, event_id,
                       lead(event_type) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) AS nxt
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     t AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
           FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
     SELECT from_type, to_type, n,
@@ -766,7 +766,9 @@ def q_source_diversity_report(spark, sf_dir):
     "(improbable transition chains)",
 )
 def q_event_transition_matrix(spark, sf_dir):
-    ev = _events(spark, sf_dir)
+    # NULL ts has no sequence position, and NULLable window ORDER BY
+    # diverges across engines (Spark NULLS FIRST, DuckDB NULLS LAST)
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = (
         ev.select(
@@ -1602,7 +1604,7 @@ def q_user_activity_trend(spark, sf_dir):
     WITH o AS (SELECT user_id, event_type, ts, event_id,
                       lag(event_type) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) AS prev
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     f AS (SELECT *, CASE WHEN prev IS NULL OR prev != event_type
                          THEN 1 ELSE 0 END AS flg FROM o),
     r AS (SELECT user_id, event_type,
@@ -1626,7 +1628,7 @@ def q_user_activity_trend(spark, sf_dir):
     "construction, so runs are engine-independent",
 )
 def q_event_type_islands(spark, sf_dir):
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     flg = F.when(

@@ -152,11 +152,15 @@ def q_langid_confusion_matrix(spark, sf_dir):
     f"""
     SELECT doc_id,
            len(toks) AS n_tokens,
+           -- CASE: DuckDB's list_prepend(0, NULL) yields [0] (fingerprint
+           -- 0) where Spark's aggregate(NULL, ...) yields NULL — a NULL
+           -- doc must fingerprint NULL in both engines
+           CASE WHEN toks IS NULL THEN NULL ELSE
            list_reduce(
                list_prepend(0::BIGINT,
                    list_transform(toks, t -> {D_HASH32.format(t='t')})),
                (acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}
-           ) AS fingerprint
+           ) END AS fingerprint
     FROM (SELECT *, {D_TOKS} AS toks FROM documents)
     """,
     doc="order-sensitive rolling polynomial fingerprint over token hashes",

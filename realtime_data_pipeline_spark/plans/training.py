@@ -164,7 +164,13 @@ _D_BUCKET = (
 
 
 def _bucket_col():
-    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source")))
+    # F.concat, NOT concat_ws: concat_ws SKIPS NULL args, so a NULL
+    # source would silently bucket by doc_id alone while the SQL
+    # oracle's `|| ':' || source` NULL-propagates (bucket NULL → never
+    # kept).  concat matches the SQL semantics.
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 100
 
 
@@ -200,7 +206,12 @@ def q_mixture_sample_stats(spark, sf_dir):
         .groupBy("source", "rate_pct")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            # when/otherwise, not kept.cast(int): a NULL bucket (NULL
+            # source) must count 0 like the oracle's CASE, and sum over
+            # an all-NULL group would yield NULL instead of 0
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
             F.sum(F.when(kept, F.col("nt")).otherwise(0))
             .cast("bigint")
             .alias("kept_tokens"),
@@ -685,7 +696,10 @@ _D_TBUCKET = (
 
 
 def _tbucket_col():
-    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source")))
+    # concat (NULL-propagating), not concat_ws — see _bucket_col
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
     return (
         F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % _TEMP_SCALE
     )
