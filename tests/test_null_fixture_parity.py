@@ -90,3 +90,37 @@ def test_parity_survives_null_injection(spark, null_sf_dir, null_duck, name):
     )
     mism = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
     assert not mism, f"{name}: {len(mism)} row diffs, first 2: {mism[:2]}"
+
+
+# time-sensitive sequence/calendar operators, re-checked with the
+# session timezone ALSO hostile — NULL handling and tz-immunity can
+# interact (a NULL-ordering fix that leaned on a tz-dependent cast
+# would pass each audit separately and fail their combination)
+_TZ_SENSITIVE = [
+    "scd2_user_segment_history",
+    "scd2_pointintime_enrichment",
+    "pagerank_top_items",
+    "item_covisitation_pairs",
+    "event_transition_matrix",
+    "event_type_islands",
+    "daily_anomaly_report",
+    "hourly_seasonality_profile",
+    "user_feature_vectors",
+    "purchase_window_views",
+]
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_parity_survives_nulls_under_hostile_timezone(
+    spark, null_sf_dir, null_duck, name
+):
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        spec = REGISTRY[name]
+        s_cols, s_rows = _norm_frame(spec.fn(spark, null_sf_dir).toPandas())
+        d_cols, d_rows = _norm_frame(null_duck.execute(spec.oracle).df())
+        assert len(s_rows) == len(d_rows), name
+        assert s_rows == d_rows, name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
