@@ -408,11 +408,23 @@ def pandas_topk(vectors: DataFrame, query_pred, k: int = 10) -> DataFrame:
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        am = np.stack(a.to_numpy()).astype("float64")
-        bm = np.stack(b.to_numpy()).astype("float64")
-        num = (am * bm).sum(axis=1)
-        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
-        return pd.Series(num / den)
+        # NULL embeddings must yield NULL (not crash np.stack, not NaN —
+        # Spark sorts NaN ABOVE every double, which would rank a NULL
+        # vector first), mirroring the built-in aggregate/zip_with twin
+        # where any NULL operand propagates to a NULL score
+        av, bv = a.to_numpy(), b.to_numpy()
+        ok = np.array(
+            [x is not None and y is not None for x, y in zip(av, bv)],
+            dtype=bool,
+        )
+        out = pd.array([None] * len(av), dtype="Float64")
+        if ok.any():
+            am = np.stack(av[ok]).astype("float64")
+            bm = np.stack(bv[ok]).astype("float64")
+            num = (am * bm).sum(axis=1)
+            den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+            out[ok] = num / den
+        return pd.Series(out, dtype="Float64")
 
     q = vectors.where(query_pred).alias("q")
     c = vectors.alias("c")

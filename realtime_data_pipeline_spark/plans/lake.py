@@ -826,7 +826,7 @@ _K_ANON = 5
 def _kanon_sql(level: str, qi2: str, src: str) -> str:
     return f"""
     SELECT '{level}' AS level,
-           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
            count(*) AS n_groups,
            min(n) AS min_group_size,
            CAST(count(*) FILTER (WHERE n < {_K_ANON}) AS BIGINT)
@@ -1218,6 +1218,17 @@ def q_scd2_pointintime_enrichment(spark, sf_dir):
     dim = scd.scd2_from_history(
         log, key="user_id", attr="band", ts_col="ts", tiebreak="event_id"
     )
+    # Zero-length episodes (a band flapping within one timestamp makes
+    # scd2_from_history emit effective_to == effective_from) can never
+    # contain any event ts, and the oracle's interval-containment join
+    # excludes them for free — but asof_join requires effective_from to
+    # be unique per key (operators/asof.py contract), which only holds
+    # after dropping them: of any episodes sharing a start, all but the
+    # last are zero-length.
+    dim = dim.where(
+        F.col("effective_to").isNull()
+        | (F.col("effective_to") > F.col("effective_from"))
+    )
     enriched = asof.asof_join(
         ev.select("user_id", "ts", "event_type"),
         dim.select("user_id", "band", "effective_from"),
@@ -1449,9 +1460,16 @@ _SQNORM_SPARK = (
     "aggregate(transform(embedding, x -> cast(x as double) * "
     "cast(x as double)), cast(0.0 as double), (a, x) -> a + x)"
 )
+# NULL guard (doc_fingerprints pattern): DuckDB's
+# list_prepend(0.0, list_transform(NULL, ...)) yields [0.0], so an
+# unguarded fold maps a NULL embedding to sq = 0.0 — silently counted
+# as zero-norm and pulling min_sq_norm to 0 — while Spark's
+# aggregate(transform(NULL, ...)) yields NULL.  CASE keeps both
+# engines at sq = NULL for NULL embeddings.
 _SQNORM_DUCK = (
+    "CASE WHEN embedding IS NULL THEN NULL ELSE "
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, "
-    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y)"
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y) END"
 )
 
 

@@ -361,9 +361,21 @@ def q_streaming_session_counts(spark, sf_dir):
     return table.read().where(F.col("user_id") != SENTINEL)
 
 
+# The wire path's P4 null filter (parse_events) drops rows with a NULL
+# item_id TOO — unlike the plain replay, whose oracle USER_AGG_CTE only
+# requires (ts, user_id).  The oracle must carry the same predicate or
+# NULL-props rows diverge (caught by the NULL-injection harness, r6).
+_WIRE_USER_AGG_CTE = USER_AGG_CTE.replace(
+    "WHERE ts IS NOT NULL AND user_id IS NOT NULL",
+    "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+    "AND json_extract_string(props, '$.k') IS NOT NULL",
+)
+assert _WIRE_USER_AGG_CTE != USER_AGG_CTE
+
+
 @register(
     "streaming_json_wire_counts",
-    f"WITH {USER_AGG_CTE} SELECT * FROM user_agg",
+    f"WITH {_WIRE_USER_AGG_CTE} SELECT * FROM user_agg",
     doc="the reference's FULL wire path under streaming (P1-P4 + W1-W4): "
     "events serialized as JSON lines (the Kafka value payload), text "
     "stream source, CAST->from_json(declared schema)->flatten->null "

@@ -360,6 +360,64 @@ def test_scd2_sink_redelivered_batch_is_idempotent(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# scd2_pointintime_enrichment: band flap WITHIN one timestamp (ADVICE r5)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_pointintime_survives_same_ts_band_flap(spark, tmp_path):
+    """A user whose value band flaps within a single timestamp makes
+    scd2_from_history emit a zero-length episode sharing effective_from
+    with the open one; before the r6 fix the as-of join's max(band)
+    tie-break could pick the CLOSED (zero-length) episode's band where
+    the oracle's interval-containment join picks the open one.  Pin
+    Spark == DuckDB on a fixture that plants exactly that flap.
+    """
+    import duckdb
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 'low' then, at the SAME ts, low->high flap (event_id
+        # orders them high-after-low so the open episode is 'high' —
+        # max(band)='low' would be the wrong tie-break answer is 'low'
+        # < 'high' lexically, so flip: plant both directions)
+        (1, t0, 1, "view", 10.0, "{}"),          # low episode
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 90.0, "{}"),  # -> high
+        (3, t0 + dt.timedelta(minutes=5), 1, "click", 20.0, "{}"),  # -> low (same ts!)
+        (4, t0 + dt.timedelta(minutes=9), 1, "purchase", 5.0, "{}"),
+        # user 2: the mirror flap (ends high) — covers the other
+        # max(band) tie-break direction
+        (5, t0, 2, "view", 80.0, "{}"),           # high episode
+        (6, t0 + dt.timedelta(minutes=5), 2, "click", 20.0, "{}"),  # -> low
+        (7, t0 + dt.timedelta(minutes=5), 2, "click", 95.0, "{}"),  # -> high (same ts!)
+        (8, t0 + dt.timedelta(minutes=9), 2, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    spec = REGISTRY["scd2_pointintime_enrichment"]
+    got = sorted(
+        (r["band"], r["event_type"], r["n_events"])
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        (b, et, int(n)) for b, et, n in con.execute(spec.oracle).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # scd2_from_history: hypothesis model check vs a pure-Python interval fold
 # ---------------------------------------------------------------------------
 

@@ -33,15 +33,32 @@ from test_oracle_parity import _norm_frame
 _NULL_RULES = {
     "events": {"value": 5, "props": 17, "user_id": 13, "ts": 19},
     "documents": {"text": 7, "lang": 11, "source": 23},
+    # ADVICE r5: embedding_health_report exists to COUNT NULL
+    # embeddings, yet no fixture contained one — the DuckDB
+    # list_prepend-on-NULL hazard was invisible
+    "embeddings": {"embedding": 7, "label": 11},
 }
 
 # every oracle-carrying batch query — streaming replays exercise the
 # same operators through their batch twins and are skipped for runtime
+# EXCEPT the cheapest few (below), which close the loop on the
+# streaming twins themselves (VERDICT r5 item 5)
 _QUERIES = sorted(
     name
     for name, spec in REGISTRY.items()
     if spec.oracle is not None and "streaming" not in (spec.tags or ())
 )
+
+# cheapest streaming-tagged queries, replayed once over the hostile
+# fixtures: the batch oracles they share with their twins do not prove
+# the STREAMING path (json wire decode, watermarked replay, keyed
+# upsert) survives NULL-riddled input
+_STREAMING_NULL_QUERIES = [
+    "streaming_json_wire_counts",
+    "streaming_replay_user_counts",
+    "streaming_dedup_user_counts",
+]
+_QUERIES += _STREAMING_NULL_QUERIES
 
 
 @pytest.fixture(scope="module")
