@@ -46,17 +46,13 @@ def brute_force_topk(
     vectors: DataFrame,
     query_pred,
     k: int = 10,
-    cell_join=None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against all
-    candidates, rank per query.  `cell_join` optionally restricts the
-    candidate set (IVF-style partition pruning)."""
+    candidates, rank per query."""
     e = with_norm(vectors)
     q = e.where(query_pred).alias("q")
     c = e.alias("c")
     cond = F.col("q.vec_id") != F.col("c.vec_id")
-    if cell_join is not None:
-        cond = cond & cell_join
     pairs = F.broadcast(q).join(c, cond).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("neighbor_id"),
@@ -222,18 +218,6 @@ def ivf_multiprobe_topk(
     rerank (see ivf_probe_candidates)."""
     return _rerank_topk(
         ivf_probe_candidates(vectors, query_pred, centroid_pred, nprobe), k
-    )
-
-
-def ivf_topk_by_label(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
-    """IVF-shaped ANN: probe only the query's coarse cell (`label`).
-    Same plan as brute force but the join carries the cell equality —
-    Spark prunes the candidate side before ranking."""
-    return brute_force_topk(
-        vectors,
-        query_pred,
-        k,
-        cell_join=F.col("q.label") == F.col("c.label"),
     )
 
 

@@ -115,42 +115,71 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #     batch analogue);
 #   * value_percentiles — exact percentile_disc bands.
 #
-# Round-6 rotation candidates (registered round 5, parity-green, never
-# driver-checked): pii_scrub_stats, temperature_mixture_stats,
-# ffd_packing_report, streaming_enriched_segment_counts,
-# ann_ivf_multiprobe_topk, epoch_shuffle_sample — plus the remaining never-checked pool
-# (e.g. doc_length_buckets, top_terms, value_stats_by_type,
-# status_priority_cube, json_wire_roundtrip, approx_distinct_users,
-# multimodal_frame_stats, synthetic_events_sample,
-# streaming_doc_quality_counts) and the round-5 analytics module
-# (bigram_lm_report, doc_lm_scores, term_postings_stats,
-# stratified_doc_sample, rolling_daily_revenue, user_activity_zscores,
-# source_overlap_matrix, event_type_islands, user_activity_trend,
-# streaming_window_topk_items, lexical_diversity_correlation,
-# referential_integrity_audit, embedding_quantization_report,
-# minhash_calibration_report, doc_model_scores,
-# streaming_model_scored_counts, dedup_graph_stats, ab_test_report,
-# event_type_lift, term_source_association, rfm_segments,
-# source_diversity_report, event_transition_matrix, ks_drift_report,
-# knn_label_consistency, hard_negative_report, frequent_terms_report,
-# streaming_frequent_terms, shared_chunk_report) and the round-5
-# lifecycle/eval module plans/lake.py (corpus_snapshot_diff,
-# purchase_window_views, pagerank_top_items, model_eval_report,
-# scd2_user_segment_history, join_skew_report,
-# streaming_scd2_user_segments, doc_crossdup_rates,
-# k_anonymity_audit, data_contract_violations, daily_anomaly_report,
-# jsonl_roundtrip_stats, multimodal_audio_stats,
+# Round-6 rotation (VERDICT r5 'Next round' #1: "rotate harder" — the
+# rotation's first-check record was 29/29, the never-checked backlog
+# 81).  SIXTEEN slots whose queries were hash-green in >=2 prior
+# rounds rotate out to the local parity suite, each with its operator
+# family still driver-covered by a sibling kept in (or rotated in):
+#   streaming_dedup_user_counts, streaming_running_user_totals,
+#   streaming_click_purchase_join, streaming_json_wire_counts,
+#   session_window_counts (streaming family: replay/session/
+#   incremental-dedup/corpus-materialized stay, scd2 + enriched
+#   streaming twins come in), tfidf_top_terms (frequent_terms_report
+#   in), multimodal_byte_histogram, dedup_clusters
+#   (embedding_dedup_clusters stays), vocab_oov_rates,
+#   funnel_conversion, user_session_stats (purchase_window_views in),
+#   ann_bruteforce_topk (ann_recall_report hash-checks brute force as
+#   its own recall denominator; ann_ivf_multiprobe_topk in),
+#   sequence_packing_stats (ffd_packing_report in),
+#   mixture_sample_stats (temperature_mixture_stats in),
+#   shard_skew_stats, weekly_cohort_retention.
+# Sixteen never-driver-checked queries rotate in, prioritizing the
+# round-5 lifecycle/eval/analytics operators:
+#   scd2_user_segment_history, streaming_scd2_user_segments,
+#   model_eval_report, pagerank_top_items, purchase_window_views,
+#   corpus_snapshot_diff, data_contract_violations, pii_scrub_stats,
+#   doc_crossdup_rates, frequent_terms_report,
+#   temperature_mixture_stats, ffd_packing_report,
+#   streaming_enriched_segment_counts, ann_ivf_multiprobe_topk,
+#   epoch_shuffle_sample, and pyds_synthetic_sample (VERDICT #6: the
+#   md5-deterministic Python DataSource gives S1/S2/P10/P11 their
+#   first hard hash row).
+# Registry cleanup the same round (VERDICT #8): five redundant
+# parity-only entries DELETED outright (ann_lsh_topk,
+# ann_lsh_multiprobe_topk, ann_lsh_multitable_topk — all strict
+# subsets of ann_recall_report's per-method hash check;
+# embedding_near_dups — all-pairs baseline, kept as a function and
+# pinned by test_lsh_near_dups_are_subset_of_exact;
+# ann_ivf_topk_by_label — superseded by ann_ivf_assigned_topk).
+# Remaining never-checked pool for round 7+: doc_length_buckets,
+# top_terms, value_stats_by_type, status_priority_cube,
+# json_wire_roundtrip, approx_distinct_users, multimodal_frame_stats,
+# synthetic_events_sample, streaming_doc_quality_counts, the round-5
+# analytics module (bigram_lm_report, doc_lm_scores,
+# term_postings_stats, stratified_doc_sample, rolling_daily_revenue,
+# user_activity_zscores, source_overlap_matrix, event_type_islands,
+# user_activity_trend, streaming_window_topk_items,
+# lexical_diversity_correlation, referential_integrity_audit,
+# embedding_quantization_report, minhash_calibration_report,
+# doc_model_scores, streaming_model_scored_counts, dedup_graph_stats,
+# ab_test_report, event_type_lift, term_source_association,
+# rfm_segments, source_diversity_report, event_transition_matrix,
+# ks_drift_report, knn_label_consistency, hard_negative_report,
+# streaming_frequent_terms, shared_chunk_report) and the rest of
+# plans/lake.py (join_skew_report, k_anonymity_audit,
+# daily_anomaly_report, jsonl_roundtrip_stats, multimodal_audio_stats,
 # scd2_pointintime_enrichment, quality_funnel_stats,
 # user_feature_vectors, hourly_seasonality_profile,
 # embedding_health_report, item_covisitation_pairs,
 # langid_confusion_matrix, ann_stored_index_topk,
-# zorder_roundtrip_stats, upsert_time_travel_stats,
-# pyds_synthetic_sample).
+# zorder_roundtrip_stats, upsert_time_travel_stats).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 reference operators (registry.py)
     "sliding_user_counts",
+    # synthetic source (S1/S2/P10/P11 — first hard hash row, r6)
+    "pyds_synthetic_sample",
     # relational surface
     "part_type_revenue_share", "purchase_click_attribution",
     "nation_year_profit", "region_market_share", "forecast_revenue_change",
@@ -159,23 +188,24 @@ _DRIVER_WINDOW = [
     "priority_metrics_unpivot", "value_percentiles",
     "event_dedup_counts", "latest_event_per_user",
     # streaming parity (batch-replayed)
-    "streaming_replay_user_counts", "streaming_dedup_user_counts",
-    "streaming_running_user_totals", "streaming_click_purchase_join",
-    "streaming_session_counts", "streaming_json_wire_counts",
-    "streaming_incremental_dedup", "session_window_counts",
-    "streaming_corpus_materialized_stats",
-    # LLM-data operators (northstar.py + training.py)
-    "minhash_dedup_candidates", "dedup_clusters", "fuzzy_prefix_dups",
-    "ann_bruteforce_topk", "ann_ivf_assigned_topk",
+    "streaming_replay_user_counts", "streaming_session_counts",
+    "streaming_incremental_dedup", "streaming_corpus_materialized_stats",
+    "streaming_scd2_user_segments", "streaming_enriched_segment_counts",
+    # dataset lifecycle / lake operators (lake.py, round-5 wave)
+    "scd2_user_segment_history", "corpus_snapshot_diff",
+    "purchase_window_views", "pagerank_top_items", "model_eval_report",
+    "data_contract_violations", "pii_scrub_stats", "doc_crossdup_rates",
+    # LLM-data operators (northstar.py + training.py + analytics.py)
+    "minhash_dedup_candidates", "fuzzy_prefix_dups",
+    "ann_ivf_assigned_topk", "ann_ivf_multiprobe_topk",
     "ann_recall_report", "embedding_near_dups_lsh",
     "kmeans_codebook_report",
-    "multimodal_byte_histogram", "corpus_curation_stats", "tfidf_top_terms",
+    "corpus_curation_stats", "frequent_terms_report",
     "documents_profile", "approx_quantiles_report",
-    "sequence_packing_stats", "split_leakage_audit",
-    "vocab_oov_rates", "funnel_conversion", "user_session_stats",
+    "ffd_packing_report", "split_leakage_audit",
+    "temperature_mixture_stats", "epoch_shuffle_sample",
     "benchmark_contamination", "doc_repetition_scores", "curation_keep_best",
-    "doc_chunks", "embedding_dedup_clusters", "mixture_sample_stats",
-    "shard_skew_stats", "weekly_cohort_retention",
+    "doc_chunks", "embedding_dedup_clusters",
     # physically-distinct TPC-H shapes (tpch_shapes.py)
     "large_quantity_orders", "idle_rich_customers",
 ]

@@ -403,28 +403,6 @@ def q_ann_bruteforce_topk(spark, sf_dir):
 
 
 @register(
-    "ann_ivf_topk_by_label",
-    f"""
-    WITH e AS ({_D_E}),
-    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cs
-          FROM e q JOIN e c
-          ON q.vec_id < 8 AND c.vec_id != q.vec_id AND c.label = q.label)
-    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cs DESC, neighbor_id) AS rnk
-          FROM p)
-    WHERE rnk <= 5
-    """,
-    doc="IVF-shaped ANN: probe only the query's coarse cell (label = "
-    "precomputed cluster assignment) — partition-pruned candidate set",
-)
-def q_ann_ivf_topk_by_label(spark, sf_dir):
-    return similarity.ivf_topk_by_label(
-        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
-    )
-
-
-@register(
     "ann_ivf_assigned_topk",
     f"""
     WITH e AS ({_D_E}),
@@ -539,52 +517,6 @@ _D_BUCKET = f"""CAST(list_sum(list_transform(range(0, {similarity.N_PLANES}),
                       d -> CAST(embedding[d] AS DOUBLE) * {_D_PLANE})),
                   (a, x) -> a + x) > 0
          THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)"""
-
-
-@register(
-    "ann_lsh_topk",
-    f"""
-    WITH e AS (SELECT vec_id, embedding,
-                      {_D_NORM.format(a='embedding')} AS nrm,
-                      {_D_BUCKET} AS bucket
-               FROM embeddings),
-    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cs
-          FROM e q JOIN e c
-          ON q.vec_id < 8 AND q.bucket = c.bucket AND c.vec_id != q.vec_id)
-    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cs DESC, neighbor_id) AS rnk
-          FROM p)
-    WHERE rnk <= 5
-    """,
-    doc="LSH ANN: md5-derived random-hyperplane sign buckets, equi-join on "
-    "bucket then exact rerank — the 100 TB shuffle shape",
-)
-def q_ann_lsh_topk(spark, sf_dir):
-    return similarity.lsh_topk(
-        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
-    )
-
-
-@register(
-    "embedding_near_dups",
-    f"""
-    WITH e AS ({_D_E}),
-    p AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
-                 round({_D_COS}, 6) AS cos_sim
-          FROM e q JOIN e c ON q.vec_id < c.vec_id)
-    SELECT vec_a, vec_b, cos_sim FROM p
-    WHERE cos_sim >= 0.45
-    ORDER BY cos_sim DESC, vec_a, vec_b
-    LIMIT 500
-    """,
-    doc="embedding-cosine near-dup pairs above threshold (all-pairs at test "
-    "scale; per-LSH-bucket at 100 TB)",
-)
-def q_embedding_near_dups(spark, sf_dir):
-    return similarity.near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), min_cosine=0.45
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -909,37 +841,6 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
 
 
 _D_PROBES = ", ".join(["(-1)"] + [f"({p})" for p in range(similarity.N_PLANES)])
-
-
-@register(
-    "ann_lsh_multiprobe_topk",
-    f"""
-    WITH e AS (SELECT vec_id, embedding,
-                      {_D_NORM.format(a='embedding')} AS nrm,
-                      {_D_BUCKET} AS bucket
-               FROM embeddings),
-    probes AS (SELECT vec_id, embedding, nrm,
-                      CASE WHEN pb.b = -1 THEN bucket
-                           ELSE xor(bucket, (1::BIGINT << pb.b)) END AS probe
-               FROM e, (VALUES {_D_PROBES}) pb(b)
-               WHERE vec_id < 8),
-    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_D_COS} AS cs
-          FROM probes q JOIN e c
-          ON q.probe = c.bucket AND c.vec_id != q.vec_id)
-    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cs DESC, neighbor_id) AS rnk
-          FROM p)
-    WHERE rnk <= 5
-    """,
-    doc="multi-probe LSH ANN: query probes its bucket + all Hamming-1 "
-    "buckets (query side explodes ×9, candidate join stays an equi-join) "
-    "— recovers near-boundary recall single-probe LSH loses",
-)
-def q_ann_lsh_multiprobe_topk(spark, sf_dir):
-    return similarity.lsh_multiprobe_topk(
-        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
-    )
 
 
 @register(
@@ -1479,36 +1380,6 @@ _D_MT_TB = "\n          UNION ALL ".join(
 _D_MT_PROBES = ", ".join(
     ["(-1)"] + [f"({p})" for p in range(similarity.PLANES_PER_TABLE)]
 )
-
-
-@register(
-    "ann_lsh_multitable_topk",
-    f"""
-    WITH e AS (SELECT vec_id, embedding,
-                      {_D_NORM.format(a='embedding')} AS nrm
-               FROM embeddings),
-    tb AS ({_D_MT_TB}),
-    p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 {_D_COS} AS cs
-          FROM tb q JOIN tb c
-          ON q.vec_id < 8 AND q.t = c.t AND q.bucket = c.bucket
-             AND c.vec_id != q.vec_id)
-    SELECT query_id, neighbor_id, rnk, round(cs, 6) AS cos_sim
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cs DESC, neighbor_id) AS rnk
-          FROM p)
-    WHERE rnk <= 5
-    """,
-    doc="multi-TABLE LSH ANN (the textbook recall lever: L independent "
-    "coarse tables, P(found) = 1-(1-p^b)^L beats one fine table): "
-    "candidates are the DISTINCT union of per-table bucket matches "
-    "(each table an equi-join on (t, bucket)), exact cosine rerank. "
-    "Measured against brute force by ann_recall_report",
-)
-def q_ann_lsh_multitable_topk(spark, sf_dir):
-    return similarity.lsh_multitable_topk(
-        _t(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
-    )
 
 
 @register(

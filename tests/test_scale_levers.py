@@ -463,6 +463,34 @@ def test_ann_recall_target(spark):
     )
 
 
+def test_lsh_near_dups_are_subset_of_exact(spark):
+    """LSH near-dup candidates can only MISS true pairs, never invent
+    them: every (vec_a, vec_b) near_dup_pairs_lsh emits above the
+    threshold must appear, with the identical rounded cosine, in the
+    exact all-pairs baseline (near_dup_pairs — the recall denominator
+    the r6 registry cleanup retired from the driver registry)."""
+    from realtime_data_pipeline_spark.functions import similarity
+
+    from conftest import SF_DIR_MID
+
+    emb = spark.read.parquet(f"{SF_DIR_MID}/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.near_dup_pairs(
+            emb, min_cosine=0.45, limit=None
+        ).collect()
+    }
+    lsh = similarity.near_dup_pairs_lsh(
+        emb, min_cosine=0.45, limit=None
+    ).collect()
+    assert exact, "fixture must contain at least one true near-dup pair"
+    assert lsh, "LSH variant found nothing — probe families regressed"
+    for r in lsh:
+        key = (r["vec_a"], r["vec_b"])
+        assert key in exact, key
+        assert r["cos_sim"] == exact[key], key
+
+
 def test_runtime_bloom_filter_prunes_fact_join(spark):
     """100 TB lever: when a selective dim-side predicate feeds a
     sort-merge fact-fact join, Spark's runtime bloom filter (on by
