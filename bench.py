@@ -48,30 +48,38 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # min of 3 timed runs per query: single-run numbers on a shared
-    # machine carry ±30% scheduler noise; the minimum is the stable
-    # estimate of what the plan actually costs.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # min of N timed runs per query (default 5 — round-5's shared-host
+    # numbers carried ~35-90% load inflation that min-of-3 did not
+    # saturate); the minimum is the stable estimate of what the plan
+    # actually costs, the median is printed alongside so the artifact
+    # itself reveals host noise (median >> min == loaded machine).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for spec in bench_specs:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(n_runs):
             df = spec.fn(spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # queries that persist() an intermediate (tfidf's tf table,
             # ann_recall_report's ground truth) materialize a FRESH
             # cached copy per run — drop it so the min-of-N loop
             # measures each run cold and cache memory stays bounded.
             spark.catalog.clearCache()
-        timings[spec.name] = round(best, 3)
+        runs.sort()
+        timings[spec.name] = round(runs[0], 3)
+        medians[spec.name] = round(runs[len(runs) // 2], 3)
 
     out = {
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "n_runs": n_runs,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "sf": _sf_from_dir(SF_DIR),
     }
     print(json.dumps(out))

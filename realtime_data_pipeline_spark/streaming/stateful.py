@@ -56,16 +56,19 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFram
 
 # --- transformWithStateInPandas (Spark 4 stateful-processor API) -----------
 #
-# Gated on BOTH the PySpark API and a functional google.protobuf: the
-# TransformWithStateInPySpark runner speaks protobuf to the JVM, and
-# this container has NO google.protobuf at all (and installs are not
-# permitted), so `user_stats_tws` below has NEVER EXECUTED here — its
-# test (tests/test_streaming.py::test_transform_with_state_user_stats)
-# skips.  Treat this path as UNVERIFIED until it runs in an
-# environment with protobuf; the claim for the custom-stateful
-# operator slot rests on the applyInPandasWithState twin above, which
-# is the dependency-free implementation of the same semantics and is
-# fully tested (streaming_running_user_totals is driver-hash-checked).
+# API DEMO ONLY — NOT counted as an implemented operator (r6
+# downgrade).  Gated on BOTH the PySpark API and a functional
+# google.protobuf: the TransformWithStateInPySpark runner speaks
+# protobuf to the JVM, and this container has NO google.protobuf at
+# all (no network, no installs — re-probed r6: `pip download` cannot
+# reach an index and no wheel exists on disk), so `user_stats_tws`
+# below has NEVER EXECUTED anywhere — its test
+# (tests/test_streaming.py::test_transform_with_state_user_stats)
+# skips, and lights up automatically if the environment ever gains
+# protobuf.  The custom-stateful operator slot is carried entirely by
+# the applyInPandasWithState twin above: the dependency-free
+# implementation of the same semantics, fully tested, with
+# streaming_running_user_totals driver-hash-checked.
 
 
 def tws_available() -> bool:

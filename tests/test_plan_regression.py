@@ -298,3 +298,44 @@ def test_scan_shape_pinned(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for fragment in EXPECTED_SCAN_SHAPES[name]:
         assert fragment in plan, (name, fragment, plan[:3000])
+
+
+# ---------------------------------------------------------------------------
+# lake.py risky iteratives (VERDICT r5 #7): join-strategy and lineage
+# pins beyond shuffle counts
+# ---------------------------------------------------------------------------
+
+
+def test_purchase_window_views_never_nested_loop(spark):
+    """The 24h time-range join must stay an EQUI-join on (item, time
+    bucket) with the range predicate as a residual — a refactor that
+    drops the bucket column degrades it to BroadcastNestedLoopJoin
+    (quadratic per item at scale) without changing results or, at this
+    sf, the shuffle count."""
+    spark.catalog.clearCache()
+    df = REGISTRY["purchase_window_views"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # the bucket equality is the join key, the time range the residual
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
+        plan[:3000]
+    )
+
+
+def test_pagerank_lineage_truncated_per_superstep(spark):
+    """Each PageRank superstep must end in an eager localCheckpoint:
+    the FINAL plan then reads one materialized vocab-sized relation
+    (Scan ExistingRDD) instead of re-deriving the corpus-sized edge
+    extraction once per iteration branch.  Dropping the checkpoint
+    compounds the printed plan (and the broadcast re-execution)
+    exponentially in _PR_ITERS — pin the symptom directly: no window,
+    no parquet scan, no join in the final plan, and a plan string that
+    stays O(100) chars rather than O(10k)."""
+    spark.catalog.clearCache()
+    df = REGISTRY["pagerank_top_items"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan[:3000]
+    for fragment in ("Window", "Scan parquet", "Join", "Exchange"):
+        assert fragment not in plan, (fragment, plan[:3000])
+    assert len(plan) < 2000, len(plan)
