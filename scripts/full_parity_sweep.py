@@ -1,0 +1,109 @@
+"""Driver-strength parity sweep over the ENTIRE registry (not just the
+50-slot driver window) at the driver's own scale factor (sf0.01) —
+the pre-rotation gate that makes promoting any query into the driver
+window a no-risk move.
+
+Usage:
+    python scripts/full_parity_sweep.py [--tz Asia/Kathmandu] [--sf-dir DIR]
+
+Compares every oracle-carrying registry query byte-exact against its
+DuckDB oracle using the same normalizer as tests/test_oracle_parity.py
+(which runs at sf0.001 in the regular suite; this script is the
+sf0.01 escalation, ~15 min for the full registry).  Queries without an
+oracle (rows-only by design) are executed and row-counted only.
+
+Exit code 0 iff every query is green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tz", default=None, help="session timezone override")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated names")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from test_oracle_parity import _norm_frame  # tests/ on sys.path
+
+    builder = (
+        SparkSession.builder.master("local[8]")
+        .appName("full-parity-sweep")
+        .config("spark.sql.shuffle.partitions", "8")
+    )
+    if args.tz:
+        builder = builder.config("spark.sql.session.timeZone", args.tz)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+    import realtime_data_pipeline_spark.plans  # noqa: F401  (registers)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    names = (
+        args.only.split(",") if args.only else list(REGISTRY)
+    )
+    bad: list[str] = []
+    t_start = time.time()
+    for i, name in enumerate(names, 1):
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf_dir).toPandas()
+            if spec.oracle is None:
+                status = f"rows-only ({len(sdf)} rows)"
+            else:
+                s_cols, s_rows = _norm_frame(sdf)
+                d_cols, d_rows = _norm_frame(con.execute(spec.oracle).df())
+                ok = (
+                    s_cols == d_cols or s_cols == [c.lower() for c in d_cols]
+                ) and s_rows == d_rows
+                status = "OK" if ok else "MISMATCH"
+                if not ok:
+                    bad.append(name)
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            status = f"ERROR {str(ex)[:160]}"
+            bad.append(name)
+        finally:
+            spark.catalog.clearCache()
+        print(
+            f"[{i:3}/{len(names)}] {name:45s} {status:10s}"
+            f" {time.time() - t0:6.1f}s",
+            flush=True,
+        )
+    tz = args.tz or "engine-default"
+    print(
+        f"sweep done: {len(names) - len(bad)}/{len(names)} green "
+        f"(tz={tz}, {args.sf_dir}, {time.time() - t_start:.0f}s); "
+        f"bad={bad}"
+    )
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
