@@ -621,10 +621,15 @@ def q_hll_partitioned_distinct(spark, sf_dir):
         .select(
             "exact_users",
             "groups_within_5pct",
-            (
+            # ANSI guard (registry-wide contract): on an EMPTY events
+            # table exact_users is 0 and x/0 throws under ANSI mode
+            # even though the error ratio is meaningless there — emit
+            # NULL instead (caught by the empty-input suite)
+            F.when(
+                F.col("exact_users") > 0,
                 F.abs(F.col("est").cast("double") - F.col("exact_users"))
                 / F.col("exact_users")
-                <= 0.05
+                <= 0.05,
             ).alias("union_within_5pct"),
         )
     )

@@ -90,6 +90,18 @@ _QUERIES = [
     "embedding_health_report",
     "item_covisitation_pairs",
     "langid_confusion_matrix",
+    # round-6 driver-window rotate-ins not yet covered above
+    "epoch_shuffle_sample",
+    "ann_ivf_multiprobe_topk",
+    "latest_event_per_user",
+    "event_dedup_counts",
+    "value_percentiles",
+    "priority_metrics_unpivot",
+    "corpus_curation_stats",
+    "benchmark_contamination",
+    "ann_recall_report",
+    "forecast_revenue_change",
+    "hll_partitioned_distinct",
 ]
 
 
@@ -101,6 +113,15 @@ def empty_sf_dir(tmp_path_factory):
         schema = pq.read_schema(f"{SF_DIR}/{name}.parquet")
         pq.write_table(schema.empty_table(), f"{d}/{name}.parquet")
     return str(d)
+
+
+def test_kmeans_codebook_raises_loudly_on_empty(spark, empty_sf_dir):
+    """Deliberate exception to the runs-empty contract: TRAINING on an
+    empty corpus must fail loudly (a silently empty codebook would
+    poison every downstream ANN assignment), and the error must be the
+    explicit guard, not an arbitrary downstream crash."""
+    with pytest.raises(ValueError, match="empty vectors frame"):
+        REGISTRY["kmeans_codebook_report"].fn(spark, empty_sf_dir)
 
 
 @pytest.mark.parametrize("name", _QUERIES)
@@ -135,6 +156,11 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
         # columns NULL (no rows -> no average to report)
         assert len(rows) == 4
         assert all(r["n_rows"] == 0 and r["n_keys"] == 0 for r in rows)
+    elif name == "ann_recall_report":
+        # one row per ANN method; zero queries -> recall NULL, zero
+        # candidates
+        assert len(rows) == 5
+        assert all(r["n_candidates"] == 0 for r in rows)
     elif name in fixed_rows:
         assert len(rows) == fixed_rows[name], (name, len(rows))
         # the profile must stay NUMERIC on empty input (n_nulls = 0,
