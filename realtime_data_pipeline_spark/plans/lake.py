@@ -138,6 +138,7 @@ _RANGE_US = 86_400_000_000  # 24 hours in microseconds
     "item popularity (saltable like any hot equi-key).  The as-of "
     "variant is purchase_click_attribution; this is the "
     "count-in-window variant",
+    bench=True,
 )
 def q_purchase_window_views(spark, sf_dir):
     e = _events(spark, sf_dir).select(
@@ -247,6 +248,7 @@ def _pr_iter_sql(i: int) -> str:
     "relation (vocab-sized, broadcastable) to edges — corpus volume "
     "is touched exactly once.  Dangling-node mass leaks (standard "
     "simplified PR) identically in both engines",
+    bench=True,
 )
 def q_pagerank_top_items(spark, sf_dir):
     # NULL-ts events have no position in the sequence — and a NULL in a
@@ -387,6 +389,7 @@ def q_pagerank_top_items(spark, sf_dir):
     "tie-group rollup keys on score (one hash exchange).  Degenerate "
     "label distributions emit NULL AUC in both engines "
     "(ab_test_report convention)",
+    bench=True,
 )
 def q_model_eval_report(spark, sf_dir):
     from realtime_data_pipeline_spark.functions import inference
@@ -502,6 +505,7 @@ def q_model_eval_report(spark, sf_dir):
     "replay with the batch) is pinned by a slicing property test — "
     "merge(history<=T, changes(T,T2]) == rebuild(<=T2) "
     "(tests/test_lake.py)",
+    bench=True,
 )
 def q_scd2_user_segment_history(spark, sf_dir):
     ev = _events(spark, sf_dir).where(F.col("ts").isNotNull()).select(
