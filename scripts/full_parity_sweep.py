@@ -37,6 +37,13 @@ def main() -> int:
     ap.add_argument("--tz", default=None, help="session timezone override")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated names")
+    ap.add_argument(
+        "--shuffle-partitions",
+        default="8",
+        help="hostile values (3, 32) prove no result depends on "
+        "partition count — the engine contract is order-independent "
+        "arithmetic everywhere (fixed-point sums, in-order folds)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -47,7 +54,7 @@ def main() -> int:
     builder = (
         SparkSession.builder.master("local[8]")
         .appName("full-parity-sweep")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", args.shuffle_partitions)
     )
     if args.tz:
         builder = builder.config("spark.sql.session.timeZone", args.tz)
@@ -96,6 +103,7 @@ def main() -> int:
             flush=True,
         )
     tz = args.tz or "engine-default"
+    tz += f", shuffle={args.shuffle_partitions}"
     print(
         f"sweep done: {len(names) - len(bad)}/{len(names)} green "
         f"(tz={tz}, {args.sf_dir}, {time.time() - t_start:.0f}s); "
