@@ -289,6 +289,34 @@ EXPECTED_SCAN_SHAPES = {
         "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
         "PushedFilters: [IsNotNull(lang)]",
     ],
+    # round-6 driver-window rotate-ins
+    "scd2_user_segment_history": [
+        # 4 of 6 event columns; the sequence-operator ts guard reaches
+        # the scan
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,"
+        "user_id:bigint,event_type:string>",
+        "PushedFilters: [IsNotNull(ts)]",
+    ],
+    "purchase_window_views": [
+        # each side's event_type constant reaches its own scan — at
+        # scale the purchase side's row groups skip everything else
+        "PushedFilters: [IsNotNull(event_type), "
+        "EqualTo(event_type,purchase)]",
+        "PushedFilters: [IsNotNull(event_type), "
+        "EqualTo(event_type,view)]",
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,"
+        "event_type:string,props:string>",
+    ],
+    "model_eval_report": [
+        # value/props never read — scoring features come from text only
+        "ReadSchema: struct<doc_id:bigint,text:string,lang:string,"
+        "n_chars:bigint>",
+        "PushedFilters: [IsNotNull(text)]",
+    ],
+    "doc_crossdup_rates": [
+        # shingle expansion reads exactly (doc_id, text)
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
 }
 
 
