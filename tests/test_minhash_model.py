@@ -1,0 +1,125 @@
+"""Property-based model check for the MinHash-LSH pipeline — THE
+100 TB near-dup shape.  The oracle already mirrors the SQL in DuckDB;
+this pins the semantics themselves against an independent pure-Python
+reimplementation of the same bit-exact integer pipeline:
+
+  per-token md5 -> rolling polynomial shingle hash -> affine
+  permutations -> per-band bucket grouping -> i<j pair generation with
+  signature-agreement estimate.
+
+Hypothesis draws documents from a small vocabulary so shared shingles
+(and identical docs, est_jaccard = 1.0) are common, and includes
+sub-3-token docs (excluded by both implementations).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_data_pipeline_spark.functions import dedup
+from realtime_data_pipeline_spark.functions.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    N_PERMS,
+    SHINGLE_B,
+)
+
+_VOCAB = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "naïve"]
+
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_signature(text: str) -> list[int] | None:
+    toks = re.split(r"\s+", text.strip())
+    if len(toks) < 3:
+        return None
+    th = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks]
+    sh = [
+        ((th[i] * SHINGLE_B + th[i + 1]) % MINHASH_P * SHINGLE_B + th[i + 2])
+        % MINHASH_P
+        for i in range(len(th) - 2)
+    ]
+    return [
+        min((MINHASH_A[j] * h + MINHASH_B[j]) % MINHASH_P for h in sh)
+        for j in range(N_PERMS)
+    ]
+
+
+def _py_candidates(sigs: dict[int, list[int]]) -> dict[tuple[int, int], float]:
+    pairs: dict[tuple[int, int], float] = {}
+    for j in range(N_PERMS):
+        buckets: dict[int, list[int]] = {}
+        for doc_id, sig in sigs.items():
+            buckets.setdefault(sig[j], []).append(doc_id)
+        for members in buckets.values():
+            members.sort()
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    agree = sum(
+                        1
+                        for x, y in zip(sigs[a], sigs[b])
+                        if x == y
+                    )
+                    pairs[(a, b)] = round(agree / N_PERMS, 4)
+    return pairs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docs_strategy)
+def test_minhash_pipeline_matches_python_model(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_sigs = {
+        r["doc_id"]: [r[f"sig{j}"] for j in range(N_PERMS)]
+        for r in dedup.minhash_signatures(df).collect()
+    }
+    want_sigs = {
+        i: sig
+        for i, (_, text) in enumerate(rows)
+        if (sig := _py_signature(text)) is not None
+    }
+    assert got_sigs == want_sigs
+
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_candidates(df, limit=None).collect()
+    }
+    assert got_pairs == _py_candidates(want_sigs)
+
+
+def test_minhash_bucket_width_cap_drops_boilerplate(spark):
+    """The skew guard: 200 identical docs form one 200-wide bucket per
+    band — beyond max_bucket_width=128, so the degenerate boilerplate
+    emits ZERO pairs (no B^2/2 blowup), while two near-identical
+    organic docs in the same frame still pair through their own
+    buckets."""
+    boiler = [(i, "spam spam spam spam ham") for i in range(200)]
+    organic = [
+        (1000, "the quick brown fox jumps over the lazy dog today"),
+        (1001, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(boiler + organic, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(df, limit=None).collect()
+    }
+    assert pairs == {(1000, 1001)}
+    # and with the guard disabled the boilerplate floods back in
+    uncapped = dedup.minhash_candidates(
+        df, limit=None, max_bucket_width=None
+    ).count()
+    assert uncapped == 200 * 199 // 2 + 1
