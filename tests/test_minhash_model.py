@@ -101,6 +101,55 @@ def test_minhash_pipeline_matches_python_model(spark, docs):
     assert got_pairs == _py_candidates(want_sigs)
 
 
+def _py_simhash(text: str) -> int:
+    toks = re.split(r"\s+", text.strip())
+    th = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks]
+    sig = 0
+    for b in range(dedup.SIMHASH_BITS):
+        vote = sum(((c >> b) & 1) * 2 - 1 for c in th)
+        if vote > 0:
+            sig |= 1 << b
+    return sig
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docs_strategy, max_hamming=st.integers(1, 12))
+def test_simhash_pipeline_matches_python_model(spark, docs, max_hamming):
+    """SimHash signatures must equal the Python per-bit majority vote,
+    and the pigeonhole chunk join must find EXACTLY the pairs within
+    the Hamming radius (recall 1.0 by construction — d differing bits
+    cannot touch all d+1 chunks — and the exact distance filter
+    removes chunk-collision false positives)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(df).collect()
+    }
+    want_sigs = {i: _py_simhash(text) for i, text in rows}
+    assert got_sigs == want_sigs
+
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming_dist"]
+        for r in dedup.simhash_near_pairs(
+            df, max_hamming=max_hamming, limit=10_000
+        ).collect()
+    }
+    want_pairs = {
+        (a, b): bin(want_sigs[a] ^ want_sigs[b]).count("1")
+        for a in want_sigs
+        for b in want_sigs
+        if a < b
+        and bin(want_sigs[a] ^ want_sigs[b]).count("1") <= max_hamming
+    }
+    assert got_pairs == want_pairs
+
+
 def test_minhash_bucket_width_cap_drops_boilerplate(spark):
     """The skew guard: 200 identical docs form one 200-wide bucket per
     band — beyond max_bucket_width=128, so the degenerate boilerplate
