@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -74,9 +75,8 @@ def main() -> None:
             # cached copy per run — drop it so the min-of-N loop
             # measures each run cold and cache memory stays bounded.
             spark.catalog.clearCache()
-        runs.sort()
-        timings[spec.name] = round(runs[0], 3)
-        medians[spec.name] = round(runs[len(runs) // 2], 3)
+        timings[spec.name] = round(min(runs), 3)
+        medians[spec.name] = round(statistics.median(runs), 3)
 
     out = {
         "metric": "headline_suite_total",

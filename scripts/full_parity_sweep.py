@@ -4,13 +4,16 @@ the pre-rotation gate that makes promoting any query into the driver
 window a no-risk move.
 
 Usage:
-    python scripts/full_parity_sweep.py [--tz Asia/Kathmandu] [--sf-dir DIR]
+    python scripts/full_parity_sweep.py [--tz Asia/Kathmandu] \
+        [--shuffle-partitions 3] [--sf-dir DIR] [--only a,b]
 
 Compares every oracle-carrying registry query byte-exact against its
-DuckDB oracle using the same normalizer as tests/test_oracle_parity.py
-(which runs at sf0.001 in the regular suite; this script is the
-sf0.01 escalation, ~15 min for the full registry).  Queries without an
-oracle (rows-only by design) are executed and row-counted only.
+DuckDB oracle with the same normalizer (and same sf0.01 scale) as
+tests/test_oracle_parity.py; what this adds over the regular suite is
+the hostile-configuration axes — session timezone and shuffle
+partition count — plus a one-command pre-rotation gate (~3.5 min for
+the full registry).  Queries without an oracle (rows-only by design)
+are executed and row-counted only.
 
 Exit code 0 iff every query is green.
 """
@@ -26,10 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
+
 
 
 def main() -> int:
@@ -51,6 +51,8 @@ def main() -> int:
 
     from test_oracle_parity import _norm_frame  # tests/ on sys.path
 
+    from realtime_data_pipeline_spark.tables import TABLE_NAMES
+
     builder = (
         SparkSession.builder.master("local[8]")
         .appName("full-parity-sweep")
@@ -65,7 +67,7 @@ def main() -> int:
     import realtime_data_pipeline_spark.plans  # noqa: F401  (registers)
 
     con = duckdb.connect()
-    for t in TABLES:
+    for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{args.sf_dir}/{t}.parquet')"

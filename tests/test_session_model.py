@@ -84,9 +84,7 @@ def test_sessionization_matches_python_fold(spark, tmp_path_factory, events):
     )
 
     got = {
-        int(r["user_id"].removeprefix("user_"))
-        if isinstance(r["user_id"], str)
-        else int(r["user_id"]): (
+        int(r["user_id"]): (
             r["n_sessions"],
             r["max_session_events"],
             r["avg_session_sec"],
@@ -101,6 +99,4 @@ def test_sessionization_matches_python_fold(spark, tmp_path_factory, events):
         if uid is not None and slot is not None
     ]
     want = _python_model(model_rows)
-    # user_id may be rendered with a prefix in some variants — normalize
-    # keys to ints above; values must match exactly (integer µs folds)
     assert got == want, (got, want)
