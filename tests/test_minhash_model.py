@@ -150,6 +150,52 @@ def test_simhash_pipeline_matches_python_model(spark, docs, max_hamming):
     assert got_pairs == want_pairs
 
 
+def _py_shingles(text: str) -> set[int]:
+    toks = re.split(r"\s+", text.strip())
+    if len(toks) < 3:
+        return set()
+    th = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks]
+    return {
+        ((th[i] * SHINGLE_B + th[i + 1]) % MINHASH_P * SHINGLE_B + th[i + 2])
+        % MINHASH_P
+        for i in range(len(th) - 2)
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docs_strategy)
+def test_ngram_jaccard_matches_python_model(spark, docs):
+    """Exact 3-gram Jaccard from the shared-shingle join must equal
+    set-based Jaccard computed in Python over the same polynomial
+    shingle hashes — completing the model coverage of the third dedup
+    family (MinHash estimates it, SimHash approximates it in Hamming
+    space, this computes it exactly on sparse candidates)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, min_jaccard=0.0, limit=10_000
+        ).collect()
+    }
+    sets = {i: _py_shingles(text) for i, text in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter:  # the sparse join only emits sharing pairs
+                    want[(a, b)] = round(
+                        inter / (len(sets[a]) + len(sets[b]) - inter), 4
+                    )
+    assert got == want
+
+
 def test_minhash_bucket_width_cap_drops_boilerplate(spark):
     """The skew guard: 200 identical docs form one 200-wide bucket per
     band — beyond max_bucket_width=128, so the degenerate boilerplate
