@@ -102,6 +102,17 @@ _QUERIES = [
     "ann_recall_report",
     "forecast_revenue_change",
     "hll_partitioned_distinct",
+    "pyds_synthetic_sample",
+    "part_type_revenue_share",
+    "nation_year_profit",
+    "region_market_share",
+    "ann_ivf_assigned_topk",
+    "doc_repetition_scores",
+    "curation_keep_best",
+    "doc_chunks",
+    "embedding_dedup_clusters",
+    "large_quantity_orders",
+    "idle_rich_customers",
 ]
 
 
@@ -113,6 +124,26 @@ def empty_sf_dir(tmp_path_factory):
         schema = pq.read_schema(f"{SF_DIR}/{name}.parquet")
         pq.write_table(schema.empty_table(), f"{d}/{name}.parquet")
     return str(d)
+
+
+def test_every_driver_window_query_is_empty_input_covered():
+    """Self-enforcement: rotation cannot silently promote a query into
+    the driver window without empty-input coverage.  Streaming twins
+    are excluded (their replay harness is exercised on real data;
+    empty-stream behavior is Spark's availableNow contract), as is the
+    one deliberate loud-failure (kmeans training, pinned below)."""
+    from realtime_data_pipeline_spark.plans import _DRIVER_WINDOW
+
+    streaming = {
+        n
+        for n in _DRIVER_WINDOW
+        if "streaming" in (REGISTRY[n].tags or ())
+    }
+    loud_failures = {"kmeans_codebook_report"}
+    missing = (
+        set(_DRIVER_WINDOW) - streaming - loud_failures - set(_QUERIES)
+    )
+    assert not missing, sorted(missing)
 
 
 def test_kmeans_codebook_raises_loudly_on_empty(spark, empty_sf_dir):
@@ -166,6 +197,10 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
         # the profile must stay NUMERIC on empty input (n_nulls = 0,
         # not null — sum-over-zero-rows coalesced in the operator)
         assert all(r["n_nulls"] == 0 and r["n_distinct"] == 0 for r in rows)
+    elif name == "pyds_synthetic_sample":
+        # generator source: emits its own rows regardless of table
+        # emptiness — the schema-stability assert above is the check
+        assert len(rows) == 5
     else:
         assert len(rows) in (0, 1) or name == "segment_event_pivot", (
             name,
