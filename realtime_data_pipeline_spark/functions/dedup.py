@@ -473,7 +473,11 @@ def fuzzy_prefix_dups(
         "lang",
         F.substring(F.trim("text"), 1, prefix_len).alias("p"),
         toks[0].alias("t1"),
-        toks[1].alias("t2"),
+        # get(), not toks[1]: under ANSI mode an ordinal subscript
+        # THROWS on a single-token document instead of yielding the
+        # NULL the family filter expects (found by the hypothesis
+        # model test — fixtures never contained a 1-token doc)
+        F.get(toks, 1).alias("t2"),
     ).where(F.col("lang").isNotNull())
 
     pair_expr = F.flatten(

@@ -12,6 +12,16 @@ Numeric determinism: dot products and norms are sequential left folds
 over float→double casts (aggregate ∘ zip_with).  DuckDB's list_reduce
 folds in the same order, so cosine values match bit-for-bit and ranks
 are stable across engines.
+
+Data contract: every non-NULL embedding must have the declared
+dimension.  The LSH plane folds index the array with 1-based
+element_at up to DIM, which under ANSI mode THROWS on a shorter
+vector (DuckDB would silently yield NULL — a cross-engine divergence
+by construction).  Wrong-dim rows are a contract violation the ingest
+gate exists to catch first: run embedding_health_report (n_bad_dim)
+before building any index, exactly as its docstring prescribes.  NULL
+embeddings are handled everywhere (NULL scores, never NaN and never a
+kernel crash — see pandas_topk).
 """
 
 from __future__ import annotations

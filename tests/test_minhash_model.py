@@ -196,6 +196,82 @@ def test_ngram_jaccard_matches_python_model(spark, docs):
     assert got == want
 
 
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+_fuzzy_docs = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["en", "de"])),
+        st.lists(st.sampled_from(["the", "teh", "cat", "cot", "sat"]),
+                 min_size=0, max_size=4),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_fuzzy_docs)
+def test_fuzzy_prefix_dups_match_python_model(spark, docs):
+    """Fifth dedup family: the two-bucket-family (lang, token1) ∪
+    (lang, token2) candidate generation plus bounded-prefix
+    levenshtein must equal a Python model — including NULL-lang
+    exclusion, single-token docs (absent from the token2 family), and
+    typo'd first tokens pairing through token 2."""
+    from realtime_data_pipeline_spark.functions.dedup import (
+        FUZZY_MAX_DIST,
+        FUZZY_PREFIX_LEN,
+    )
+
+    rows = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in dedup.fuzzy_prefix_dups(df, limit=None).collect()
+    }
+
+    feats = {}
+    for i, lang, text in rows:
+        if lang is None:
+            continue
+        t = text.strip()
+        toks = re.split(r"\s+", t)
+        feats[i] = (
+            lang,
+            t[:FUZZY_PREFIX_LEN],
+            toks[0],                              # '' for empty text
+            toks[1] if len(toks) > 1 else None,
+        )
+    want = {}
+    for fam in (2, 3):  # t1, t2 feature positions
+        buckets: dict[tuple, list[int]] = {}
+        for i, f in feats.items():
+            if f[fam] is not None:
+                buckets.setdefault((f[0], f[fam]), []).append(i)
+        for members in buckets.values():
+            members.sort()
+            for x, a in enumerate(members):
+                for b in members[x + 1 :]:
+                    dist = _py_levenshtein(feats[a][1], feats[b][1])
+                    if dist <= FUZZY_MAX_DIST:
+                        want[(a, b)] = dist
+    assert got == want
+
+
 def test_minhash_bucket_width_cap_drops_boilerplate(spark):
     """The skew guard: 200 identical docs form one 200-wide bucket per
     band — beyond max_bucket_width=128, so the degenerate boilerplate
