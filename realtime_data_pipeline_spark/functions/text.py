@@ -55,9 +55,15 @@ def stopword_hits(text_col: str, lexicon: tuple[str, ...]) -> Column:
 
 
 def char_class_ratio(text_col: str, char_class: str, ndigits: int = 4) -> Column:
-    """Fraction of characters matching `char_class` (a regex class)."""
+    """Fraction of characters matching `char_class` (a regex class).
+    Empty text yields NULL: under ANSI mode a bare division would
+    THROW on length 0, and DuckDB's x/0 is NULL — the guard makes both
+    engines agree (found by the hostile-value harness, r6)."""
     kept = F.length(F.regexp_replace(F.col(text_col), f"[^{char_class}]", ""))
-    return F.round(kept.cast("double") / F.length(F.col(text_col)), ndigits)
+    return F.when(
+        F.length(F.col(text_col)) > 0,
+        F.round(kept.cast("double") / F.length(F.col(text_col)), ndigits),
+    )
 
 
 def avg_token_len(text_col: str = "text", ndigits: int = 4) -> Column:

@@ -387,7 +387,7 @@ def q_small_order_parts_revenue(spark, sf_dir):
     """
     SELECT count(*) AS n_rows,
            count(*) AS n_user_match,
-           count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+           count(CASE WHEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL
                       THEN 1 END) AS n_item_match,
            count(*) AS n_ts_match
     FROM events

@@ -113,7 +113,7 @@ _RANGE_US = 86_400_000_000  # 24 hours in microseconds
     "purchase_window_views",
     f"""
     WITH e AS (SELECT event_id, ts,
-                      json_extract_string(props, '$.k') AS item, event_type
+                      (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS item, event_type
                FROM events),
     p AS (SELECT * FROM e WHERE event_type = 'purchase'),
     v AS (SELECT * FROM e WHERE event_type = 'view')
@@ -192,8 +192,8 @@ _PR_ITERS = 3
 _PR_TOP = 20
 
 _PR_EDGE_SQL = """
-    seq AS (SELECT json_extract_string(props, '$.k') AS item,
-                   lead(json_extract_string(props, '$.k'))
+    seq AS (SELECT (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS item,
+                   lead((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        AS nxt
             FROM events WHERE ts IS NOT NULL),
@@ -549,8 +549,8 @@ _SKEW_FAMILIES_SQL = [
     ),
     (
         "events.item",
-        "SELECT json_extract_string(props, '$.k') AS k FROM events "
-        "WHERE json_extract_string(props, '$.k') IS NOT NULL",
+        "SELECT (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS k FROM events "
+        "WHERE (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL",
     ),
     (
         "orders.o_custkey",
@@ -950,7 +950,7 @@ _EVENT_ENUM = "'view','click','purchase','signup','error'"
                coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)
                    AS val_neg,
                coalesce(sum(CASE WHEN props IS NULL
-                                   OR json_extract_string(props, '$.k')
+                                   OR (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END)
                                       IS NULL
                                  THEN 1 ELSE 0 END), 0) AS props_bad
         FROM events),
@@ -1114,14 +1114,19 @@ def q_daily_anomaly_report(spark, sf_dir):
 
 @register(
     "jsonl_roundtrip_stats",
+    # nullif(lang, ''): Hive partition directory layout CANNOT
+    # represent an empty-string partition value — Spark writes both ''
+    # and NULL to __HIVE_DEFAULT_PARTITION__ and reads both back as
+    # NULL.  The oracle mirrors that declared lossy edge of the layout
+    # (hostile-value harness, r6) instead of pretending '' survives.
     """
-    SELECT lang,
+    SELECT nullif(lang, '') AS lang,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(min(doc_id) AS BIGINT) AS min_doc_id,
            CAST(max(doc_id) AS BIGINT) AS max_doc_id
     FROM documents
-    GROUP BY lang
+    GROUP BY 1
     """,
     doc="interchange-format contract, hash-checked: the documents table "
     "exported through operators/writer.write_corpus_jsonl (gzip JSON-"
@@ -1131,7 +1136,9 @@ def q_daily_anomaly_report(spark, sf_dir):
     "pass over 100 TB of gzip JSONL is a full extra epoch), and "
     "rolled up per language.  A lossless export means the stats over "
     "the round-tripped corpus equal the stats over the source table — "
-    "which is what the oracle computes.  The parquet twin is "
+    "which is what the oracle computes, modulo the ONE declared lossy "
+    "edge: empty-string partition values collapse to NULL (Hive "
+    "directory layout has no encoding for them).  The parquet twin is "
     "streaming_corpus_materialized_stats; this is the text-interchange "
     "path (JSON string escaping, gzip framing, partition-column "
     "re-derivation all in play)",
@@ -1544,13 +1551,13 @@ def _covis_sql() -> str:
     from realtime_data_pipeline_spark.plans.training import SESSION_GAP_MIN
 
     return f"""
-    WITH o AS (SELECT user_id, json_extract_string(props, '$.k') AS item,
+    WITH o AS (SELECT user_id, (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS item,
                       ts, event_id,
                       lag(ts) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) AS prev
                FROM events
                WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                 AND json_extract_string(props, '$.k') IS NOT NULL),
+                 AND (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL),
     f AS (SELECT *, CASE WHEN prev IS NULL
                            OR ts - prev > INTERVAL {SESSION_GAP_MIN} MINUTE
                          THEN 1 ELSE 0 END AS flg FROM o),

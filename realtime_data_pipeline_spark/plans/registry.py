@@ -126,10 +126,10 @@ ITEM_AGG_CTE = f"""
 item_agg AS (
     SELECT make_timestamp(((epoch_us(ts) // {_SLIDE_US}) - i.i) * {_SLIDE_US}) AS window_start,
            make_timestamp(((epoch_us(ts) // {_SLIDE_US}) - i.i + 2) * {_SLIDE_US}) AS window_end,
-           'item_' || json_extract_string(props, '$.k') AS item_id,
+           'item_' || (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS item_id,
            count(*) AS total_interactions
     FROM events, (VALUES (0), (1)) AS i(i)
-    WHERE ts IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+    WHERE ts IS NOT NULL AND (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL
     GROUP BY 1, 2, 3
 )"""
 
@@ -254,7 +254,7 @@ def q_recent_user_windows(spark, sf_dir):
     """
     SELECT count(*) AS n_total,
            count(CASE WHEN ts IS NOT NULL AND user_id IS NOT NULL
-                       AND json_extract_string(props, '$.k') IS NOT NULL
+                       AND (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL
                       THEN 1 END) AS n_clean
     FROM events
     """,
@@ -278,7 +278,7 @@ def q_null_hygiene(spark, sf_dir):
     """
     SELECT count(*) AS n_rows,
            count(TRY_CAST(event_type AS DOUBLE)) AS n_bad_numeric,
-           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_item_numeric,
+           count(TRY_CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS n_item_numeric,
            count(CASE WHEN CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) = ts THEN 1 END) AS n_ts_roundtrip
     FROM events
     """,

@@ -368,7 +368,7 @@ def q_streaming_session_counts(spark, sf_dir):
 _WIRE_USER_AGG_CTE = USER_AGG_CTE.replace(
     "WHERE ts IS NOT NULL AND user_id IS NOT NULL",
     "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
-    "AND json_extract_string(props, '$.k') IS NOT NULL",
+    "AND (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL",
 )
 assert _WIRE_USER_AGG_CTE != USER_AGG_CTE
 
