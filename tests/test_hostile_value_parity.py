@@ -97,6 +97,14 @@ _QUERIES = sorted(
     if spec.oracle is not None and "streaming" not in (spec.tags or ())
 )
 
+# the cheapest streaming twins, replayed once over the hostile values:
+# malformed JSON must flow through the wire path (to_json -> text
+# stream -> from_json) as NULL item_ids, never a parse crash
+_QUERIES += [
+    "streaming_json_wire_counts",
+    "streaming_replay_user_counts",
+]
+
 
 @pytest.fixture(scope="module")
 def hostile_sf_dir(tmp_path_factory):
