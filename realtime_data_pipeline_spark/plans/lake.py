@@ -982,9 +982,11 @@ _EVENT_ENUM = "'view','click','purchase','signup','error'"
     "ONE aggregation pass (conditional sums in a single agg, then a "
     "stack unpivot) — N rules never cost N scans, which is the whole "
     "game at 100 TB where a contract suite runs on every refresh.  "
-    "The JSON rule flags missing/NULL $.k only (fixture props are "
-    "well-formed JSON by schema; malformed-JSON behavior is "
-    "engine-specific and belongs to ingest-time validation)",
+    "The JSON rule flags NULL props, malformed JSON, and missing/NULL "
+    "$.k uniformly as violations: Spark's get_json_object yields NULL "
+    "for all three, and the oracle's json_valid guard makes DuckDB "
+    "agree (exercised by the hostile-value harness's malformed-props "
+    "injection, r6)",
 )
 def q_data_contract_violations(spark, sf_dir):
     ev = _events(spark, sf_dir)

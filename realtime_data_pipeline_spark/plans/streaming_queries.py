@@ -723,14 +723,19 @@ _attach_incremental_dedup_oracle()
 
 @register(
     "streaming_corpus_materialized_stats",
+    # nullif(lang, ''): the sink partitions by lang, and Hive directory
+    # layout collapses an empty-string partition value to NULL on
+    # write — the same declared lossy edge as jsonl_roundtrip_stats
+    # (found by review of the r6 hostile-value wave; this is a
+    # driver-window query, so the unguarded oracle was a live hazard)
     """
-    SELECT lang,
+    SELECT nullif(lang, '') AS lang,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(min(doc_id) AS BIGINT) AS min_doc_id,
            CAST(max(doc_id) AS BIGINT) AS max_doc_id
     FROM documents
-    GROUP BY lang
+    GROUP BY 1
     """,
     doc="streaming corpus-append sink end to end: the documents table "
     "replayed in two micro-batches through foreachBatch into the "
@@ -738,7 +743,9 @@ _attach_incremental_dedup_oracle()
     "back from disk, rolled up per language.  Exactly-once "
     "materialization means the stats over the MATERIALIZED corpus "
     "equal the stats over the source table — which is what the oracle "
-    "computes",
+    "computes, modulo the one declared lossy edge shared with "
+    "jsonl_roundtrip_stats: empty-string partition values collapse to "
+    "NULL (Hive directory layout cannot encode them)",
     tags=("streaming",),
 )
 def q_streaming_corpus_materialized_stats(spark, sf_dir):

@@ -49,7 +49,7 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    from test_oracle_parity import _norm_frame  # tests/ on sys.path
+    from test_oracle_parity import assert_frames_match  # tests/ on sys.path
 
     from realtime_data_pipeline_spark.tables import TABLE_NAMES
 
@@ -86,13 +86,14 @@ def main() -> int:
             if spec.oracle is None:
                 status = f"rows-only ({len(sdf)} rows)"
             else:
-                s_cols, s_rows = _norm_frame(sdf)
-                d_cols, d_rows = _norm_frame(con.execute(spec.oracle).df())
-                ok = (
-                    s_cols == d_cols or s_cols == [c.lower() for c in d_cols]
-                ) and s_rows == d_rows
-                status = "OK" if ok else "MISMATCH"
-                if not ok:
+                try:
+                    assert_frames_match(
+                        name, sdf, con.execute(spec.oracle).df()
+                    )
+                    status = "OK"
+                except AssertionError as err:
+                    status = "MISMATCH"
+                    print("   ", str(err)[:200])
                     bad.append(name)
         except Exception as ex:  # noqa: BLE001 — report and continue
             status = f"ERROR {str(ex)[:160]}"

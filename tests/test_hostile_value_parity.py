@@ -29,15 +29,13 @@ from realtime_data_pipeline_spark.plans.registry import REGISTRY
 from realtime_data_pipeline_spark.tables import TABLE_NAMES
 
 from conftest import SF_DIR
-from test_oracle_parity import _norm_frame
+from test_oracle_parity import assert_frames_match
 
 _TEXTS = ["", "   ", "solo", "two tokens", "a b"]
 _PROPS = ["not json at all", "", "{}", '{"k": null}']
 
 
 def _mutate(name: str, t: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
     n = t.num_rows
     cols = {f.name: t[f.name] for f in t.schema}
     if name == "documents":
@@ -97,12 +95,15 @@ _QUERIES = sorted(
     if spec.oracle is not None and "streaming" not in (spec.tags or ())
 )
 
-# the cheapest streaming twins, replayed once over the hostile values:
-# malformed JSON must flow through the wire path (to_json -> text
-# stream -> from_json) as NULL item_ids, never a parse crash
+# streaming twins replayed once over the hostile values: malformed
+# JSON must flow through the wire path (to_json -> text stream ->
+# from_json) as NULL item_ids, never a parse crash, and the
+# partitioned corpus sink must collapse '' langs to NULL exactly as
+# its nullif-guarded oracle declares
 _QUERIES += [
     "streaming_json_wire_counts",
     "streaming_replay_user_counts",
+    "streaming_corpus_materialized_stats",
 ]
 
 
@@ -134,13 +135,8 @@ def test_parity_survives_hostile_values(
     spark, hostile_sf_dir, hostile_duck, name
 ):
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, hostile_sf_dir).toPandas()
-    ddf = hostile_duck.execute(spec.oracle).df()
-    s_cols, s_rows = _norm_frame(sdf)
-    d_cols, d_rows = _norm_frame(ddf)
-    assert s_cols == [c.lower() for c in d_cols] or s_cols == d_cols, name
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: rowcount spark={len(s_rows)} duck={len(d_rows)}"
+    assert_frames_match(
+        name,
+        spec.fn(spark, hostile_sf_dir).toPandas(),
+        hostile_duck.execute(spec.oracle).df(),
     )
-    mism = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    assert not mism, f"{name}: {len(mism)} row diffs, first 2: {mism[:2]}"

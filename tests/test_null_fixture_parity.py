@@ -27,7 +27,7 @@ from realtime_data_pipeline_spark.plans.registry import REGISTRY
 from realtime_data_pipeline_spark.tables import TABLE_NAMES
 
 from conftest import SF_DIR
-from test_oracle_parity import _norm_frame
+from test_oracle_parity import _norm_frame, assert_frames_match
 
 # column -> every Nth row nulled (primes, so combinations overlap)
 _NULL_RULES = {
@@ -97,16 +97,11 @@ def null_duck(null_sf_dir):
 @pytest.mark.parametrize("name", _QUERIES)
 def test_parity_survives_null_injection(spark, null_sf_dir, null_duck, name):
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, null_sf_dir).toPandas()
-    ddf = null_duck.execute(spec.oracle).df()
-    s_cols, s_rows = _norm_frame(sdf)
-    d_cols, d_rows = _norm_frame(ddf)
-    assert s_cols == [c.lower() for c in d_cols] or s_cols == d_cols, name
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: rowcount spark={len(s_rows)} duck={len(d_rows)}"
+    assert_frames_match(
+        name,
+        spec.fn(spark, null_sf_dir).toPandas(),
+        null_duck.execute(spec.oracle).df(),
     )
-    mism = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    assert not mism, f"{name}: {len(mism)} row diffs, first 2: {mism[:2]}"
 
 
 # time-sensitive sequence/calendar operators, re-checked with the

@@ -56,15 +56,11 @@ def _norm_frame(pdf):
     return cols, sorted(rows)
 
 
-ORACLE_SPECS = [
-    (name, spec) for name, spec in REGISTRY.items() if spec.oracle is not None
-]
-
-
-@pytest.mark.parametrize("name,spec", ORACLE_SPECS, ids=[n for n, _ in ORACLE_SPECS])
-def test_oracle_parity(spark, duck, name, spec):
-    sdf = spec.fn(spark, SF_DIR_MID).toPandas()
-    ddf = duck.execute(spec.oracle).df()
+def assert_frames_match(name, sdf, ddf):
+    """THE driver-strength compare — shared by this suite, the NULL and
+    hostile-value harnesses, and scripts/full_parity_sweep.py, so a
+    change to comparison semantics can never leave the harnesses at
+    different strictness."""
     s_cols, s_rows = _norm_frame(sdf)
     d_cols, d_rows = _norm_frame(ddf)
     assert s_cols == [c.lower() for c in d_cols] or s_cols == d_cols, (
@@ -76,7 +72,41 @@ def test_oracle_parity(spark, duck, name, spec):
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ]
-    assert not mismatches, f"{name}: {len(mismatches)} row diffs, first 3: {mismatches[:3]}"
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row diffs, first 3: {mismatches[:3]}"
+    )
+
+
+ORACLE_SPECS = [
+    (name, spec) for name, spec in REGISTRY.items() if spec.oracle is not None
+]
+
+
+@pytest.mark.parametrize("name,spec", ORACLE_SPECS, ids=[n for n, _ in ORACLE_SPECS])
+def test_oracle_parity(spark, duck, name, spec):
+    sdf = spec.fn(spark, SF_DIR_MID).toPandas()
+    ddf = duck.execute(spec.oracle).df()
+    assert_frames_match(name, sdf, ddf)
+
+
+def test_every_oracle_json_extraction_is_guarded():
+    """The canonical item-extraction fragment — NULL-safe like Spark's
+    get_json_object — is pasted into oracles across four plan modules.
+    Pin every occurrence to the exact canonical text so an edit to one
+    site (or a new unguarded site: DuckDB json_extract_string THROWS
+    on malformed JSON) fails loudly instead of silently diverging."""
+    canonical = (
+        "(CASE WHEN json_valid(props) THEN "
+        "json_extract_string(props, '$.k') END)"
+    )
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        stripped = spec.oracle.replace(canonical, "")
+        assert "json_extract_string" not in stripped, (
+            f"{name}: oracle uses json_extract_string outside the "
+            f"canonical json_valid-guarded fragment"
+        )
 
 
 def test_rows_only_queries_run(spark):
