@@ -128,3 +128,76 @@ def read_corpus_jsonl(
     if schema is not None:
         rdr = rdr.schema(schema)
     return rdr.json(path)
+
+
+# CSV interchange contract: the exact option set (both directions)
+# that makes the round trip LOSSLESS for arbitrary text payloads.
+# Every entry is load-bearing:
+#   * escape='"'            — RFC-4180 doubled-quote escaping (Spark's
+#                             default escape is backslash, which
+#                             external CSV readers misparse);
+#   * nullValue='\\N'       — a distinct NULL marker, so NULL and ''
+#                             survive as different values (the classic
+#                             CSV lossy edge: by default both write as
+#                             an empty field);
+#   * emptyValue (write)='""' / (read)='' — quoted empty field reads
+#                             back as '', unquoted as NULL;
+#   * ignore*WhiteSpace=False (write) — Spark's CSV WRITER trims
+#                             whitespace-only fields by default
+#                             (reader does not), silently corrupting
+#                             '   ' payloads;
+#   * multiLine=True (read)  — quoted embedded newlines.
+CSV_WRITE_OPTS = {
+    "header": True,
+    "escape": '"',
+    "nullValue": "\\N",
+    "emptyValue": '""',
+    "ignoreLeadingWhiteSpace": False,
+    "ignoreTrailingWhiteSpace": False,
+}
+CSV_READ_OPTS = {
+    "header": True,
+    "escape": '"',
+    "nullValue": "\\N",
+    "emptyValue": "",
+    "multiLine": True,
+}
+
+
+def write_corpus_csv(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    n_shards: int = DEFAULT_SHARDS,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    compression: str | None = "gzip",
+) -> None:
+    """The corpus as headered CSV shards — the interchange format for
+    spreadsheet-adjacent consumers and legacy loaders.  Same
+    single-shuffle shard layout as write_corpus_jsonl but NO partition
+    directories: CSV consumers expect flat files, and skipping
+    partitionBy sidesteps the Hive layout's ''-collapses-to-NULL edge
+    (every value, including an empty-string partition key, round-trips
+    losslessly — see CSV_WRITE_OPTS).  multiLine=True on the read side
+    means a gzip shard is decompressed as one unit — which it is
+    anyway (gzip is not splittable); for a splittable CSV export use
+    compression=None and forbid embedded newlines upstream."""
+    out = with_shard(df, key, n_shards)
+    wtr = (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", key)
+        .write.partitionBy("shard")
+        .options(**CSV_WRITE_OPTS)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+    )
+    if compression:
+        wtr = wtr.option("compression", compression)
+    wtr.csv(path)
+
+
+def read_corpus_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a CSV corpus back.  The declared schema is REQUIRED (CSV
+    carries no types at all — inference would both cost a full pass
+    and guess wrong on e.g. '\\N literal' strings)."""
+    return spark.read.schema(schema).options(**CSV_READ_OPTS).csv(path)

@@ -1162,6 +1162,50 @@ def q_jsonl_roundtrip_stats(spark, sf_dir):
     )
 
 
+@register(
+    "csv_roundtrip_stats",
+    # no nullif here, deliberately: the CSV layout has NO partition
+    # directories, so unlike the jsonl/parquet twins an empty-string
+    # lang survives the round trip as '' — the oracle groups raw lang
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="CSV interchange contract, hash-checked: the documents table "
+    "exported as headered gzip CSV shards "
+    "(operators/writer.write_corpus_csv — RFC-4180 quote escaping, a "
+    "distinct \\\\N NULL marker so NULL and '' survive as different "
+    "values, writer whitespace-trimming disabled, multiLine read for "
+    "quoted embedded newlines), read back with the DECLARED schema "
+    "(CSV carries no types), and rolled up per language equal to the "
+    "source table.  Completes the interchange-format family: parquet "
+    "(streaming_corpus_materialized_stats), gzip-JSONL "
+    "(jsonl_roundtrip_stats), JSON wire (json_wire_roundtrip), and "
+    "CSV — this one is the only LOSSLESS one for empty-string "
+    "partition keys, because it writes no Hive partition dirs",
+)
+def q_csv_roundtrip_stats(spark, sf_dir):
+    import tempfile
+
+    from realtime_data_pipeline_spark.operators import writer
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="rdp_csv_")
+    writer.write_corpus_csv(docs, out, n_shards=4)
+    back = writer.read_corpus_csv(spark, out, schema=docs.schema)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time (temporal) join against the SCD2 dimension
 # ---------------------------------------------------------------------------

@@ -113,6 +113,7 @@ _QUERIES = [
     "embedding_dedup_clusters",
     "large_quantity_orders",
     "idle_rich_customers",
+    "csv_roundtrip_stats",
 ]
 
 
