@@ -151,6 +151,28 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # embedding_near_dups — all-pairs baseline, kept as a function and
 # pinned by test_lsh_near_dups_are_subset_of_exact;
 # ann_ivf_topk_by_label — superseded by ann_ivf_assigned_topk).
+# Round-7 rotation queue (PRE-VERIFIED: every name below is green in
+# the full-registry driver-strength sweep at sf0.01 under
+# engine-default, Asia/Kathmandu, shuffle=3, and combined configs,
+# plus the NULL / hostile-value / empty-input harnesses — promote
+# without further checks, just re-run scripts/full_parity_sweep.py
+# once after editing the window).  Planned OUT (will be >=2-round
+# hash-green if r6 lands green): kmeans_codebook_report,
+# approx_quantiles_report, split_leakage_audit,
+# streaming_corpus_materialized_stats, documents_profile,
+# fuzzy_prefix_dups, priority_metrics_unpivot, event_dedup_counts,
+# latest_event_per_user, value_percentiles (r5-in, r5+r6 green),
+# benchmark_contamination, doc_repetition_scores, curation_keep_best,
+# doc_chunks, embedding_dedup_clusters (r4-in, 3 rounds green).
+# Planned IN (highest-value never-checked):
+# scd2_pointintime_enrichment, k_anonymity_audit, join_skew_report,
+# daily_anomaly_report, jsonl_roundtrip_stats, csv_roundtrip_stats,
+# quality_funnel_stats, user_feature_vectors,
+# hourly_seasonality_profile, embedding_health_report,
+# item_covisitation_pairs, langid_confusion_matrix,
+# ann_stored_index_topk, zorder_roundtrip_stats,
+# upsert_time_travel_stats.
+#
 # Remaining never-checked pool for round 7+: doc_length_buckets,
 # top_terms, value_stats_by_type, status_priority_cube,
 # json_wire_roundtrip, approx_distinct_users, multimodal_frame_stats,
