@@ -196,6 +196,48 @@ def test_ngram_jaccard_matches_python_model(spark, docs):
     assert got == want
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docs_strategy, bench_cut=st.integers(0, 9))
+def test_benchmark_contamination_matches_python_model(
+    spark, docs, bench_cut
+):
+    """Decontamination must equal the Python set model: per corpus doc,
+    n_overlap = |doc's DISTINCT shingles ∩ bench shingle union| (each
+    distinct shingle counted ONCE however often it appears in the
+    bench), ratio over the doc's own distinct-shingle count, 5%
+    threshold.  bench_cut draws the eval/corpus split point so empty
+    benches and empty corpora both occur."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["overlap_ratio"])
+        for r in dedup.benchmark_contamination(
+            df, F.col("doc_id") < bench_cut
+        ).collect()
+    }
+
+    sets = {i: _py_shingles(text) for i, text in rows}
+    bench_union = set().union(
+        *[s for i, s in sets.items() if i < bench_cut]
+    ) if any(i < bench_cut for i in sets) else set()
+    want = {}
+    for i, s in sets.items():
+        if i < bench_cut or not s:
+            continue
+        n_overlap = len(s & bench_union)
+        if n_overlap:
+            ratio = round(n_overlap / len(s), 4)
+            if ratio >= 0.05:
+                want[i] = (len(s), n_overlap, ratio)
+    assert got == want
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):

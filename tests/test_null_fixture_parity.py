@@ -27,7 +27,7 @@ from realtime_data_pipeline_spark.plans.registry import REGISTRY
 from realtime_data_pipeline_spark.tables import TABLE_NAMES
 
 from conftest import SF_DIR
-from test_oracle_parity import _norm_frame, assert_frames_match
+from test_oracle_parity import assert_frames_match
 
 # column -> every Nth row nulled (primes, so combinations overlap)
 _NULL_RULES = {
@@ -130,9 +130,10 @@ def test_parity_survives_nulls_under_hostile_timezone(
     try:
         spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
         spec = REGISTRY[name]
-        s_cols, s_rows = _norm_frame(spec.fn(spark, null_sf_dir).toPandas())
-        d_cols, d_rows = _norm_frame(null_duck.execute(spec.oracle).df())
-        assert len(s_rows) == len(d_rows), name
-        assert s_rows == d_rows, name
+        assert_frames_match(
+            name,
+            spec.fn(spark, null_sf_dir).toPandas(),
+            null_duck.execute(spec.oracle).df(),
+        )
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
