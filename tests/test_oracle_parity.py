@@ -116,6 +116,21 @@ def test_rows_only_queries_run(spark):
             assert n >= 0, name
 
 
+def test_every_bench_spec_executes_via_noop(spark):
+    """A bench=True spec that stops running means the driver's
+    BENCH_r{N} artifact goes missing for the whole round — exercise
+    exactly bench.py's execution path (construct + noop write) for
+    every flagged spec at the smallest scale, so a broken bench query
+    fails HERE first."""
+    bench_specs = [s for s in REGISTRY.values() if s.bench]
+    assert len(bench_specs) >= 10  # the headline suite must stay broad
+    for spec in bench_specs:
+        spec.fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
