@@ -5,7 +5,6 @@ These pin the plan/behavior properties PLANS.md claims.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.tables import load_table
