@@ -238,6 +238,82 @@ def test_benchmark_contamination_matches_python_model(
     assert got == want
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=150),
+    min_size=1,
+    max_size=6,
+))
+def test_doc_chunks_match_python_model(spark, docs):
+    """RAG chunking is boundary arithmetic all the way down — overlap
+    stride, a final short chunk, single-token and empty docs — so pin
+    the emitted (chunk_idx, n_chunk_tokens, rolling-hash fingerprint)
+    rows against a Python model over the same md5 token hashes.  Doc
+    lengths up to 150 tokens cross several 48-stride boundaries and
+    land chunks of every possible tail length."""
+    from realtime_data_pipeline_spark.functions.text import (
+        FINGERPRINT_BASE,
+        FINGERPRINT_MOD,
+    )
+    from realtime_data_pipeline_spark.plans.northstar import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="chunks_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["doc_chunks"].fn(spark, d).collect()
+    )
+
+    want = []
+    for i, text in rows:
+        toks = re.split(r"\s+", text.strip())
+        th = [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            for t in toks
+        ]
+        n = len(th)
+        for s in range(1, n + 1, CHUNK_STRIDE):
+            window = th[s - 1 : s - 1 + CHUNK_TOKENS]
+            fp = 0
+            for x in window:
+                fp = (fp * FINGERPRINT_BASE + x) % FINGERPRINT_MOD
+            want.append(
+                (
+                    i,
+                    (s - 1) // CHUNK_STRIDE,
+                    min(CHUNK_TOKENS, n - s + 1),
+                    fp,
+                )
+            )
+    assert got == sorted(want)
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
