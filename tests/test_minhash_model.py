@@ -314,6 +314,124 @@ def test_doc_chunks_match_python_model(spark, docs):
     assert got == sorted(want)
 
 
+def _round4_half_up(x: float) -> float:
+    """Spark's F.round on a double: BigDecimal.valueOf (shortest
+    round-trip repr) then HALF_UP — NOT Python's banker's round."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+))
+def test_corpus_curation_matches_python_model(spark, docs):
+    """END-TO-END model of the flagship curation pipeline: exact dedup
+    (min doc_id per identical text) -> MinHash-LSH near-dup clusters
+    (est >= 0.5, min-label components, drop non-canonical members) ->
+    quality filter (>= 0.5 on the HALF_UP-rounded score) -> per-lang
+    rollup with the decimal-sum average.  Every stage reuses this
+    file's verified per-stage models plus a union-find; hypothesis
+    draws small-vocab docs so exact dups, near-dups, and sub-threshold
+    docs all occur together — the stage INTERACTIONS (an exact dup
+    that is also a near-dup member, a near-dup canonical that fails
+    quality) are what this pins."""
+    from decimal import Decimal
+
+    from realtime_data_pipeline_spark.functions.text import LANG_LEXICONS
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    langs = ["en", "de"]
+    d = tempfile.mkdtemp(prefix="curation_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(
+                    [langs[i % 2] for i, _ in rows], pa.string()
+                ),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["corpus_curation_stats"].fn(spark, d).collect()
+    )
+
+    # --- Python model -----------------------------------------------
+    sigs = {
+        i: sig
+        for i, (_, text) in enumerate(rows)
+        if (sig := _py_signature(text)) is not None
+    }
+    strong = {
+        p for p, est in _py_candidates(sigs).items() if est >= 0.5
+    }
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in strong:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    near_dupe_nodes = {
+        n for p in strong for n in p if find(n) != n
+    }
+
+    by_text = {}
+    for i, text in rows:
+        by_text.setdefault(text, []).append(i)
+    kept = {
+        min(ids) for ids in by_text.values()
+    } - near_dupe_nodes
+
+    all_stop = {w for lex in LANG_LEXICONS.values() for w in lex}
+    per_lang = {}
+    for i in kept:
+        text = rows[i][1]
+        toks = re.split(r"\s+", text.strip())
+        n = len(toks)
+        stop = sum(1 for t in toks if t in all_stop)
+        sumlen = sum(len(t) for t in toks)
+        q = _round4_half_up(
+            0.4 * min(n / 100.0, 1.0)
+            + 0.4 * (1.0 - stop / n)
+            + 0.2 * min((sumlen / n) / 8.0, 1.0)
+        )
+        if q >= 0.5:
+            lang = langs[i % 2]
+            agg = per_lang.setdefault(lang, [0, 0, Decimal(0)])
+            agg[0] += 1
+            agg[1] += n
+            agg[2] += Decimal(str(q)).quantize(Decimal("0.0001"))
+    want = sorted(
+        (lang, c, t, _round4_half_up(float(qs) / c))
+        for lang, (c, t, qs) in per_lang.items()
+    )
+    assert got == want
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
