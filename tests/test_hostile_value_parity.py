@@ -104,6 +104,10 @@ _QUERIES += [
     "streaming_json_wire_counts",
     "streaming_replay_user_counts",
     "streaming_corpus_materialized_stats",
+    # stateful driver-window twins: degenerate texts flow through the
+    # persistent signature store / SCD2 sink too
+    "streaming_incremental_dedup",
+    "streaming_scd2_user_segments",
 ]
 
 

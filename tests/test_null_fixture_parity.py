@@ -57,6 +57,13 @@ _STREAMING_NULL_QUERIES = [
     "streaming_json_wire_counts",
     "streaming_replay_user_counts",
     "streaming_dedup_user_counts",
+    # the round-6 driver-window streaming rotate-ins: the persistent
+    # signature store, the SCD2 maintenance sink, and the enriched
+    # stream-static join each hold state that NULL-riddled input
+    # could corrupt in ways their batch twins cannot show
+    "streaming_incremental_dedup",
+    "streaming_scd2_user_segments",
+    "streaming_enriched_segment_counts",
 ]
 _QUERIES += _STREAMING_NULL_QUERIES
 
