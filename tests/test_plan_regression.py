@@ -167,6 +167,8 @@ EXPECTED_SHUFFLES = {
     # final read-back plan: one lang rollup over the JSONL scan (the
     # export's own single shuffle runs eagerly during construction)
     "jsonl_roundtrip_stats": 1,
+    # same shape over the CSV scan, columns pruned to the 3 needed
+    "csv_roundtrip_stats": 1,
     "multimodal_audio_stats": 1,  # Arrow kernel map + one lang rollup
     # dim-build user_id exchange + as-of union exchange + (band,type)
     # rollup — interval containment expressed as backward as-of, never
