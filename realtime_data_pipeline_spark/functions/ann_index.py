@@ -72,6 +72,15 @@ def build_ivf_index(
     ea.write.partitionBy("cell").mode("overwrite").parquet(
         f"{index_dir}/assignments"
     )
+    # Schema sidecar: a partitionBy write of ZERO rows creates no
+    # parquet files at all, so an empty-corpus build would leave a
+    # store the serving path cannot even infer a schema from.  Persist
+    # a 0-row, non-partitioned copy of the exact read-back shape (data
+    # columns in order, partition column last) so reads of an empty
+    # index return the correct empty frame instead of raising.
+    ea.select(
+        *[c for c in ea.columns if c != "cell"], "cell"
+    ).limit(0).write.mode("overwrite").parquet(f"{index_dir}/_schema")
     cents.write.mode("overwrite").parquet(f"{index_dir}/codebook")
 
 
@@ -79,9 +88,15 @@ def read_index_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
     # partition-column inference reads `cell` as INT; restore the
     # centroid id's LONG so stored-index results are schema-identical
     # to the inline operator's
-    return spark.read.parquet(f"{index_dir}/assignments").withColumn(
-        "cell", F.col("cell").cast("long")
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(f"{index_dir}/assignments")
+    except AnalysisException:
+        # empty-corpus build: no partition dirs were written — serve
+        # the 0-row frame from the schema sidecar
+        df = spark.read.parquet(f"{index_dir}/_schema")
+    return df.withColumn("cell", F.col("cell").cast("long"))
 
 
 def query_ivf_index(

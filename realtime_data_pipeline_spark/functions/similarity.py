@@ -402,13 +402,22 @@ def pandas_topk(vectors: DataFrame, query_pred, k: int = 10) -> DataFrame:
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        # NULL embeddings must yield NULL (not crash np.stack, not NaN —
-        # Spark sorts NaN ABOVE every double, which would rank a NULL
-        # vector first), mirroring the built-in aggregate/zip_with twin
-        # where any NULL operand propagates to a NULL score
+        # NULL embeddings — whole-NULL vectors AND vectors with a NULL
+        # ELEMENT — must yield NULL (not crash np.stack, not NaN:
+        # Spark sorts NaN ABOVE every double, which would rank such a
+        # row FIRST while the built-in aggregate/zip_with twin's NULL
+        # sorts last).  A NULL element arrives as NaN after Arrow's
+        # float64 conversion, so the mask checks both None and NaN.
+        def _clean(x) -> bool:
+            if x is None:
+                return False
+            return not np.isnan(
+                np.asarray(x, dtype="float64")
+            ).any()
+
         av, bv = a.to_numpy(), b.to_numpy()
         ok = np.array(
-            [x is not None and y is not None for x, y in zip(av, bv)],
+            [_clean(x) and _clean(y) for x, y in zip(av, bv)],
             dtype=bool,
         )
         out = pd.array([None] * len(av), dtype="Float64")

@@ -174,11 +174,13 @@ def write_corpus_csv(
 ) -> None:
     """The corpus as headered CSV shards — the interchange format for
     spreadsheet-adjacent consumers and legacy loaders.  Same
-    single-shuffle shard layout as write_corpus_jsonl but NO partition
-    directories: CSV consumers expect flat files, and skipping
-    partitionBy sidesteps the Hive layout's ''-collapses-to-NULL edge
-    (every value, including an empty-string partition key, round-trips
-    losslessly — see CSV_WRITE_OPTS).  multiLine=True on the read side
+    single-shuffle shard layout as write_corpus_jsonl: partitionBy is
+    applied ONLY to the derived, never-empty `shard` key (output lands
+    in shard=N/ subdirectories), and no DATA column (lang, source, …)
+    is ever a partition key — which is how the Hive layout's
+    ''-collapses-to-NULL edge is sidestepped: every data value,
+    including an empty-string lang, rides inside the CSV rows and
+    round-trips losslessly (see CSV_WRITE_OPTS).  multiLine=True on the read side
     means a gzip shard is decompressed as one unit — which it is
     anyway (gzip is not splittable); for a splittable CSV export use
     compression=None and forbid embedded newlines upstream."""

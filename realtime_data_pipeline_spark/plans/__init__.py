@@ -151,29 +151,32 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # embedding_near_dups — all-pairs baseline, kept as a function and
 # pinned by test_lsh_near_dups_are_subset_of_exact;
 # ann_ivf_topk_by_label — superseded by ann_ivf_assigned_topk).
-# Round-7 rotation queue (PRE-VERIFIED: every name below is green in
-# the full-registry driver-strength sweep at sf0.01 under
-# engine-default, Asia/Kathmandu, shuffle=3, and combined configs,
-# plus the NULL / hostile-value / empty-input harnesses — promote
-# without further checks, just re-run scripts/full_parity_sweep.py
-# once after editing the window).  Planned OUT (will be >=2-round
-# hash-green if r6 lands green): kmeans_codebook_report,
-# approx_quantiles_report, split_leakage_audit,
-# streaming_corpus_materialized_stats, documents_profile,
-# fuzzy_prefix_dups, priority_metrics_unpivot, event_dedup_counts,
-# latest_event_per_user, value_percentiles (r5-in, r5+r6 green),
-# benchmark_contamination, doc_repetition_scores, curation_keep_best,
-# doc_chunks, embedding_dedup_clusters (r4-in, 3 rounds green).
-# Planned IN (highest-value never-checked):
-# scd2_pointintime_enrichment, k_anonymity_audit, join_skew_report,
-# daily_anomaly_report, jsonl_roundtrip_stats, csv_roundtrip_stats,
-# quality_funnel_stats, user_feature_vectors,
-# hourly_seasonality_profile, embedding_health_report,
-# item_covisitation_pairs, langid_confusion_matrix,
-# ann_stored_index_topk, zorder_roundtrip_stats,
-# upsert_time_travel_stats.
+# Round-7 rotation (VERDICT r6 'Next round' #1 — executed exactly as
+# pre-verified; every rotate-in was already green in the full-registry
+# driver-strength sweep at sf0.01 under engine-default, Asia/Kathmandu,
+# shuffle=3, and combined configs, plus the NULL / hostile-value /
+# empty-input harnesses).  FIFTEEN slots whose queries were hash-green
+# in >=2 prior rounds rotate out to the local parity suite:
+#   kmeans_codebook_report, approx_quantiles_report,
+#   split_leakage_audit, streaming_corpus_materialized_stats,
+#   documents_profile, fuzzy_prefix_dups, priority_metrics_unpivot,
+#   event_dedup_counts, latest_event_per_user, value_percentiles
+#   (r5-in, r5+r6 green), benchmark_contamination,
+#   doc_repetition_scores, curation_keep_best, doc_chunks,
+#   embedding_dedup_clusters (r4-in, 3 rounds green).
+# Fifteen never-driver-checked queries rotate in — this window gives
+# the persisted-ANN-index, z-order, time-travel, JSONL/CSV round-trip
+# materialization layers and the governance/analytics wave their first
+# hard hash rows:
+#   scd2_pointintime_enrichment, k_anonymity_audit, join_skew_report,
+#   daily_anomaly_report, jsonl_roundtrip_stats, csv_roundtrip_stats,
+#   quality_funnel_stats, user_feature_vectors,
+#   hourly_seasonality_profile, embedding_health_report,
+#   item_covisitation_pairs, langid_confusion_matrix,
+#   ann_stored_index_topk, zorder_roundtrip_stats,
+#   upsert_time_travel_stats.
 #
-# Remaining never-checked pool for round 7+: doc_length_buckets,
+# Remaining never-checked pool for round 8+: doc_length_buckets,
 # top_terms, value_stats_by_type, status_priority_cube,
 # json_wire_roundtrip, approx_distinct_users, multimodal_frame_stats,
 # synthetic_events_sample, streaming_doc_quality_counts, the round-5
@@ -187,14 +190,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # ab_test_report, event_type_lift, term_source_association,
 # rfm_segments, source_diversity_report, event_transition_matrix,
 # ks_drift_report, knn_label_consistency, hard_negative_report,
-# streaming_frequent_terms, shared_chunk_report) and the rest of
-# plans/lake.py (join_skew_report, k_anonymity_audit,
-# daily_anomaly_report, jsonl_roundtrip_stats, multimodal_audio_stats,
-# scd2_pointintime_enrichment, quality_funnel_stats,
-# user_feature_vectors, hourly_seasonality_profile,
-# embedding_health_report, item_covisitation_pairs,
-# langid_confusion_matrix, ann_stored_index_topk,
-# zorder_roundtrip_stats, upsert_time_travel_stats).
+# streaming_frequent_terms, shared_chunk_report) plus
+# multimodal_audio_stats (the last never-checked lake.py entry).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -207,27 +204,32 @@ _DRIVER_WINDOW = [
     "nation_year_profit", "region_market_share", "forecast_revenue_change",
     "hll_partitioned_distinct",
     "status_priority_grouping_sets", "segment_event_pivot",
-    "priority_metrics_unpivot", "value_percentiles",
-    "event_dedup_counts", "latest_event_per_user",
     # streaming parity (batch-replayed)
     "streaming_replay_user_counts", "streaming_session_counts",
-    "streaming_incremental_dedup", "streaming_corpus_materialized_stats",
+    "streaming_incremental_dedup",
     "streaming_scd2_user_segments", "streaming_enriched_segment_counts",
     # dataset lifecycle / lake operators (lake.py, round-5 wave)
     "scd2_user_segment_history", "corpus_snapshot_diff",
     "purchase_window_views", "pagerank_top_items", "model_eval_report",
     "data_contract_violations", "pii_scrub_stats", "doc_crossdup_rates",
+    # round-7 rotate-ins: lifecycle materialization + governance +
+    # analytics (first hash rows for persisted index / z-order /
+    # time travel / JSONL+CSV round-trips)
+    "scd2_pointintime_enrichment", "k_anonymity_audit",
+    "join_skew_report", "daily_anomaly_report",
+    "jsonl_roundtrip_stats", "csv_roundtrip_stats",
+    "quality_funnel_stats", "user_feature_vectors",
+    "hourly_seasonality_profile", "embedding_health_report",
+    "item_covisitation_pairs", "langid_confusion_matrix",
+    "ann_stored_index_topk", "zorder_roundtrip_stats",
+    "upsert_time_travel_stats",
     # LLM-data operators (northstar.py + training.py + analytics.py)
-    "minhash_dedup_candidates", "fuzzy_prefix_dups",
+    "minhash_dedup_candidates",
     "ann_ivf_assigned_topk", "ann_ivf_multiprobe_topk",
     "ann_recall_report", "embedding_near_dups_lsh",
-    "kmeans_codebook_report",
     "corpus_curation_stats", "frequent_terms_report",
-    "documents_profile", "approx_quantiles_report",
-    "ffd_packing_report", "split_leakage_audit",
+    "ffd_packing_report",
     "temperature_mixture_stats", "epoch_shuffle_sample",
-    "benchmark_contamination", "doc_repetition_scores", "curation_keep_best",
-    "doc_chunks", "embedding_dedup_clusters",
     # physically-distinct TPC-H shapes (tpch_shapes.py)
     "large_quantity_orders", "idle_rich_customers",
 ]

@@ -673,7 +673,7 @@ def _register_streaming_scd2() -> None:
     )
     def q_streaming_scd2_user_segments(spark, sf_dir):
         import os
-        import tempfile
+        from realtime_data_pipeline_spark.scratch import scratch_dir
         import time
 
         from realtime_data_pipeline_spark.streaming.scd_sink import (
@@ -684,7 +684,7 @@ def _register_streaming_scd2() -> None:
         ev = _events(spark, sf_dir).select(
             "user_id", "event_type", "ts", "event_id"
         )
-        base = tempfile.mkdtemp(prefix="rdp_scd2_")
+        base = scratch_dir(prefix="rdp_scd2_")
         replay = os.path.join(base, "replay")
         tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
         span = (tmax - tmin) / 3
@@ -1146,12 +1146,12 @@ def q_daily_anomaly_report(spark, sf_dir):
     "re-derivation all in play)",
 )
 def q_jsonl_roundtrip_stats(spark, sf_dir):
-    import tempfile
+    from realtime_data_pipeline_spark.scratch import scratch_dir
 
     from realtime_data_pipeline_spark.operators import writer
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="rdp_jsonl_")
+    out = scratch_dir(prefix="rdp_jsonl_")
     writer.write_corpus_jsonl(docs, out, partition_cols=("lang",), n_shards=4)
     back = writer.read_corpus_jsonl(spark, out, schema=docs.schema)
     return back.groupBy("lang").agg(
@@ -1164,9 +1164,11 @@ def q_jsonl_roundtrip_stats(spark, sf_dir):
 
 @register(
     "csv_roundtrip_stats",
-    # no nullif here, deliberately: the CSV layout has NO partition
-    # directories, so unlike the jsonl/parquet twins an empty-string
-    # lang survives the round trip as '' — the oracle groups raw lang
+    # no nullif here, deliberately: the CSV export partitions only on
+    # the derived shard key (shard=N/ dirs), never on a data column,
+    # so unlike the jsonl/parquet twins (which partition on lang) an
+    # empty-string lang rides inside the CSV rows and survives the
+    # round trip as '' — the oracle groups raw lang
     """
     SELECT lang,
            count(*) AS n_docs,
@@ -1186,16 +1188,17 @@ def q_jsonl_roundtrip_stats(spark, sf_dir):
     "source table.  Completes the interchange-format family: parquet "
     "(streaming_corpus_materialized_stats), gzip-JSONL "
     "(jsonl_roundtrip_stats), JSON wire (json_wire_roundtrip), and "
-    "CSV — this one is the only LOSSLESS one for empty-string "
-    "partition keys, because it writes no Hive partition dirs",
+    "CSV — this one is the only LOSSLESS one for empty-string lang "
+    "values, because no DATA column is a Hive partition key (only the "
+    "derived, never-empty shard key is, producing shard=N/ dirs)",
 )
 def q_csv_roundtrip_stats(spark, sf_dir):
-    import tempfile
+    from realtime_data_pipeline_spark.scratch import scratch_dir
 
     from realtime_data_pipeline_spark.operators import writer
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="rdp_csv_")
+    out = scratch_dir(prefix="rdp_csv_")
     writer.write_corpus_csv(docs, out, n_shards=4)
     back = writer.read_corpus_csv(spark, out, schema=docs.schema)
     return back.groupBy("lang").agg(
@@ -1721,12 +1724,12 @@ def _register_stored_index() -> None:
         "re-derivation, float array storage) loses nothing",
     )
     def q_ann_stored_index_topk(spark, sf_dir):
-        import tempfile
+        from realtime_data_pipeline_spark.scratch import scratch_dir
 
         from realtime_data_pipeline_spark.functions import ann_index
 
         emb = _t(spark, sf_dir, "embeddings")
-        idx = tempfile.mkdtemp(prefix="rdp_ivfidx_")
+        idx = scratch_dir(prefix="rdp_ivfidx_")
         ann_index.build_ivf_index(
             emb, idx, (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
         )
@@ -1766,12 +1769,12 @@ _register_stored_index()
     "engine writes is hash-verified through a read-back",
 )
 def q_zorder_roundtrip_stats(spark, sf_dir):
-    import tempfile
+    from realtime_data_pipeline_spark.scratch import scratch_dir
 
     from realtime_data_pipeline_spark.operators import zorder
 
     li = _t(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="rdp_zorder_")
+    out = scratch_dir(prefix="rdp_zorder_")
     zorder.write_zordered(li, out, "l_partkey", "l_suppkey", n_files=16)
     back = spark.read.parquet(out).where(
         (F.col("l_partkey") <= 50) & (F.col("l_suppkey") <= 5)
@@ -1821,7 +1824,7 @@ _TT_CUT = "2024-01-16 00:00:00"
     "(tests/test_time_travel.py pins expiry beyond it)",
 )
 def q_upsert_time_travel_stats(spark, sf_dir):
-    import tempfile
+    from realtime_data_pipeline_spark.scratch import scratch_dir
 
     from realtime_data_pipeline_spark.streaming.sinks import UpsertTable
 
@@ -1832,19 +1835,42 @@ def q_upsert_time_travel_stats(spark, sf_dir):
 
     tbl = UpsertTable(
         spark,
-        tempfile.mkdtemp(prefix="rdp_tt_"),
+        scratch_dir(prefix="rdp_tt_"),
         key_cols=["user_id"],
         retain_versions=2,
     )
     tbl.merge(v1)
-    first_version = tbl._manifest()["version"]
+    m1 = tbl._manifest()  # None iff the v1 merge had zero rows (no-op)
     tbl.merge(v2)
-    old = tbl.read(version=first_version).select(
-        F.lit("v1").alias("snapshot"), "user_id", "n_events"
-    )
-    cur = tbl.read().select(
-        F.lit("current").alias("snapshot"), "user_id", "n_events"
-    )
+
+    def _snap(df, label):
+        return df.select(
+            F.lit(label).alias("snapshot"), "user_id", "n_events"
+        )
+
+    def _empty(label):
+        # an UpsertTable that never saw a row reads back as None — the
+        # correct result is the 0-row frame with the READ-BACK schema
+        # (parquet makes data columns nullable, unlike count())
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("snapshot", T.StringType(), False),
+                    T.StructField(
+                        "user_id", v1.schema["user_id"].dataType, True
+                    ),
+                    T.StructField("n_events", T.LongType(), True),
+                ]
+            ),
+        )
+
+    old_df = tbl.read(version=m1["version"]) if m1 is not None else None
+    cur_df = tbl.read()
+    old = _snap(old_df, "v1") if old_df is not None else _empty("v1")
+    cur = _snap(cur_df, "current") if cur_df is not None else _empty("current")
     return old.unionByName(cur)
 
 

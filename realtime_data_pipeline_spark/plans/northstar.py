@@ -1553,14 +1553,17 @@ def q_ann_recall_report(spark, sf_dir):
     # objective history.  The booleans come out of REAL training; the
     # oracle pins what must always be true of a correct implementation.
     # n_assigned counts exactly the rows kmeans.normalized_points
-    # keeps: nonzero-norm embeddings (list_sum mirrors Spark's
-    # aggregate-of-squares null propagation — a NULL embedding or a
-    # NULL element yields NULL > 0 = false in both engines), so parity
-    # holds even if a regenerated fixture gains null/zero-norm rows.
+    # keeps: nonzero-norm embeddings with no NULL element.  Spark's
+    # aggregate-of-squares fold propagates a NULL ELEMENT to a NULL
+    # norm (row dropped), but DuckDB's list_sum SKIPS NULL elements
+    # like SQL SUM (element-NULL harness, r7) — the oracle needs the
+    # explicit all-elements-present predicate; a whole-NULL embedding
+    # is NULL > 0 = false in both engines either way.
     """
     SELECT CAST(8 AS INTEGER) AS k,
            count(*) FILTER (
                WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
+                 AND list_aggregate(embedding, 'count') = len(embedding)
            ) AS n_assigned,
            TRUE AS monotone_objective,
            TRUE AS improved_over_init

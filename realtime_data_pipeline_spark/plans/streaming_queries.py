@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import tempfile
+from realtime_data_pipeline_spark.scratch import scratch_dir
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -56,7 +56,7 @@ def q_streaming_replay_user_counts(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("timestamp"),
     ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
 
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     # Single file → all real events in one micro-batch, so no intermediate
     # watermark advance can drop out-of-order rows; the sentinel's own
@@ -102,7 +102,7 @@ def _replay_dir(events, spark, schema, duplicate: bool = False):
     """Write events (optionally doubled — simulated at-least-once
     redelivery) as batch 1, then a far-future sentinel as batch 2 that
     advances the watermark past every real window."""
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     payload = events.unionAll(events) if duplicate else events
     payload.coalesce(1).write.mode("overwrite").parquet(replay)
@@ -236,7 +236,7 @@ def q_streaming_click_purchase_join(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("timestamp"),
     ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
 
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     events.coalesce(1).write.mode("overwrite").parquet(replay)
     # Sentinel rows pass BOTH event-type filters so the watermark of each
@@ -411,7 +411,7 @@ def q_streaming_json_wire_counts(spark, sf_dir):
             ).alias("value")
         )
 
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     to_wire(events).coalesce(1).write.mode("overwrite").text(replay)
     max_ts = events.agg(F.max("timestamp")).collect()[0][0]
@@ -467,7 +467,7 @@ def q_streaming_purchase_attribution_outer(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("timestamp"),
     ).where(F.col("user_id").isNotNull() & F.col("timestamp").isNotNull())
 
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     events.coalesce(1).write.mode("overwrite").parquet(replay)
     max_ts = events.agg(F.max("timestamp")).collect()[0][0]
@@ -568,7 +568,7 @@ def q_streaming_doc_quality_counts(spark, sf_dir):
     from realtime_data_pipeline_spark.plans.registry import _t
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     # two files → two micro-batches, so the update-mode upsert provably
     # overwrites batch-1 partials with the converged totals
@@ -643,7 +643,7 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     from realtime_data_pipeline_spark.streaming import incremental_dedup as inc
 
     docs = _t(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     # Three id-ordered micro-batches (one file each, maxFilesPerTrigger=1
     # processes them in write order): cross-batch drops then always point
@@ -758,7 +758,7 @@ def q_streaming_corpus_materialized_stats(spark, sf_dir):
     from realtime_data_pipeline_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="rdp_corpus_")
+    base = scratch_dir(prefix="rdp_corpus_")
     replay = os.path.join(base, "replay")
     docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
         "overwrite"
@@ -841,7 +841,7 @@ def q_streaming_enriched_segment_counts(spark, sf_dir):
         )
         .where(F.col("timestamp").isNotNull())
     )
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     events.coalesce(1).write.mode("overwrite").parquet(replay)
     max_ts = events.agg(F.max("timestamp")).collect()[0][0]
@@ -1027,7 +1027,7 @@ def q_streaming_model_scored_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", "text"
     )
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     half = docs.where(F.col("doc_id") % 2 == 0)
     half.coalesce(1).write.mode("overwrite").parquet(replay)
@@ -1087,7 +1087,7 @@ def q_streaming_frequent_terms(spark, sf_dir):
     from realtime_data_pipeline_spark.plans.registry import _t
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="rdp_stream_")
+    base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     # two files → two micro-batches: the update-mode upsert provably
     # overwrites batch-1 partial counts with converged totals

@@ -56,85 +56,22 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFram
 
 # --- transformWithStateInPandas (Spark 4 stateful-processor API) -----------
 #
-# API DEMO ONLY — NOT counted as an implemented operator (r6
-# downgrade).  Gated on BOTH the PySpark API and a functional
-# google.protobuf: the TransformWithStateInPySpark runner speaks
-# protobuf to the JVM, and this container has NO google.protobuf at
-# all (no network, no installs — re-probed r6: `pip download` cannot
-# reach an index and no wheel exists on disk), so `user_stats_tws`
-# below has NEVER EXECUTED anywhere — its test
-# (tests/test_streaming.py::test_transform_with_state_user_stats)
-# skips, and lights up automatically if the environment ever gains
-# protobuf.  The custom-stateful operator slot is carried entirely by
-# the applyInPandasWithState twin above: the dependency-free
-# implementation of the same semantics, fully tested, with
-# streaming_running_user_totals driver-hash-checked.
-
-
-def tws_available() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
-            StatefulProcessor,
-        )
-    except ImportError:
-        return False
-    return True
-
-
-try:  # API exists in Spark 4.0+
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class UserStatsProcessor(StatefulProcessor):
-        """Per-user lifetime (total interactions, purchases) via explicit
-        ValueState — the modern replacement for applyInPandasWithState
-        (typed state handles, timers, TTL).  Requires the RocksDB state
-        store provider."""
-
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._counts = handle.getValueState(
-                "counts", "total BIGINT, purchases BIGINT"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            total, purchases = (
-                tuple(self._counts.get()) if self._counts.exists() else (0, 0)
-            )
-            for pdf in rows:
-                total += len(pdf)
-                purchases += int((pdf["interaction_type"] == "purchase").sum())
-            self._counts.update((total, purchases))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "total_interactions": [total],
-                    "n_purchases": [purchases],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
-    HAS_TWS = True
-except ImportError:  # pragma: no cover - older Spark
-    HAS_TWS = False
+# DELIBERATELY NOT IMPLEMENTED here (r6 downgrade → r7 removal).  The
+# TransformWithStateInPySpark runner speaks protobuf to the JVM, and
+# this container has no google.protobuf (no network, no installs —
+# re-probed r7), so a StatefulProcessor subclass could never execute:
+# it would be permanently-dead unverified code.  The custom-stateful
+# operator slot is carried entirely by the applyInPandasWithState
+# implementation above — the dependency-free API for the same
+# semantics (per-key state store tuples, Arrow-batched updates,
+# update-mode emission), fully tested, with
+# streaming_running_user_totals driver-hash-checked.  If the runtime
+# ever gains protobuf, the port is mechanical: the
+# _update_running_total kernel becomes a StatefulProcessor with a
+# ValueState handle (init/handleInputRows/close), and the RocksDB
+# provider below already satisfies its state-store requirement.
 
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
-
-
-def user_stats_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame:
-    """transformWithStateInPandas pipeline stage (requires RocksDB state
-    store — set spark.sql.streaming.stateStore.providerClass)."""
-    return events.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=UserStatsProcessor(),
-        outputStructType="user_id string, total_interactions bigint, "
-        "n_purchases bigint",
-        outputMode="Update",
-        timeMode="None",
-    )

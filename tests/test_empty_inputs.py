@@ -113,6 +113,12 @@ _QUERIES = [
     "large_quantity_orders",
     "idle_rich_customers",
     "csv_roundtrip_stats",
+    # round-7 rotate-ins: materialization layers (persisted ANN index,
+    # z-order rewrite, keyed-upsert time travel) must also survive a
+    # zero-row corpus
+    "ann_stored_index_topk",
+    "zorder_roundtrip_stats",
+    "upsert_time_travel_stats",
 ]
 
 

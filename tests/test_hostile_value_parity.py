@@ -108,6 +108,11 @@ _QUERIES += [
     # persistent signature store / SCD2 sink too
     "streaming_incremental_dedup",
     "streaming_scd2_user_segments",
+    # VERDICT r6 #4: the remaining driver-window streaming twins —
+    # session windows over same-ts duplicate storms, and the
+    # stream-static enrichment join over degenerate keys
+    "streaming_session_counts",
+    "streaming_enriched_segment_counts",
 ]
 
 

@@ -39,6 +39,14 @@ _NULL_RULES = {
     "embeddings": {"embedding": 7, "label": 11},
 }
 
+# ADVICE r6: whole-NULL vectors were injected above, but an embedding
+# CONTAINING a NULL element is a distinct hazard class — Arrow float64
+# conversion turns the element into NaN, and Spark ranks NaN ABOVE
+# every double while the SQL twin's NULL ranks last.  Every 29th
+# embedding row (co-prime with the whole-NULL stride 7) gets one
+# element nulled at a row-dependent position.
+_ELEMENT_NULL_STRIDE = 29
+
 # every oracle-carrying batch query — streaming replays exercise the
 # same operators through their batch twins and are skipped for runtime
 # EXCEPT the cheapest few (below), which close the loop on the
@@ -64,6 +72,10 @@ _STREAMING_NULL_QUERIES = [
     "streaming_incremental_dedup",
     "streaming_scd2_user_segments",
     "streaming_enriched_segment_counts",
+    # VERDICT r6 #4: the last driver-window streaming twin missing
+    # from this replay list — session-window merge state over
+    # NULL-riddled user ids and timestamps
+    "streaming_session_counts",
 ]
 _QUERIES += _STREAMING_NULL_QUERIES
 
@@ -85,6 +97,18 @@ def null_sf_dir(tmp_path_factory):
                     col = pc.if_else(mask, pa.nulls(n, field.type), col)
                 cols[field.name] = col
             t = pa.table(cols, schema=t.schema)
+        if name == "embeddings":
+            emb_field = t.schema.field("embedding")
+            vecs = t["embedding"].to_pylist()
+            for i in range(0, len(vecs), _ELEMENT_NULL_STRIDE):
+                if vecs[i]:  # skip whole-NULL rows from the rule above
+                    vecs[i] = list(vecs[i])
+                    vecs[i][i % len(vecs[i])] = None
+            t = t.set_column(
+                t.schema.get_field_index("embedding"),
+                emb_field,
+                pa.array(vecs, type=emb_field.type),
+            )
         pq.write_table(t, f"{d}/{name}.parquet")
     return str(d)
 

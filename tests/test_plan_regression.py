@@ -194,6 +194,28 @@ EXPECTED_SHUFFLES = {
     # the rollup + bucketed-merge shuffles run during construction
     "upsert_time_travel_stats": 0,
     "pyds_synthetic_sample": 1,  # per-type rollup over the Python source scan
+    # round-7 completion: every batch query in the driver window is
+    # pinned BEFORE its hash check (self-enforced below)
+    "status_priority_grouping_sets": 1,  # Expand feeds ONE rollup exchange
+    "segment_event_pivot": 2,  # seg-join rollup + pivot agg
+    # cell argmax assignment is map-side vs the broadcast codebook;
+    # 3 = probe-pair rank partials + the two rerank/top-k exchanges
+    "ann_ivf_assigned_topk": 3,
+    # composite recall report: exact top-5 denominator + three LSH
+    # method branches (single/multi-probe/multi-table), each with its
+    # own bucket-join + per-query rank exchanges, unioned into the
+    # 3-row report — the count is large because the REPORT is wide,
+    # not because any branch re-shuffles the corpus
+    "ann_recall_report": 44,
+    # bucket equi-join with the bounded query side broadcast; dedup of
+    # (a,b) pairs folds into the broadcast-side distinct — zero
+    # data-sized exchanges
+    "embedding_near_dups_lsh": 0,
+    # exact-dup rollup + LSH candidate chain reuses the persisted
+    # shingle subtree; CC supersteps run during construction
+    "corpus_curation_stats": 4,
+    "large_quantity_orders": 1,  # quantity-sum semi-join folds into rollup
+    "idle_rich_customers": 2,  # anti-join build + customer rollup
 }
 
 
@@ -206,6 +228,24 @@ def _shuffles(df) -> int:
         and "BroadcastExchange" not in line
         and "reuse" not in line.lower()
     )
+
+
+def test_every_driver_window_query_is_shuffle_pinned():
+    """Self-enforcement (VERDICT r6 #7): rotation cannot promote a
+    batch query into the driver window without a shuffle-count pin —
+    its plan shape must be inventoried BEFORE its first hash check.
+    Streaming twins are excluded: they execute queries against sinks
+    during construction, so a single executedPlan snapshot cannot
+    represent them (their shapes are pinned by the streaming tests)."""
+    from realtime_data_pipeline_spark.plans import _DRIVER_WINDOW
+
+    streaming = {
+        n
+        for n in _DRIVER_WINDOW
+        if "streaming" in (REGISTRY[n].tags or ())
+    }
+    missing = set(_DRIVER_WINDOW) - streaming - set(EXPECTED_SHUFFLES)
+    assert not missing, sorted(missing)
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTED_SHUFFLES))

@@ -232,37 +232,6 @@ def test_multi_query_fanout(spark, tmp_path):
         assert streamed == batch and len(streamed) > 0, key
 
 
-def test_transform_with_state_user_stats(spark, tmp_path):
-    """transformWithStateInPandas (Spark 4 StatefulProcessor API): per-
-    user lifetime stats via explicit ValueState.  Skipped where the
-    protobuf runtime the TWS runner needs is unavailable."""
-    import pytest as _pytest
-
-    from realtime_data_pipeline_spark.streaming import stateful
-
-    if not stateful.tws_available():
-        _pytest.skip("transformWithStateInPandas needs google.protobuf")
-
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", stateful.ROCKSDB_PROVIDER
-    )
-    t0 = dt.datetime(2024, 6, 1)
-    rows = [("user_1", "i", "click", t0), ("user_1", "i", "purchase", t0),
-            ("user_2", "i", "view", t0)]
-    replay = str(tmp_path / "replay")
-    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(replay)
-    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
-    out = stateful.user_stats_tws(stream)
-    table = UpsertTable(spark, str(tmp_path / "table"), ["user_id"])
-    q = start_upsert_query(
-        out, table, str(tmp_path / "ckpt"), "tws",
-        trigger_available_now=True, output_mode="update",
-    )
-    q.awaitTermination(180)
-    got = sorted(tuple(r) for r in table.read().collect())
-    assert got == [("user_1", 2, 1), ("user_2", 1, 0)]
-
-
 def test_windowed_agg_on_rocksdb_state_store(spark, tmp_path):
     """The 100 TB state path: the same watermark+window+upsert pipeline
     must produce identical results on the RocksDB state store provider
