@@ -78,6 +78,44 @@ def main() -> None:
         timings[spec.name] = round(min(runs), 3)
         medians[spec.name] = round(statistics.median(runs), 3)
 
+    # Scale-curve probe (VERDICT r6 #3): re-time every bench query at a
+    # 10x-smaller scale factor in the SAME process and report the
+    # per-query time ratio.  The plan-shape pins say each query LOOKS
+    # linear; this measures it — a query whose large/small ratio
+    # materially exceeds the data-volume ratio is superlinear in data
+    # volume (the iterative operators, pagerank and corpus_curation,
+    # are the interesting rows).  Ratios hover BELOW the data ratio
+    # when per-query fixed overhead (session round-trips, plan
+    # analysis, Python worker startup) dominates the small-scale run.
+    probe_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01"
+    )
+    scale_curve: dict[str, dict] = {}
+    sf_large, sf_small = _sf_from_dir(SF_DIR), _sf_from_dir(probe_dir)
+    if (
+        os.path.isdir(probe_dir)
+        and probe_dir != SF_DIR
+        and sf_large > 0
+        and sf_small > 0
+    ):
+        probe_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+        for spec in bench_specs:
+            runs = []
+            for _ in range(probe_runs):
+                t0 = time.perf_counter()
+                spec.fn(spark, probe_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            t_small = min(runs)
+            scale_curve[spec.name] = {
+                "t_small": round(t_small, 3),
+                "ratio": round(timings[spec.name] / t_small, 2)
+                if t_small > 0
+                else None,
+            }
+
     out = {
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 3),
@@ -95,6 +133,10 @@ def main() -> None:
         # adds to even pure-lazy queries.
         "timing": "construct+execute",
         "sf": _sf_from_dir(SF_DIR),
+        # per-query time ratio vs the 10x-smaller probe scale; the
+        # data-volume ratio is sf / scale_probe_sf
+        "scale_probe_sf": sf_small if scale_curve else None,
+        "scale_curve": scale_curve,
     }
     print(json.dumps(out))
     spark.stop()
