@@ -176,8 +176,18 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #   ann_stored_index_topk, zorder_roundtrip_stats,
 #   upsert_time_travel_stats.
 #
+# Registry changes r7 (VERDICT r6 #2 audit): top_terms RETIRED
+# (explode->doc-freq->top-k strictly contained in tfidf_top_terms' IDF
+# build and frequent_terms_report) and status_priority_cube RETIRED
+# (cube() is sugar over the same Expand operator
+# status_priority_grouping_sets hash-checks, with GROUPING-id on
+# top).  One genuine gap-fill ADDED: synthetic_events_batch_sample —
+# the md5-deterministic face of the spark.range batch generator
+# (VERDICT r6 #5), giving the S1 batch variant a value-level hash
+# oracle; queued for a future rotation.
+#
 # Remaining never-checked pool for round 8+: doc_length_buckets,
-# top_terms, value_stats_by_type, status_priority_cube,
+# value_stats_by_type, synthetic_events_batch_sample,
 # json_wire_roundtrip, approx_distinct_users, multimodal_frame_stats,
 # synthetic_events_sample, streaming_doc_quality_counts, the round-5
 # analytics module (bigram_lm_report, doc_lm_scores,

@@ -76,28 +76,12 @@ def q_event_dedup_counts(spark, sf_dir):
     )
 
 
-@register(
-    "status_priority_cube",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM orders
-    GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    """,
-    doc="full cube grouping sets over orders (all 4 grouping combinations)",
-)
-def q_status_priority_cube(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_price"),
-        )
-    )
+# status_priority_cube RETIRED r7 (VERDICT r6 #2): cube() is sugar for
+# grouping sets over the same Expand-based physical operator that
+# status_priority_grouping_sets hash-checks (with GROUPING-id
+# disambiguation on top); the cube's extra base-grain set is the plain
+# groupBy shape every rollup query already covers.  No distinct
+# operator -> no registry slot.
 
 
 @register(
@@ -189,6 +173,73 @@ def q_synthetic_events_sample(spark, sf_dir):
             F.col("user_id").startswith("user_")
             & F.col("item_id").startswith("item_")
         ).alias("keys_wire_shaped"),
+    )
+
+
+@register(
+    "synthetic_events_batch_sample",
+    # The deterministic face of the same generator (VERDICT r6 #5:
+    # the pyds_synthetic_sample trick applied to the spark.range batch
+    # source): every field an md5-derived pure function of the row id,
+    # so the oracle RECOMPUTES the generator in SQL and the hash
+    # proves the range-partitioned generation path end to end —
+    # codegen md5/conv arithmetic, wire-shape key formatting (parsed
+    # back off the user_/item_ strings), 1-based type indexing, and
+    # the id→timestamp arithmetic.
+    """
+    WITH g AS (SELECT i,
+                      ('0x' || substr(md5(CAST(i AS VARCHAR) || ':u'), 1, 8))
+                          ::BIGINT % 1000 + 1 AS u,
+                      ('0x' || substr(md5(CAST(i AS VARCHAR) || ':i'), 1, 8))
+                          ::BIGINT % 100 + 1 AS itm,
+                      ('0x' || substr(md5(CAST(i AS VARCHAR) || ':t'), 1, 8))
+                          ::BIGINT % 5 AS tix,
+                      TIMESTAMP '2024-01-01 00:00:00'
+                          + i * INTERVAL '1 second' AS ts
+               FROM range(10000) r(i))
+    SELECT ['click', 'view', 'purchase', 'like', 'add_to_cart'][tix + 1]
+               AS interaction_type,
+           count(*) AS n_events,
+           count(DISTINCT u) AS n_users,
+           CAST(min(u) AS BIGINT) AS min_user,
+           CAST(max(u) AS BIGINT) AS max_user,
+           CAST(min(itm) AS BIGINT) AS min_item,
+           CAST(max(itm) AS BIGINT) AS max_item,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM g GROUP BY interaction_type
+    """,
+    doc="S1 batch variant, hash-checked (sources/synthetic.py "
+    "deterministic=True): spark.range + md5-of-id expressions — same "
+    "wire shape and domains as the rand() path that "
+    "synthetic_events_sample invariant-checks, but a pure function of "
+    "the id, rolled up per interaction type with parsed key ordinals "
+    "and the generated time range",
+)
+def q_synthetic_events_batch_sample(spark, sf_dir):
+    from realtime_data_pipeline_spark.sources.synthetic import (
+        synthetic_events_batch,
+    )
+
+    df = synthetic_events_batch(
+        spark,
+        10_000,
+        user_range=1000,
+        item_range=100,
+        num_partitions=8,
+        deterministic=True,
+    )
+    user_n = F.substring("user_id", 6, 12).cast("long")
+    item_n = F.substring("item_id", 6, 12).cast("long")
+    return df.groupBy("interaction_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(user_n).alias("n_users"),
+        F.min(user_n).alias("min_user"),
+        F.max(user_n).alias("max_user"),
+        F.min(item_n).alias("min_item"),
+        F.max(item_n).alias("max_item"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
     )
 
 
@@ -502,33 +553,12 @@ def q_segment_event_pivot(spark, sf_dir):
     )
 
 
-@register(
-    "top_terms",
-    """
-    SELECT token, count(*) AS doc_freq
-    FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
-          FROM documents)
-    GROUP BY token
-    ORDER BY doc_freq DESC, token
-    LIMIT 50
-    """,
-    doc="term statistics: explode distinct tokens per doc, document "
-    "frequency per term, top-50 — the inverted-index/vocabulary-build "
-    "shape (explode → one shuffle on token)",
-)
-def q_top_terms(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            F.explode(
-                F.array_distinct(F.split(F.trim("text"), r"\s+"))
-            ).alias("token")
-        )
-        .groupBy("token")
-        .agg(F.count("*").alias("doc_freq"))
-        .orderBy(F.desc("doc_freq"), "token")
-        .limit(50)
-    )
+# top_terms RETIRED r7 (VERDICT r6 #2): its explode -> distinct-token
+# doc-frequency -> top-k shape is strictly contained in
+# tfidf_top_terms (whose IDF is built FROM the per-term document
+# frequency) and in frequent_terms_report (the scale path for the
+# same vocabulary question); term_postings_stats pins the
+# inverted-index rollup besides.  No distinct operator -> no slot.
 
 
 @register(

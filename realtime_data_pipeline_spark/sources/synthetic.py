@@ -63,15 +63,68 @@ def synthetic_events_stream(
     return reader.load().select(_event_columns(user_range, item_range))
 
 
+BASE_TS = "2024-01-01 00:00:00"
+
+
+def _h32_col(seed: str) -> Column:
+    """First 8 md5 hex digits of "<id>:<seed>" as a non-negative long —
+    JVM-side twin of pydatasource._h32, reproducible in DuckDB as
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':<seed>'), 1, 8))::BIGINT."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _deterministic_event_columns(
+    user_range: int, item_range: int
+) -> list[Column]:
+    """Every field an md5-derived pure function of the row id (the
+    pyds_synthetic_sample trick, VERDICT r6 #5): same wire shape and
+    domains as the rand() path, but hash-checkable against a SQL
+    oracle recomputing the generator — still all JVM-side expressions
+    in one codegen stage, no Python."""
+    types = F.array(*[F.lit(t) for t in INTERACTION_TYPES])
+    return [
+        F.concat(
+            F.lit("user_"),
+            (_h32_col("u") % user_range + 1).cast("string"),
+        ).alias("user_id"),
+        F.concat(
+            F.lit("item_"),
+            (_h32_col("i") % item_range + 1).cast("string"),
+        ).alias("item_id"),
+        F.element_at(
+            types,
+            (_h32_col("t") % len(INTERACTION_TYPES) + 1).cast("int"),
+        ).alias("interaction_type"),
+        F.expr(
+            f"timestampadd(SECOND, id, TIMESTAMP_NTZ '{BASE_TS}')"
+        ).alias("timestamp"),
+    ]
+
+
 def synthetic_events_batch(
     spark: SparkSession,
     n: int,
     user_range: int = 100_000,
     item_range: int = 10_000,
     num_partitions: int | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
-    """Batch variant: spark.range(n) + the same event expressions."""
+    """Batch variant: spark.range(n) + the same event expressions.
+
+    deterministic=True swaps rand() for md5-of-id fields (identical
+    shape/domains, pure function of the row id) so the batch generator
+    itself can carry a value-level oracle."""
     rng = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+    if deterministic:
+        return rng.select(_deterministic_event_columns(user_range, item_range))
     return rng.select(
         F.current_timestamp().alias("timestamp")
     ).select(_event_columns(user_range, item_range))

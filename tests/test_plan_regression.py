@@ -216,6 +216,9 @@ EXPECTED_SHUFFLES = {
     "corpus_curation_stats": 4,
     "large_quantity_orders": 1,  # quantity-sum semi-join folds into rollup
     "idle_rich_customers": 2,  # anti-join build + customer rollup
+    # countDistinct(user) expands to a (type,user) pre-distinct
+    # exchange + the per-type rollup over the generated range scan
+    "synthetic_events_batch_sample": 2,
 }
 
 
