@@ -176,6 +176,36 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #   ann_stored_index_topk, zorder_roundtrip_stats,
 #   upsert_time_travel_stats.
 #
+# Round-8 rotation queue (PRE-VERIFIED r7: every planned-in name is
+# green in the full-registry driver-strength sweep at sf0.01 under
+# engine-default, Asia/Kathmandu, shuffle=3, and combined configs,
+# plus the NULL / hostile-value / empty-input harnesses; plan pins and
+# replay-list coverage added this round — promote after CORRECTNESS_r07
+# lands green, then re-run scripts/full_parity_sweep.py once).
+# Planned OUT (>=2-round hash-green if r7 lands green, each family
+# still driver-covered by a sibling kept in):
+#   part_type_revenue_share, forecast_revenue_change,
+#   hll_partitioned_distinct, status_priority_grouping_sets,
+#   segment_event_pivot, purchase_click_attribution
+#   (scd2_pointintime_enrichment carries the as-of/temporal family),
+#   streaming_replay_user_counts (session/incremental-dedup/scd2/
+#   enriched streaming twins stay), minhash_dedup_candidates
+#   (corpus_curation_stats contains the full LSH chain),
+#   ann_ivf_assigned_topk (ann_stored_index_topk shares its oracle
+#   verbatim and stays), embedding_near_dups_lsh (ann_recall_report
+#   hash-checks the LSH ladder), epoch_shuffle_sample,
+#   temperature_mixture_stats, ffd_packing_report,
+#   large_quantity_orders, idle_rich_customers.
+# Planned IN (highest-value never-checked: the round-5 analytics/eval
+# wave + the streaming heavy hitters + the deterministic batch
+# source):
+#   ab_test_report, ks_drift_report, knn_label_consistency,
+#   hard_negative_report, embedding_quantization_report,
+#   minhash_calibration_report, dedup_graph_stats,
+#   term_postings_stats, bigram_lm_report, doc_lm_scores,
+#   stratified_doc_sample, event_transition_matrix, rfm_segments,
+#   streaming_frequent_terms, synthetic_events_batch_sample.
+#
 # Registry changes r7 (VERDICT r6 #2 audit): top_terms RETIRED
 # (explode->doc-freq->top-k strictly contained in tfidf_top_terms' IDF
 # build and frequent_terms_report) and status_priority_cube RETIRED

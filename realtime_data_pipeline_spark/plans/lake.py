@@ -125,19 +125,33 @@ _RANGE_US = 86_400_000_000  # 24 hours in microseconds
      AND epoch_us(v.ts) < epoch_us(p.ts)
     GROUP BY 1, 2, 3
     """,
-    doc="big×big time-range join without a nested loop: count same-item "
-    "view events in the 24h before each purchase.  A bare range "
-    "predicate would force BroadcastNestedLoopJoin (quadratic, "
-    "un-broadcastable at 100 TB); instead both sides bucket on "
-    "floor(epoch_us/24h) — a view lands in exactly one bucket, a "
-    "purchase's window spans exactly two consecutive buckets "
-    "(explode of 2) — so the physical join is an EQUI-join on "
-    "(item, bucket) with the range check as a residual filter.  "
-    "Fan-out is a fixed 2×, the bucket width is the query's own range "
-    "(the standard interval-bucketing identity), and skew follows "
-    "item popularity (saltable like any hot equi-key).  The as-of "
-    "variant is purchase_click_attribution; this is the "
-    "count-in-window variant",
+    doc="big×big time-range COUNT in guaranteed-linear time: count "
+    "same-item view events in the 24h before each purchase.  Three "
+    "shapes were measured before this one (r7 scale probe, 1M→10M "
+    "rows): a bare range predicate plans BroadcastNestedLoopJoin; the "
+    "(item, 24h-bucket) equi-join with residual filter is never a "
+    "nested loop but still materializes |P_cell|×|V_cell| pairs per "
+    "cell — 53x cost across 10x data (cell density grows with volume "
+    "over a fixed item vocabulary); and a sliding RANGE window frame "
+    "[-24h, -1us) is no better (86x) because Spark re-aggregates the "
+    "whole frame buffer per row — sliding aggregate frames have no "
+    "inverse-function removal, so the cost is O(rows × frame "
+    "density).  The linear form is PREFIX-COUNT DIFFERENCING: "
+    "n_views[t-24h, t) = V(<t) − V(<t−24h), where V is a running "
+    "views-seen count over each item's timeline — a GROWING frame "
+    "(RANGE UNBOUNDED PRECEDING TO -1 us), which Spark maintains "
+    "incrementally.  Each purchase contributes two probe rows (+1 at "
+    "its own timestamp, −1 at timestamp−24h) into the per-item "
+    "timeline; the signed per-probe running counts sum to the window "
+    "count.  ONE exchange on item + sort + incremental window, then "
+    "one purchase-keyed rollup of exactly 2 rows each — every stage "
+    "linear, probe-verified ~2x across 10x data.  NULL-item purchases "
+    "bypass the timeline (SQL's equi-join drops them; a Spark window "
+    "would bucket NULLs together) and emit count 0 directly.  Skew "
+    "follows item popularity — the hot-key posture is time-chunked "
+    "partitioning (item, coarse-chunk) with boundary-tail "
+    "replication.  The as-of variant is purchase_click_attribution; "
+    "this is the count-in-window variant",
     bench=True,
 )
 def q_purchase_window_views(spark, sf_dir):
@@ -150,37 +164,71 @@ def q_purchase_window_views(spark, sf_dir):
         # plans/training.py:518 convention for epoch_us parity)
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    purchases = e.where(F.col("event_type") == "purchase")
-    views = e.where(F.col("event_type") == "view").select(
-        F.col("item").alias("v_item"),
-        F.col("us").alias("v_us"),
-        (F.col("us") - F.col("us") % F.lit(_RANGE_US)).alias("v_bucket"),
-        F.col("event_id").alias("v_id"),
-    )
-    # a 24h look-back window overlaps exactly two 24h-wide buckets
-    probed = purchases.select(
-        "event_id",
+    views = e.where(
+        (F.col("event_type") == "view") & F.col("item").isNotNull()
+    ).select(
         "item",
-        F.col("ts").alias("purchase_ts"),
         "us",
+        F.lit(1).alias("is_view"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        F.lit(0).cast("long").alias("sign"),
+    )
+    purchases = e.where(
+        (F.col("event_type") == "purchase") & F.col("item").isNotNull()
+    )
+    # +1 probe at the purchase instant (counts views strictly before
+    # it), −1 probe at instant−24h (cancels views strictly before the
+    # window opens — a view AT exactly t−24h is inclusive and stays)
+    probes = purchases.select(
+        "item",
         F.explode(
             F.array(
-                F.col("us") - F.col("us") % F.lit(_RANGE_US),
-                F.col("us") - F.col("us") % F.lit(_RANGE_US) - F.lit(_RANGE_US),
+                F.struct(F.col("us").alias("us"), F.lit(1).alias("sign")),
+                F.struct(
+                    (F.col("us") - F.lit(_RANGE_US)).alias("us"),
+                    F.lit(-1).alias("sign"),
+                ),
             )
-        ).alias("bucket"),
+        ).alias("pr"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).select(
+        "item",
+        F.col("pr.us").alias("us"),
+        F.lit(None).cast("int").alias("is_view"),
+        "p_id",
+        "purchase_ts",
+        F.col("pr.sign").cast("long").alias("sign"),
     )
-    joined = probed.join(
-        views,
-        (F.col("v_item") == F.col("item"))
-        & (F.col("v_bucket") == F.col("bucket"))
-        & (F.col("v_us") >= F.col("us") - F.lit(_RANGE_US))
-        & (F.col("v_us") < F.col("us")),
-        "left",
+    timeline = views.unionByName(probes)
+    # growing frame: incremental accumulation, never a frame re-scan;
+    # RANGE upper bound -1 keeps same-instant rows out on BOTH probe
+    # kinds (strict < at the close, inclusive >= at the open)
+    w = (
+        Window.partitionBy("item")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    return joined.groupBy("event_id", "item", "purchase_ts").agg(
-        F.count("v_id").alias("n_prior_views")
+    counted = (
+        timeline.withColumn("v_lt", F.count("is_view").over(w))
+        .where(F.col("p_id").isNotNull())
+        .groupBy(F.col("p_id").alias("event_id"), "item", "purchase_ts")
+        .agg(F.sum(F.col("sign") * F.col("v_lt")).alias("n_prior_views"))
     )
+    # SQL's v.item = p.item never matches a NULL item, but the LEFT
+    # join keeps the purchase row with count 0 — emit those directly
+    null_item = (
+        e.where(
+            (F.col("event_type") == "purchase") & F.col("item").isNull()
+        ).select(
+            "event_id",
+            "item",
+            F.col("ts").alias("purchase_ts"),
+            F.lit(0).cast("long").alias("n_prior_views"),
+        )
+    )
+    return counted.unionByName(null_item)
 
 
 # ---------------------------------------------------------------------------

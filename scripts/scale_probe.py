@@ -1,0 +1,168 @@
+"""Measured scale curve one-to-two orders ABOVE the shipped testdata.
+
+The plan-shape pins and bench.py's sf0.01-vs-sf0.1 ratio argue every
+query is linear in data volume, but sf0.1 is only 100k events — fixed
+per-query overhead dominates and a mildly superlinear operator could
+hide.  This probe generates a DETERMINISTIC events table at sf1- and
+sf10-equivalent volumes (1M / 10M rows — the md5-of-id generator from
+sources/synthetic.py shaped to the events schema, including the
+props item key and a 30-day out-of-order timestamp spread), stages a
+star-schema dir (generated events + the sf0.1 dimensions), and times
+the event-heavy headline queries at both scales.
+
+Interpretation: ratio_10x is each query's time ratio across a 10x row
+ratio.  Linear-or-better queries land at or below ~10 once the data
+dwarfs fixed overhead; the iterative/join-heavy rows
+(purchase_window_views, pagerank_top_items, user_session_stats) are
+the ones worth watching.
+
+Usage: python scripts/scale_probe.py [--rows-small 1000000]
+       [--rows-large 10000000] [--runs 2] [--queries a,b,c]
+Prints one JSON line per scale plus a final ratios line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from realtime_data_pipeline_spark.scratch import scratch_dir  # noqa: E402
+from realtime_data_pipeline_spark.session import (  # noqa: E402
+    default_parallelism,
+    get_spark,
+)
+from realtime_data_pipeline_spark.tables import TABLE_NAMES  # noqa: E402
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# event-table-heavy bench/driver queries: window agg, sessionization,
+# funnel, sequence, per-key argmax, dedup rollup, the big x big
+# time-range join, and the iterative graph operator
+DEFAULT_QUERIES = [
+    "sliding_user_counts",
+    "latest_event_per_user",
+    "event_dedup_counts",
+    "user_session_stats",
+    "funnel_conversion",
+    "event_transition_matrix",
+    "purchase_window_views",
+    "pagerank_top_items",
+]
+
+_TYPES = "array('view', 'click', 'purchase', 'signup', 'error')"
+_DAY_US = 86_400 * 1_000_000
+
+
+def _h32(seed: str) -> str:
+    """md5-of-id 32-bit field (the sources/pydatasource.py idiom), as a
+    SQL expression over the range column `id`."""
+    return (
+        f"cast(conv(substring(md5(concat(cast(id as string), ':{seed}')), "
+        f"1, 8), 16, 10) as bigint)"
+    )
+
+
+def generate_events(spark, out_dir: str, n_rows: int) -> None:
+    """events(event_id, ts, user_id, event_type, value, props) — every
+    field an md5 pure function of the id; user cardinality scales with
+    volume at the testdata's ~66 events/user; timestamps spread
+    out-of-order over 30 days at microsecond grain."""
+    n_users = max(1, n_rows // 66)
+    df = spark.range(0, n_rows, 1, default_parallelism()).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            f"timestamp_micros(cast(unix_micros(timestamp'2024-01-01') "
+            f"+ ({_h32('s')} % (30 * {_DAY_US})) as bigint))"
+        ).cast("timestamp_ntz").alias("ts"),
+        F.expr(f"{_h32('u')} % {n_users}").alias("user_id"),
+        F.expr(f"element_at({_TYPES}, cast({_h32('t')} % 5 + 1 as int))").alias(
+            "event_type"
+        ),
+        F.expr(f"cast({_h32('v')} % 10000 as double) / 100.0").alias("value"),
+        F.expr(
+            f"concat('{{\"k\": ', cast({_h32('k')} % 100 as string), '}}')"
+        ).alias("props"),
+    )
+    df.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+def stage_star_dir(spark, n_rows: int) -> str:
+    d = scratch_dir(f"rdp_scale_{n_rows}_")
+    for name in TABLE_NAMES:
+        if name == "events":
+            continue
+        os.symlink(f"{SF01_DIR}/{name}.parquet", f"{d}/{name}.parquet")
+    generate_events(spark, d, n_rows)
+    return d
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-small", type=int, default=1_000_000)
+    ap.add_argument("--rows-large", type=int, default=10_000_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    names = [n for n in args.queries.split(",") if n]
+    n = default_parallelism()
+    spark = get_spark(
+        app_name="rdp-scale-probe",
+        master=f"local[{n}]",
+        shuffle_partitions=n,
+    )
+
+    results: dict[int, dict[str, float]] = {}
+    for n_rows in (args.rows_small, args.rows_large):
+        d = stage_star_dir(spark, n_rows)
+        timings: dict[str, float] = {}
+        for name in names:
+            REGISTRY[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm
+            spark.catalog.clearCache()
+            runs = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(min(runs), 3)
+        results[n_rows] = timings
+        print(json.dumps({"rows": n_rows, "queries": timings}), flush=True)
+
+    small, large = results[args.rows_small], results[args.rows_large]
+    data_ratio = args.rows_large / args.rows_small
+    ratios = {
+        name: round(large[name] / small[name], 2) if small[name] > 0 else None
+        for name in names
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_ratio",
+                "data_ratio": data_ratio,
+                "ratios": ratios,
+                "superlinear": sorted(
+                    n for n, r in ratios.items() if r and r > data_ratio * 1.2
+                ),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

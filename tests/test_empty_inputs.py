@@ -119,6 +119,10 @@ _QUERIES = [
     "ann_stored_index_topk",
     "zorder_roundtrip_stats",
     "upsert_time_travel_stats",
+    # staged round-8 rotate-in: reads no star-schema table (pure
+    # deterministic generator) so empty input is trivially moot, but
+    # the self-enforcement list stays exhaustive
+    "synthetic_events_batch_sample",
 ]
 
 
@@ -203,8 +207,8 @@ def test_runs_empty_with_stable_schema(spark, empty_sf_dir, name):
         # the profile must stay NUMERIC on empty input (n_nulls = 0,
         # not null — sum-over-zero-rows coalesced in the operator)
         assert all(r["n_nulls"] == 0 and r["n_distinct"] == 0 for r in rows)
-    elif name == "pyds_synthetic_sample":
-        # generator source: emits its own rows regardless of table
+    elif name in ("pyds_synthetic_sample", "synthetic_events_batch_sample"):
+        # generator sources: emit their own rows regardless of table
         # emptiness — the schema-stability assert above is the check
         assert len(rows) == 5
     else:

@@ -113,6 +113,9 @@ _QUERIES += [
     # stream-static enrichment join over degenerate keys
     "streaming_session_counts",
     "streaming_enriched_segment_counts",
+    # staged round-8 rotate-in: the streaming heavy-hitter state over
+    # empty/1-token documents
+    "streaming_frequent_terms",
 ]
 
 

@@ -76,6 +76,9 @@ _STREAMING_NULL_QUERIES = [
     # from this replay list — session-window merge state over
     # NULL-riddled user ids and timestamps
     "streaming_session_counts",
+    # staged round-8 rotate-in: update-mode additive term counts must
+    # converge to the batch MG oracle over NULL-riddled documents
+    "streaming_frequent_terms",
 ]
 _QUERIES += _STREAMING_NULL_QUERIES
 

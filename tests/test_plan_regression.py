@@ -140,10 +140,13 @@ EXPECTED_SHUFFLES = {
     "shared_chunk_report": 2,
     # round-5 lifecycle/eval module (plans/lake.py)
     "corpus_snapshot_diff": 3,  # full-outer SMJ (2 sides) + lang rollup
-    # 24h-range join via (item, bucket) equi-join: AQE broadcasts the
-    # exploded purchase side at this sf, leaving the final per-purchase
-    # rollup; at scale both sides exchange on (item, bucket) — the
-    # point is that it is never a nested loop
+    # 24h-range COUNT via prefix differencing (r7 rewrite: the
+    # (item,bucket) equi-join materialized quadratic per-cell pairs —
+    # 53x across 10x data; a sliding RANGE frame re-aggregates the
+    # frame per row — 86x; the growing-frame prefix-diff form is
+    # linear): ONE exchange on item feeds sort + incremental window,
+    # and the purchase-keyed probe rollup REUSES the item partitioning
+    # (item is in its grouping key) — no second exchange
     "purchase_window_views": 1,
     # 0 = the FINAL plan reads the localCheckpoint()ed third-iteration
     # pr relation (TakeOrdered, no exchange); the per-iteration work
@@ -343,13 +346,14 @@ EXPECTED_SCAN_SHAPES = {
         "PushedFilters: [IsNotNull(ts)]",
     ],
     "purchase_window_views": [
-        # each side's event_type constant reaches its own scan — at
-        # scale the purchase side's row groups skip everything else
-        "PushedFilters: [IsNotNull(event_type), "
-        "EqualTo(event_type,purchase)]",
+        # each timeline side's event_type constant reaches its own
+        # scan — at scale row groups holding other types are skipped;
+        # the views scan reads 3 columns (no event_id needed)
         "PushedFilters: [IsNotNull(event_type), "
         "EqualTo(event_type,view)]",
-        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,"
+        "PushedFilters: [IsNotNull(event_type), "
+        "EqualTo(event_type,purchase)]",
+        "ReadSchema: struct<ts:timestamp_ntz,"
         "event_type:string,props:string>",
     ],
     "model_eval_report": [
@@ -379,21 +383,26 @@ def test_scan_shape_pinned(spark, name):
 # ---------------------------------------------------------------------------
 
 
-def test_purchase_window_views_never_nested_loop(spark):
-    """The 24h time-range join must stay an EQUI-join on (item, time
-    bucket) with the range predicate as a residual — a refactor that
-    drops the bucket column degrades it to BroadcastNestedLoopJoin
-    (quadratic per item at scale) without changing results or, at this
-    sf, the shuffle count."""
+def test_purchase_window_views_growing_frame_no_pair_join(spark):
+    """The 24h time-range count must stay prefix-count differencing
+    over a GROWING range frame (incrementally maintained).  Two
+    measured regressions this pin forbids (r7 scale probe, 1M→10M
+    rows): a pair-producing join — even the (item, bucket) equi-join
+    form — materializes quadratic per-cell intermediates (53x across
+    10x data), and a SLIDING range frame re-aggregates the frame
+    buffer per row because aggregate frames have no inverse-function
+    removal (86x).  A bare range predicate degrades further to
+    BroadcastNestedLoopJoin."""
     spark.catalog.clearCache()
     df = REGISTRY["purchase_window_views"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
-    # the bucket equality is the join key, the time range the residual
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
-        plan[:3000]
-    )
+    # no join at all, and the frame is growing (unbounded lower bound),
+    # never sliding
+    assert "Join" not in plan, plan[:3000]
+    assert "RangeFrame, unboundedpreceding$(), -1" in plan, plan[:3000]
+    assert "RangeFrame, -86400000000" not in plan, plan[:3000]
 
 
 def test_pagerank_lineage_truncated_per_superstep(spark):
