@@ -44,7 +44,8 @@ SF01_DIR = "/root/testdata/sf0.1"
 
 # event-table-heavy bench/driver queries: window agg, sessionization,
 # funnel, sequence, per-key argmax, dedup rollup, the big x big
-# time-range join, and the iterative graph operator
+# time-range count, and the iterative graph operator — plus the
+# documents-table heavies (the 100 TB dedup/text path)
 DEFAULT_QUERIES = [
     "sliding_user_counts",
     "latest_event_per_user",
@@ -54,6 +55,12 @@ DEFAULT_QUERIES = [
     "event_transition_matrix",
     "purchase_window_views",
     "pagerank_top_items",
+    "text_metrics",
+    "minhash_dedup_candidates",
+    "frequent_terms_report",
+    "benchmark_contamination",
+    "doc_crossdup_rates",
+    "corpus_curation_stats",
 ]
 
 _TYPES = "array('view', 'click', 'purchase', 'signup', 'error')"
@@ -93,13 +100,50 @@ def generate_events(spark, out_dir: str, n_rows: int) -> None:
     df.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
-def stage_star_dir(spark, n_rows: int) -> str:
+def generate_documents(spark, out_dir: str, n_docs: int) -> None:
+    """documents(doc_id, text, lang, source, n_chars) at probe scale:
+    ~50-token texts over a zipf-ish vocabulary (25% of draws from a
+    50-word head, the rest from a 5000-word tail), 5 langs, 20
+    sources.  Every 10th doc REPEATS its decade-leader's token stream
+    with only the position-index salt changed on the last 5 tokens —
+    planted near-duplicate structure so the dedup operators do real
+    candidate work at every scale instead of hashing unique noise."""
+    base = "cast(id - (id % 10) as string)"  # decade leader's stream
+    tok = (
+        # position-salted 32-bit hash of (leader, pos) for the first
+        # 45 tokens, of (self, pos) for the last 5 — near-dups share a
+        # 45-token prefix
+        f"cast(conv(substring(md5(concat("
+        f"  if(p < 45, {base}, cast(id as string)), ':', cast(p as string)"
+        f")), 1, 8), 16, 10) as bigint)"
+    )
+    text = (
+        f"array_join(transform(sequence(0, 49), p -> "
+        f"if(({tok}) % 4 = 0, concat('hot', cast(({tok}) % 50 as string)), "
+        f"concat('w', cast(({tok}) % 5000 as string)))), ' ')"
+    )
+    df = spark.range(0, n_docs, 1, default_parallelism()).select(
+        F.col("id").alias("doc_id"),
+        F.expr(text).alias("text"),
+        F.expr(
+            f"element_at(array('en','de','fr','es','zh'), "
+            f"cast({_h32('lang')} % 5 + 1 as int))"
+        ).alias("lang"),
+        F.expr(f"concat('src', cast({_h32('src')} % 20 as string))").alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def stage_star_dir(spark, n_rows: int, n_docs: int) -> str:
     d = scratch_dir(f"rdp_scale_{n_rows}_")
     for name in TABLE_NAMES:
-        if name == "events":
+        if name in ("events", "documents"):
             continue
         os.symlink(f"{SF01_DIR}/{name}.parquet", f"{d}/{name}.parquet")
     generate_events(spark, d, n_rows)
+    generate_documents(spark, d, n_docs)
     return d
 
 
@@ -107,6 +151,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-small", type=int, default=1_000_000)
     ap.add_argument("--rows-large", type=int, default=10_000_000)
+    # testdata keeps a 20:1 events:documents ratio — preserve it
+    ap.add_argument("--docs-small", type=int, default=50_000)
+    ap.add_argument("--docs-large", type=int, default=500_000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     args = ap.parse_args()
@@ -122,8 +169,11 @@ def main() -> None:
     )
 
     results: dict[int, dict[str, float]] = {}
-    for n_rows in (args.rows_small, args.rows_large):
-        d = stage_star_dir(spark, n_rows)
+    for n_rows, n_docs in (
+        (args.rows_small, args.docs_small),
+        (args.rows_large, args.docs_large),
+    ):
+        d = stage_star_dir(spark, n_rows, n_docs)
         timings: dict[str, float] = {}
         for name in names:
             REGISTRY[name].fn(spark, d).write.format("noop").mode(
