@@ -214,11 +214,17 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # top).  One genuine gap-fill ADDED: synthetic_events_batch_sample —
 # the md5-deterministic face of the spark.range batch generator
 # (VERDICT r6 #5), giving the S1 batch variant a value-level hash
-# oracle; queued for a future rotation.
+# oracle; queued for a future rotation.  Late-r7 continuation of the
+# same audit: approx_distinct_users RETIRED — its entire check
+# (exact count + built-in approx_count_distinct within-5% envelope)
+# is absorbed as hll_partitioned_distinct's hllpp_within_5pct column,
+# so the driver-window sketch entry now hash-checks BOTH HLL
+# implementations (DataSketches agg/union + built-in HLL++) in one
+# global pass.
 #
 # Remaining never-checked pool for round 8+: doc_length_buckets,
 # value_stats_by_type, synthetic_events_batch_sample,
-# json_wire_roundtrip, approx_distinct_users, multimodal_frame_stats,
+# json_wire_roundtrip, multimodal_frame_stats,
 # synthetic_events_sample, streaming_doc_quality_counts, the round-5
 # analytics module (bigram_lm_report, doc_lm_scores,
 # term_postings_stats, stratified_doc_sample, rolling_daily_revenue,

@@ -244,33 +244,6 @@ def q_synthetic_events_batch_sample(spark, sf_dir):
 
 
 @register(
-    "approx_distinct_users",
-    # HLL sketch estimates are engine-specific, so the oracle pins the
-    # exact cardinality plus the estimate's documented error envelope
-    # (rsd=0.01 → assert within 5%, generous vs the 1% target).
-    """
-    SELECT count(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct
-    FROM events
-    """,
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
-    "cardinality (fixed-size sketch, mergeable across partitions); the "
-    "oracle asserts the estimate lands within 5% of the exact count",
-)
-def q_approx_distinct_users(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    exact = F.countDistinct("user_id")
-    est = F.approx_count_distinct("user_id", rsd=0.01)
-    return ev.agg(
-        exact.alias("exact_users"),
-        (
-            F.abs(est.cast("double") - exact.cast("double"))
-            / exact.cast("double")
-            <= 0.05
-        ).alias("approx_within_5pct"),
-    )
-
-
-@register(
     "approx_quantiles_report",
     # approx_percentile is the mergeable-sketch quantile path (GK /
     # KLL-style: fixed-size state, partial-merge across partitions —
@@ -612,14 +585,18 @@ def q_priority_metrics_unpivot(spark, sf_dir):
     """
     SELECT count(DISTINCT user_id) AS exact_users,
            TRUE AS groups_within_5pct,
-           TRUE AS union_within_5pct
+           TRUE AS union_within_5pct,
+           TRUE AS hllpp_within_5pct
     FROM events
     """,
     doc="mergeable-sketch distinct counting (Apache DataSketches HLL): "
     "per-event-type hll_sketch_agg, then hll_union_agg merges the "
     "fixed-size group sketches into the GLOBAL estimate without "
     "re-scanning raw data — the re-aggregatable rollup pattern "
-    "(daily→monthly→all-time) that count(DISTINCT) cannot do at scale",
+    "(daily→monthly→all-time) that count(DISTINCT) cannot do at scale; "
+    "also envelope-checks the BUILT-IN approx_count_distinct (HLL++, "
+    "rsd=0.01) in the same global pass (absorbed the retired "
+    "approx_distinct_users entry, r7)",
 )
 def q_hll_partitioned_distinct(spark, sf_dir):
     ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
@@ -645,7 +622,10 @@ def q_hll_partitioned_distinct(spark, sf_dir):
         F.every("ok").alias("groups_within_5pct"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
     )
-    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("hllpp_est"),
+    )
     return (
         exact.crossJoin(rollup)
         .select(
@@ -661,6 +641,14 @@ def q_hll_partitioned_distinct(spark, sf_dir):
                 / F.col("exact_users")
                 <= 0.05,
             ).alias("union_within_5pct"),
+            F.when(
+                F.col("exact_users") > 0,
+                F.abs(
+                    F.col("hllpp_est").cast("double") - F.col("exact_users")
+                )
+                / F.col("exact_users")
+                <= 0.05,
+            ).alias("hllpp_within_5pct"),
         )
     )
 
