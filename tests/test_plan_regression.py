@@ -222,6 +222,66 @@ EXPECTED_SHUFFLES = {
     # countDistinct(user) expands to a (type,user) pre-distinct
     # exchange + the per-type rollup over the generated range scan
     "synthetic_events_batch_sample": 2,
+    # late-r7 completion: EVERY oracle-carrying batch query is pinned
+    # (previously 101 of ~147; the remaining 46 below).  Counts
+    # measured cold at sf0.001 and reviewed against each docstring's
+    # declared shape before pinning.
+    "kpi_avg_user_interactions": 2,  # user rollup + 1-row mean reduce
+    "kpi_item_extrema": 2,  # item rollup + 1-row min/max reduce
+    "top_users": 1,  # user partials; top-N is TakeOrdered
+    "latest_window_top_items": 2,  # 1-row max-ts sentinel + item rollup
+    "recent_user_windows": 1,  # user partials; recent-100 is TakeOrdered
+    "null_hygiene_count": 1,  # conjunctive null filter + 1-row reduce
+    "cast_hygiene": 1,  # try_cast map + 1-row reduce
+    "event_type_stats": 2,  # (type,user) pre-distinct expand + type rollup
+    "customers_with_orders": 0,  # broadcast LEFT SEMI, no exchange
+    "customers_without_orders": 0,  # broadcast LEFT ANTI, no exchange
+    "order_priority_rollup": 1,  # rollup() Expand feeds ONE exchange
+    "nation_top_customers": 1,  # cust rollup; per-nation top is window on subset key
+    "customer_running_spend": 1,  # ONE custkey exchange feeds cumsum window
+    "click_not_error_users": 1,  # type-filtered distinct fold
+    "click_and_purchase_users": 1,  # conditional-sum rollup, no self-join
+    "event_user_segment_counts": 2,  # user rollup + segment rollup
+    "order_price_bands": 1,  # map-side CASE bands + band rollup
+    # orders rollup (customer broadcast) + two-pass range rank: range
+    # exchange + P-row offsets; the ranked subtree prints per branch
+    "customer_spend_distribution": 5,
+    "language_id": 0,  # pure map (lexicon scoring), zero exchanges
+    "doc_fingerprints": 0,  # pure map (rolling hash)
+    # 0 = final plan reads the localCheckpoint()ed CC fixpoint
+    # (supersteps run during construction, same as pagerank)
+    "dedup_clusters": 0,
+    "simhash_near_dups": 3,  # sig map; (band,bucket) lists; pair distinct
+    "ngram_jaccard_pairs": 3,  # same bucket-local pair-gen family
+    "multimodal_byte_histogram": 1,  # Arrow kernel map + one rollup
+    "multimodal_frame_stats": 1,  # strided frame kernel + one rollup
+    "ann_pandas_topk": 1,  # Arrow top-k kernel; per-query rank partials
+    # tokens repartition + df rollup + (lang,term) tf rollup + idf
+    # join + per-lang top-k window (each the vocabulary-sized relation)
+    "tfidf_top_terms": 5,
+    "doc_length_buckets": 1,  # map-side bit-bucket + bucket rollup
+    "curation_keep_best": 1,  # ONE fingerprint exchange feeds keep-best argmax
+    "embedding_dedup_clusters": 0,  # CC fixpoint read, supersteps eager
+    # multi-action Lloyd training report: final plan reads the k×dim
+    # codebook literal; iteration exchanges run during construction
+    "kmeans_codebook_report": 0,
+    "bilateral_trade_volume": 1,  # facts exchange once; both nation roles broadcast
+    "returned_revenue_top_customers": 1,  # R-filtered rollup; dims broadcast
+    "priority_shipping_stats": 1,  # conditional sums, one priority rollup
+    "customer_order_count_histogram": 2,  # cust rollup + count-of-counts rollup
+    "promo_revenue_share": 1,  # conditional share from one aggregate pass
+    "supplier_part_diversity": 2,  # (supp,part) pre-distinct + supp rollup
+    "brand_quantity_revenue": 1,  # part dim broadcast; brand rollup
+    "top_revenue_suppliers": 3,  # supp rollup; 1-row max; threshold semi back-join
+    # lineitem supplier rollup + late-only recount + 1-row total +
+    # sole-supplier pre-distinct — the anti-join rides broadcast
+    "sole_late_suppliers": 4,
+    "value_stats_by_type": 1,  # exact percentiles + decimal moments, one rollup
+    "iso_timestamp_render": 0,  # pure projection (P10/P9 render)
+    "synthetic_events_sample": 1,  # 1-row invariant reduce over generated scan
+    "small_order_parts_revenue": 2,  # part-qty rollup + revenue rollup
+    "json_wire_roundtrip": 1,  # to_json/from_json round-trip + 1-row reduce
+    "ffd_packing_stats": 1,  # (shard,lang) grouped-map FFD kernel
 }
 
 
@@ -252,6 +312,17 @@ def test_every_driver_window_query_is_shuffle_pinned():
     }
     missing = set(_DRIVER_WINDOW) - streaming - set(EXPECTED_SHUFFLES)
     assert not missing, sorted(missing)
+
+
+def test_every_batch_query_is_shuffle_pinned():
+    """Late-r7 ratchet: the pin inventory is REGISTRY-WIDE, not just
+    the driver window — registering any new batch query without a
+    shuffle-count pin fails here, so no plan ships shape-unaudited."""
+    streaming = {n for n, s in REGISTRY.items() if "streaming" in (s.tags or ())}
+    missing = set(REGISTRY) - streaming - set(EXPECTED_SHUFFLES)
+    assert not missing, sorted(missing)
+    stale = set(EXPECTED_SHUFFLES) - set(REGISTRY)
+    assert not stale, f"pins for retired queries: {sorted(stale)}"
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTED_SHUFFLES))
