@@ -123,6 +123,61 @@ _QUERIES = [
     # deterministic generator) so empty input is trivially moot, but
     # the self-enforcement list stays exhaustive
     "synthetic_events_batch_sample",
+    # late-r7 ratchet: EVERY oracle-carrying batch query runs empty,
+    # not just a per-family representative (self-enforced registry-wide
+    # below) — the remaining 52
+    "sliding_item_counts",
+    "tumbling_user_counts",
+    "kpi_avg_user_interactions",
+    "kpi_item_extrema",
+    "top_users",
+    "latest_window_top_items",
+    "recent_user_windows",
+    "null_hygiene_count",
+    "cast_hygiene",
+    "event_type_stats",
+    "top_unshipped_orders",
+    "customers_with_orders",
+    "customers_without_orders",
+    "order_priority_rollup",
+    "nation_top_customers",
+    "customer_running_spend",
+    "click_not_error_users",
+    "event_user_segment_counts",
+    "order_price_bands",
+    "salted_segment_counts",
+    "language_id",
+    "doc_fingerprints",
+    "dedup_clusters",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "ann_bruteforce_topk",
+    "multimodal_byte_histogram",
+    "multimodal_frame_stats",
+    "ann_pandas_topk",
+    "tfidf_top_terms",
+    "doc_length_buckets",
+    "bilateral_trade_volume",
+    "returned_revenue_top_customers",
+    "priority_shipping_stats",
+    "customer_order_count_histogram",
+    "promo_revenue_share",
+    "supplier_part_diversity",
+    "brand_quantity_revenue",
+    "top_revenue_suppliers",
+    "sole_late_suppliers",
+    "session_window_counts",
+    "value_stats_by_type",
+    "iso_timestamp_render",
+    "synthetic_events_sample",
+    "small_order_parts_revenue",
+    "json_wire_roundtrip",
+    "mixture_sample_stats",
+    "sequence_packing_stats",
+    "vocab_oov_rates",
+    "shard_skew_stats",
+    "weekly_cohort_retention",
+    "ffd_packing_stats",
 ]
 
 
@@ -154,6 +209,18 @@ def test_every_driver_window_query_is_empty_input_covered():
         set(_DRIVER_WINDOW) - streaming - loud_failures - set(_QUERIES)
     )
     assert not missing, sorted(missing)
+
+
+def test_every_batch_query_is_empty_input_covered():
+    """Late-r7 ratchet: empty-input coverage is REGISTRY-WIDE —
+    registering a batch query without adding it here fails, and pins
+    for retired queries must be removed."""
+    streaming = {n for n, s in REGISTRY.items() if "streaming" in (s.tags or ())}
+    loud_failures = {"kmeans_codebook_report"}
+    missing = set(REGISTRY) - streaming - loud_failures - set(_QUERIES)
+    assert not missing, sorted(missing)
+    stale = set(_QUERIES) - set(REGISTRY)
+    assert not stale, f"coverage for retired queries: {sorted(stale)}"
 
 
 def test_kmeans_codebook_raises_loudly_on_empty(spark, empty_sf_dir):
