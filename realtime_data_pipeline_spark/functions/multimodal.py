@@ -49,7 +49,9 @@ def attach_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
         F.struct(
             F.col(payload_col).cast("binary").alias("data"),
             F.lit("application/octet-stream").alias("mime"),
-            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            # octet_length, not length: the metadata claims BYTES and
+            # multibyte payloads have more UTF-8 bytes than characters
+            F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
         ),
     )
 

@@ -526,18 +526,39 @@ _D_BUCKET = f"""CAST(list_sum(list_transform(range(0, {similarity.N_PLANES}),
 
 @register(
     "multimodal_byte_histogram",
+    # BYTE-exact oracle (late r7; the old form counted CHARACTERS via
+    # regexp classes — correct only for ASCII payloads, diverging on
+    # the unicode fixture): hex(encode(text)) lays the UTF-8 bytes out
+    # as hex pairs, the high nibble at odd position p IS the byte's
+    # bucket (>> 6), so each bucket is a nibble-membership count.
     """
+    WITH h AS (SELECT lang, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    d AS (SELECT lang,
+                 coalesce(list_sum(list_transform(range(1, 2*nb, 2),
+                     p -> CASE WHEN substr(hx, p, 1) IN ('0','1','2','3')
+                               THEN 1 ELSE 0 END)), 0) AS b0,
+                 coalesce(list_sum(list_transform(range(1, 2*nb, 2),
+                     p -> CASE WHEN substr(hx, p, 1) IN ('4','5','6','7')
+                               THEN 1 ELSE 0 END)), 0) AS b1,
+                 coalesce(list_sum(list_transform(range(1, 2*nb, 2),
+                     p -> CASE WHEN substr(hx, p, 1) IN ('8','9','A','B')
+                               THEN 1 ELSE 0 END)), 0) AS b2,
+                 coalesce(list_sum(list_transform(range(1, 2*nb, 2),
+                     p -> CASE WHEN substr(hx, p, 1) IN ('C','D','E','F')
+                               THEN 1 ELSE 0 END)), 0) AS b3
+          FROM h)
     SELECT lang, count(*) AS n_docs,
-           CAST(sum(length(regexp_replace(text, '[^\\x00-\\x3f]', '', 'g'))) AS BIGINT) AS b0,
-           CAST(sum(length(regexp_replace(text, '[^\\x40-\\x7f]', '', 'g'))) AS BIGINT) AS b1,
-           CAST(sum(length(regexp_replace(text, '[^\\x80-\\xbf]', '', 'g'))) AS BIGINT) AS b2,
-           CAST(sum(length(regexp_replace(text, '[^\\xc0-\\xff]', '', 'g'))) AS BIGINT) AS b3
-    FROM documents GROUP BY lang
+           CAST(sum(b0) AS BIGINT) AS b0, CAST(sum(b1) AS BIGINT) AS b1,
+           CAST(sum(b2) AS BIGINT) AS b2, CAST(sum(b3) AS BIGINT) AS b3
+    FROM d GROUP BY lang
     """,
     doc="multimodal plumbing: opaque binary payload + metadata struct, "
     "Arrow-batched mapInPandas feature extraction (byte-bucket histogram), "
     "rollup by metadata — decode stubbed (no codecs in container), "
-    "oracle checks the histogram math on the ASCII payload",
+    "oracle recomputes the histogram over the payload's UTF-8 BYTES "
+    "(hex-pair nibble counts), exact for any unicode payload",
 )
 def q_multimodal_byte_histogram(spark, sf_dir):
     docs = multimodal.attach_media(_t(spark, sf_dir, "documents"))
@@ -546,16 +567,27 @@ def q_multimodal_byte_histogram(spark, sf_dir):
 
 @register(
     "multimodal_frame_stats",
+    # BYTE-exact oracle (late r7): frame geometry and energy over the
+    # UTF-8 byte stream via hex pairs — byte i lives at hex position
+    # 2i+1 — replacing the old per-CHARACTER ord() form that was exact
+    # only for ASCII payloads.
     f"""
+    WITH h AS (SELECT lang, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    d AS (SELECT lang,
+                 (coalesce(nb, 0) + {multimodal.FRAME_STRIDE - 1})
+                     // {multimodal.FRAME_STRIDE} AS n_frames,
+                 coalesce(list_sum(list_transform(range(0, nb),
+                     i -> CASE WHEN (i % {multimodal.FRAME_STRIDE})
+                                    < {multimodal.FRAME_BYTES}
+                               THEN ('0x' || substr(hx, 2*i + 1, 2))::BIGINT
+                               ELSE 0 END)), 0) AS energy
+          FROM h)
     SELECT lang, count(*) AS n_docs,
-           CAST(sum((length(text) + {multimodal.FRAME_STRIDE - 1})
-                    // {multimodal.FRAME_STRIDE}) AS BIGINT) AS total_frames,
-           CAST(sum(list_sum(list_transform(range(1, length(text) + 1),
-                p -> CASE WHEN ((p - 1) % {multimodal.FRAME_STRIDE})
-                               < {multimodal.FRAME_BYTES}
-                          THEN ord(substr(text, p, 1)) ELSE 0 END)))
-                AS BIGINT) AS total_energy
-    FROM documents GROUP BY lang
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(energy) AS BIGINT) AS total_energy
+    FROM d GROUP BY lang
     """,
     doc="multimodal frame-sampling plumbing: strided fixed-width windows "
     "over the binary payload (every 64 bytes, sample 32) in an Arrow "
@@ -569,13 +601,21 @@ def q_multimodal_frame_stats(spark, sf_dir):
 
 @register(
     "multimodal_audio_stats",
+    # BYTE-exact oracle (late r7): PCM amplitudes from the UTF-8 byte
+    # stream via hex pairs, not per-character ord() — exact for any
+    # unicode payload.
     f"""
-    WITH s AS (
-        SELECT lang, length(text) AS n,
-               list_transform(range(1, length(text) + 1),
-                   p -> ord(substr(text, p, 1)) - {multimodal.PCM_CENTER})
-                   AS a
+    WITH hh AS (
+        SELECT lang, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
         FROM documents WHERE text IS NOT NULL),
+    s AS (
+        SELECT lang, n,
+               list_transform(range(0, n),
+                   i -> ('0x' || substr(hx, 2*i + 1, 2))
+                            ::BIGINT - {multimodal.PCM_CENTER})
+                   AS a
+        FROM hh),
     d AS (
         SELECT lang, n,
                coalesce(list_sum(list_transform(a, x -> x * x)), 0) AS pw,

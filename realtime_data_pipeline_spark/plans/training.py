@@ -135,7 +135,11 @@ def q_train_split_counts(spark, sf_dir):
 
 
 def _src_index():
-    return F.substring(F.col("source"), 4, 8).cast("int")
+    # try_cast, not cast: a source that doesn't follow the 'srcN'
+    # convention (foreign ingest, unicode names) must fall through to
+    # the default mixture tier as NULL, not throw under ANSI mode —
+    # mirrored by TRY_CAST in _D_RATE (unicode-fixture harness)
+    return F.substring(F.col("source"), 4, 8).try_cast("int")
 
 
 def _rate_pct_col():
@@ -149,7 +153,7 @@ def _rate_pct_col():
 _D_RATE = (
     "CASE "
     + " ".join(
-        f"WHEN CAST(substr(source, 4) AS INTEGER) < {b} THEN {p}"
+        f"WHEN TRY_CAST(substr(source, 4) AS INTEGER) < {b} THEN {p}"
         for b, p in MIXTURE_TIERS
     )
     + f" ELSE {MIXTURE_DEFAULT_PCT} END"
