@@ -156,16 +156,26 @@ def main() -> None:
     ap.add_argument("--docs-large", type=int, default=500_000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    # at 100M rows the default 32 shuffle partitions put 3M+ rows in
+    # each hash-aggregate task and the default 8g heap thrashes GC —
+    # a LOCAL artifact a real cluster doesn't have (it sizes executor
+    # count and spark.sql.shuffle.partitions to the data).  These let
+    # the big-step run be configured cluster-realistically so the
+    # measured exponent reflects plan shape, not driver-heap pressure.
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--driver-mem", default=None)
     args = ap.parse_args()
 
     from realtime_data_pipeline_spark.plans.registry import REGISTRY
 
     names = [n for n in args.queries.split(",") if n]
+    if args.driver_mem:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.driver_mem
     n = default_parallelism()
     spark = get_spark(
         app_name="rdp-scale-probe",
         master=f"local[{n}]",
-        shuffle_partitions=n,
+        shuffle_partitions=args.shuffle_partitions or n,
     )
 
     results: dict[int, dict[str, float]] = {}
