@@ -3,11 +3,13 @@
 Four families, all shuffle-partitioned (no driver-side loops):
 
   exact     — md5(text) hash-groupBy; O(n), one shuffle on the hash.
-  MinHash   — k=12 permutations over 3-word shingles, banded LSH:
-              candidates = docs sharing any band bucket.  The bucket
-              join is equi-join on (band, bucket-hash) — at 100 TB this
-              is THE scalable near-dup pattern: cost is Σ bucket²
-              rather than n².
+  MinHash   — k=12 permutations over 3-word shingles, banded LSH with
+              r=2 rows per band (6 bands): candidates = docs agreeing
+              on BOTH signatures of any band.  The bucket join is
+              equi-join on (band, sig-pair) — at 100 TB this is THE
+              scalable near-dup pattern: cost is Σ bucket² rather
+              than n², and the r=2 band key keeps bucket populations
+              from growing with the corpus (see BAND_R).
   SimHash   — 32-bit frequency-weighted signature; near-dups = pairs
               within Hamming distance d (bit_count(xor)).
   Jaccard   — exact n-gram set similarity on candidate pairs produced
@@ -25,7 +27,27 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_PERMS = 12  # MinHash permutations; bands of 1 row → high recall
+N_PERMS = 12  # MinHash permutations
+
+# LSH banding: b bands of r rows; a pair becomes a candidate iff ALL r
+# signatures of some band agree, so P(candidate) = 1 - (1 - J^r)^b —
+# the classic S-curve (Leskovec/Rajaraman/Ullman, MMDS ch. 3) with
+# threshold ≈ (1/b)^(1/r).  r=1 (rounds 1-6) makes the per-band
+# collision probability equal RAW Jaccard, so every weakly-similar
+# pair — and every pair whose minimum lands on a shingle common
+# across the corpus — becomes a candidate: bucket populations grow
+# LINEARLY with corpus size and candidate pairs QUADRATICALLY, which
+# the 10×-data scale probe measured directly (22.6× time ratio at the
+# 500k→5M-doc step, scripts/scale_probe.py).  r=2, b=6 puts the
+# threshold at (1/6)^(1/2) ≈ 0.41 — right under the 0.5 est_jaccard
+# edge the dedup clustering uses — and drops a J=0.1 junk pair's
+# candidate probability from 0.72 to 0.06 while keeping planted
+# near-dups (J ≈ 0.8) at 1-(1-0.64)^6 ≈ 0.998 recall.  Buckets keyed
+# by a signature PAIR only fill when two independent permutation
+# minima agree (prob ~J² per unrelated pair), so bucket width stays
+# O(true-duplicate cluster size) as the corpus grows.
+BAND_R = 2
+N_BANDS = N_PERMS // BAND_R
 
 # Affine permutation family over ONE 32-bit base hash per shingle:
 #   sig_j = min over shingles of (A[j]·h(s) + B[j]) mod MINHASH_P
@@ -111,6 +133,35 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
 MAX_BUCKET_WIDTH = 128  # LSH buckets wider than this are boilerplate
 
 
+def lsh_band_rows(sigs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, sigs, band, b1, b2) — one row per doc per band.
+
+    THE banding scheme, shared by the batch candidate generator and
+    the incremental streaming filter so the two can never diverge: a
+    band's bucket key is the PAIR of its two consecutive permutation
+    minima (BAND_R=2 — see the constant's derivation).  The pair is
+    kept as two int64 columns rather than a combined hash so the
+    DuckDB oracle and the Python model can mirror it with exact tuple
+    equality (no re-hash collision surface).  A trailing permutation
+    when n_perms is odd contributes to the agreement estimate only,
+    never to banding.  Expects `sigs` with (doc_id, sigs:array<bigint>).
+    """
+    return sigs.select(
+        "doc_id",
+        "sigs",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.element_at("sigs", BAND_R * j + 1).alias("b1"),
+                    F.element_at("sigs", BAND_R * j + 2).alias("b2"),
+                )
+                for j in range(n_perms // BAND_R)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "sigs", "b.band", "b.b1", "b.b2")
+
+
 def minhash_candidates(
     docs: DataFrame,
     n_perms: int = N_PERMS,
@@ -118,8 +169,8 @@ def minhash_candidates(
     min_est_jaccard: float | None = None,
     max_bucket_width: int | None = MAX_BUCKET_WIDTH,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs (bands of 1 row) with the signature-
-    agreement Jaccard estimate.  Output capped deterministically when
+    """Banded-LSH candidate pairs (BAND_R=2 rows per band) with the
+    signature-agreement Jaccard estimate.  Output capped deterministically when
     `limit` is set; `min_est_jaccard` filters to strong candidates
     (the edge set for dedup clustering).
 
@@ -140,7 +191,7 @@ def minhash_candidates(
     memory (≤ cap × n_perms int64s, a few KB at cap=128).  Organic
     near-dup buckets measure ≲22 wide at sf0.1, so 128 only ever
     removes degenerate boilerplate.  Docs in a dropped bucket still
-    pair through their other n_perms-1 band buckets.  The DuckDB
+    pair through their other N_BANDS-1 band buckets.  The DuckDB
     oracle mirrors the cap (plans/northstar.py _MINHASH_CTES).
     `max_bucket_width=None` disables the guard AND the bounded-memory
     guarantee — only for small-corpus diagnostics.
@@ -152,21 +203,9 @@ def minhash_candidates(
     sigs = minhash_signatures(docs, n_perms).select(
         "doc_id", F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs")
     )
-    buckets = sigs.select(
-        "doc_id",
-        "sigs",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.element_at("sigs", j + 1).alias("bucket"),
-                )
-                for j in range(n_perms)
-            ])
-        ).alias("b"),
-    ).select("doc_id", "sigs", "b.band", "b.bucket")
+    buckets = lsh_band_rows(sigs, n_perms)
     groups = (
-        buckets.groupBy("band", "bucket")
+        buckets.groupBy("band", "b1", "b2")
         .agg(
             F.array_sort(F.collect_list(F.struct("doc_id", "sigs"))).alias(
                 "members"

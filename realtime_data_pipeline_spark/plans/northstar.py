@@ -201,10 +201,16 @@ _SIG_COLS = ",\n        ".join(
     f" + {dedup.MINHASH_B[j]}) % {dedup.MINHASH_P})) AS sig{j}"
     for j in range(dedup.N_PERMS)
 )
-_BAND_CASE = "CASE j.band " + " ".join(
-    f"WHEN {j} THEN sig{j}" for j in range(dedup.N_PERMS)
+# banded LSH, BAND_R=2 rows per band (mirrors dedup.lsh_band_rows):
+# band j's bucket key is the PAIR (sig_{2j}, sig_{2j+1}), carried as
+# two columns so bucket equality is exact tuple equality
+_B1_CASE = "CASE j.band " + " ".join(
+    f"WHEN {j} THEN sig{dedup.BAND_R * j}" for j in range(dedup.N_BANDS)
 ) + " END"
-_BAND_VALUES = ", ".join(f"({j})" for j in range(dedup.N_PERMS))
+_B2_CASE = "CASE j.band " + " ".join(
+    f"WHEN {j} THEN sig{dedup.BAND_R * j + 1}" for j in range(dedup.N_BANDS)
+) + " END"
+_BAND_VALUES = ", ".join(f"({j})" for j in range(dedup.N_BANDS))
 _AGREE = " + ".join(
     f"(CASE WHEN x.sig{j} = y.sig{j} THEN 1 ELSE 0 END)"
     for j in range(dedup.N_PERMS)
@@ -229,19 +235,20 @@ _MINHASH_CTES = f"""t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
     sig AS (SELECT doc_id,
         {_SIG_COLS}
         FROM sh),
-    bk0 AS (SELECT doc_id, j.band, {_BAND_CASE} AS bucket
+    bk0 AS (SELECT doc_id, j.band, {_B1_CASE} AS b1, {_B2_CASE} AS b2
             FROM sig, (VALUES {_BAND_VALUES}) j(band)),
     -- skew guard, mirroring dedup.minhash_candidates: buckets wider
     -- than MAX_BUCKET_WIDTH are boilerplate and join nothing
     bk AS (SELECT bk0.* FROM bk0
            WHERE NOT EXISTS (
                SELECT 1 FROM bk0 h
-               WHERE h.band = bk0.band AND h.bucket = bk0.bucket
-               GROUP BY h.band, h.bucket
+               WHERE h.band = bk0.band AND h.b1 = bk0.b1 AND h.b2 = bk0.b2
+               GROUP BY h.band, h.b1, h.b2
                HAVING count(*) > {dedup.MAX_BUCKET_WIDTH})),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bk a JOIN bk b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
+             AND a.doc_id < b.doc_id),
     pairs AS (SELECT doc_a, doc_b,
                      round(({_AGREE}) / {float(dedup.N_PERMS)}, 4) AS est_jaccard
               FROM cand

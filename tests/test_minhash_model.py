@@ -4,8 +4,8 @@ this pins the semantics themselves against an independent pure-Python
 reimplementation of the same bit-exact integer pipeline:
 
   per-token md5 -> rolling polynomial shingle hash -> affine
-  permutations -> per-band bucket grouping -> i<j pair generation with
-  signature-agreement estimate.
+  permutations -> banded bucket grouping (BAND_R=2 signature rows per
+  band) -> i<j pair generation with signature-agreement estimate.
 
 Hypothesis draws documents from a small vocabulary so shared shingles
 (and identical docs, est_jaccard = 1.0) are common, and includes
@@ -56,10 +56,11 @@ def _py_signature(text: str) -> list[int] | None:
 
 def _py_candidates(sigs: dict[int, list[int]]) -> dict[tuple[int, int], float]:
     pairs: dict[tuple[int, int], float] = {}
-    for j in range(N_PERMS):
-        buckets: dict[int, list[int]] = {}
+    for j in range(dedup.N_BANDS):
+        buckets: dict[tuple[int, int], list[int]] = {}
         for doc_id, sig in sigs.items():
-            buckets.setdefault(sig[j], []).append(doc_id)
+            key = (sig[dedup.BAND_R * j], sig[dedup.BAND_R * j + 1])
+            buckets.setdefault(key, []).append(doc_id)
         for members in buckets.values():
             members.sort()
             for i, a in enumerate(members):
