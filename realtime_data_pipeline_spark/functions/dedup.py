@@ -10,8 +10,9 @@ Four families, all shuffle-partitioned (no driver-side loops):
               scalable near-dup pattern: cost is Σ bucket² rather
               than n², and the r=2 band key keeps bucket populations
               from growing with the corpus (see BAND_R).
-  SimHash   — 32-bit frequency-weighted signature; near-dups = pairs
-              within Hamming distance d (bit_count(xor)).
+  SimHash   — 60-bit frequency-weighted signature; near-dups = pairs
+              within Hamming distance d (bit_count(xor)), candidates
+              via generalized-pigeonhole chunk-pair keys.
   Jaccard   — exact n-gram set similarity on candidate pairs produced
               by a sparse shared-shingle join (never all-pairs).
 
@@ -248,11 +249,21 @@ def minhash_candidates(
     return pairs
 
 
-SIMHASH_BITS = 32
+# 60-bit fingerprints (15 md5 hex chars — the widest that stays a
+# positive ANSI bigint via the same idiom as _perm_const), radius 3:
+# the published SimHash dedup operating point (Manku/Jain/Das Sarma,
+# WWW'07 §3, used 64-bit fingerprints at hamming ≤ 3 for 8B pages).
+# At 32 bits (rounds 1-6) random pairs sat at mean distance 16 with
+# σ≈2.8, so radius 8 was only 2.8σ out — loose — and the pigeonhole
+# chunks were 3-4 bits wide, making the candidate join effectively
+# all-pairs at corpus scale.  At 60 bits random pairs sit at mean 30,
+# σ≈3.9: radius 3 is ~7σ — candidates are genuine near-duplicates.
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 3
 
 # Token hashes are materialized into a `th` COLUMN first: referencing
 # the md5 transform inside the per-bit aggregate would re-hash every
-# token once PER BIT (32×).
+# token once PER BIT (60×).
 SIMHASH_EXPR = f"""aggregate(
     sequence(0, {SIMHASH_BITS - 1}),
     cast(0 as bigint),
@@ -263,7 +274,7 @@ SIMHASH_EXPR = f"""aggregate(
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash: per-bit majority vote over token hashes
+    """60-bit SimHash: per-bit majority vote over token hashes
     (frequency-weighted — repeated tokens vote repeatedly).
     Repartitioned first for the same reason as minhash_signatures."""
     n = docs.sparkSession.sparkContext.defaultParallelism
@@ -273,7 +284,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             "th",
             F.expr(
                 f"transform({TOKENS_EXPR}, "
-                "t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+                "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
             ),
         )
         .withColumn("simhash", F.expr(SIMHASH_EXPR))
@@ -293,42 +304,62 @@ def _bit_chunks(bits: int, n_chunks: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 8, limit: int = 1000
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    limit: int = 1000,
 ) -> DataFrame:
-    """Pairs within Hamming distance `max_hamming`, via pigeonhole
-    bucketing: the signature splits into max_hamming+1 bit-chunks, and
-    any pair within distance d must agree on at least one chunk (d
-    differing bits cannot touch all d+1 chunks).  Candidates come from
-    an equi-join on (chunk index, chunk value) — the same shuffle shape
-    as the MinHash band join, RECALL 1.0 by construction — then the
-    exact Hamming filter runs only on candidates.  All-pairs never
-    happens at any scale."""
+    """Pairs within Hamming distance `max_hamming`, via GENERALIZED
+    pigeonhole bucketing: the signature splits into c = max_hamming+2
+    bit-chunks; d differing bits can touch at most d chunks, so a pair
+    within the radius agrees fully on at least TWO chunks — i.e. on
+    some 2-subset of chunks.  Candidates come from an equi-join on
+    (chunk-pair index, both chunk values): RECALL 1.0 by construction,
+    then the exact Hamming filter runs only on candidates.
+
+    Why 2-subset keys and not the single-chunk d+1 pigeonhole (rounds
+    1-6): a single chunk is SIMHASH_BITS/(d+1) bits wide (≈7 at 60/8),
+    so each bucket holds n/2^7 documents and the self-join is
+    effectively all-pairs as the corpus grows — the same quadratic
+    hazard class the scale probe measured in the unbanded MinHash LSH.
+    The 2-subset key is 2·SIMHASH_BITS/c bits (24 at the d=3 default):
+    random-pair collision probability 2^-24 per combo, so candidate
+    volume stays ∝ genuine near-dups.  Cost: C(c,2) exploded rows per
+    doc (10 at d=3) instead of d+1 — a constant fan-out traded for
+    2^17× better key selectivity.  This is the block-permutation idea
+    of Manku et al. (WWW'07 §3) expressed as one equi-join."""
     # Persist for the same reason as minhash_candidates: the chunk join
     # is a self-join and the signature subtree would otherwise run twice.
     sigs = simhash_signatures(docs).select("doc_id", "simhash").persist()
-    chunks = _bit_chunks(SIMHASH_BITS, max_hamming + 1)
+    c = max_hamming + 2
+    chunks = _bit_chunks(SIMHASH_BITS, c)
+
+    def _val(i: int) -> str:
+        off, width = chunks[i]
+        return f"(simhash >> {off}) & {(1 << width) - 1}"
+
+    combos = [(i, j) for i in range(c) for j in range(i + 1, c)]
     buckets = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("chunk"),
-                    F.expr(
-                        f"(simhash >> {off}) & {(1 << width) - 1}"
-                    ).alias("val"),
+                    F.lit(k).alias("combo"),
+                    F.expr(_val(i)).alias("v1"),
+                    F.expr(_val(j)).alias("v2"),
                 )
-                for i, (off, width) in enumerate(chunks)
+                for k, (i, j) in enumerate(combos)
             ])
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    ).select("doc_id", "simhash", "c.combo", "c.v1", "c.v2")
     a, b = buckets.alias("a"), buckets.alias("b")
     dist = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
+            (F.col("a.combo") == F.col("b.combo"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -394,44 +425,88 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 128  # posting lists wider than this are boilerplate n-grams
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, min_jaccard: float = 0.02, limit: int = 1000
+    docs: DataFrame,
+    min_jaccard: float = 0.02,
+    limit: int = 1000,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """3-gram Jaccard on candidate pairs from a sparse shared-shingle
-    equi-join (cost ∝ shingle collisions, never n²).  Shingles are the
-    same polynomial token-hash values MinHash uses — the explode/join
-    shuffles int64 keys, not 3-word strings (~10× smaller shuffle
-    payload; both engines hash identically so Jaccard over hash sets
-    equals Jaccard over string sets modulo shared ~2^-32 collisions)."""
+    equi-join.  Shingles are the same polynomial token-hash values
+    MinHash uses — the explode/join shuffles int64 keys, not 3-word
+    strings (~10× smaller shuffle payload; both engines hash
+    identically so Jaccard over hash sets equals Jaccard over string
+    sets modulo shared ~2^-32 collisions).
+
+    Two-phase shape (the 100 TB guard — same hazard class the scale
+    probe measured in the pre-r7 LSH banding):
+
+      1. CANDIDATES from rare shingles only: a shingle posted in m
+         documents yields m²/2 join pairs, and common n-grams' posting
+         lists grow LINEARLY with the corpus — an uncapped self-join
+         is quadratic in corpus size through exactly those shingles.
+         `max_shingle_df` drops posting lists wider than the cap from
+         pair GENERATION (boilerplate n-grams carry no dedup signal —
+         the posting-list analogue of the LSH MAX_BUCKET_WIDTH), so
+         join cost is ∝ Σ min(df, cap)² — linear in corpus.
+      2. EXACT Jaccard for every generated pair, re-counted over the
+         FULL shingle sets with a pair-bounded join (cand → exploded
+         doc_a shingles → semi-match doc_b's) — cost ∝ candidates ×
+         doc length, and the emitted jaccard is exact, not biased by
+         the cap.  A pair is missed only if ALL its shared shingles
+         are corpus-common (df > cap) — by construction a boilerplate
+         relationship, not a near-duplicate.
+
+    `max_shingle_df=None` keeps the same two-phase plan with no df
+    filter (exhaustive; small-corpus diagnostics only)."""
     sized = shingle_sets(docs)
-    exploded = sized.select(
+    ex = sized.select(
         "doc_id", F.col("n_sh"), F.explode("sh").alias("shingle")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
+    rare = ex
+    if max_shingle_df is not None:
+        df_tbl = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+        )
+        rare = ex.join(df_tbl.select("shingle"), "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n_sh").alias("na"),
             F.col("b.n_sh").alias("nb"),
         )
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("shared"))
     )
     jacc = F.round(
         F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
         4,
     )
-    return (
-        shared.select("doc_a", "doc_b", jacc.alias("jaccard"))
-        .where(F.col("jaccard") >= min_jaccard)
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(limit)
+    out = shared.select("doc_a", "doc_b", jacc.alias("jaccard")).where(
+        F.col("jaccard") >= min_jaccard
     )
+    if limit is not None:
+        out = out.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(limit)
+    return out
 
 
 def benchmark_contamination(

@@ -315,19 +315,22 @@ def q_dedup_clusters(spark, sf_dir):
     s AS (SELECT doc_id,
           CAST(list_sum(list_transform(range(0, {dedup.SIMHASH_BITS}),
                b -> CASE WHEN list_sum(list_transform(toks,
-                             tk -> (({D_HASH32.format(t='tk')} >> b) & 1) * 2 - 1)) > 0
+                             tk -> ((('0x' || substr(md5(tk), 1, 15))::BIGINT >> b) & 1) * 2 - 1)) > 0
                     THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
           FROM t)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_dist
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
     ORDER BY hamming_dist, doc_a, doc_b
     LIMIT 1000
     """,
-    doc="SimHash near-dups: 32-bit frequency-weighted signatures, pairs "
-    "within Hamming distance 8 via pigeonhole bit-chunk bucketing "
-    "(9 chunks → equi-join prefilter with recall 1.0, never all-pairs)",
+    doc="SimHash near-dups: 60-bit frequency-weighted signatures, pairs "
+    f"within Hamming distance {dedup.SIMHASH_MAX_HAMMING} (the WWW'07 "
+    "operating point) via generalized-pigeonhole chunk-PAIR bucketing — "
+    "d differing bits leave >=2 of d+2 chunks untouched, so a 24-bit "
+    "2-chunk combo key gives recall 1.0 with 2^-24 random collision, "
+    "never all-pairs (the oracle brute-forces; the engine may not)",
 )
 def q_simhash_near_dups(spark, sf_dir):
     df = dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
@@ -349,9 +352,20 @@ def q_simhash_near_dups(spark, sf_dir):
            FROM tk),
     sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
     ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM sz),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-                 count(*) AS shared
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    -- df cap, mirroring dedup.ngram_jaccard_pairs: posting lists wider
+    -- than MAX_SHINGLE_DF are boilerplate n-grams and generate nothing
+    rare AS (SELECT ex.* FROM ex
+             JOIN (SELECT shingle FROM ex GROUP BY shingle
+                   HAVING count(*) <= {dedup.MAX_SHINGLE_DF}) r
+             USING (shingle)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.n AS na, b.n AS nb
+             FROM rare a JOIN rare b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    p AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS shared
+          FROM cand c
+          JOIN ex ea ON ea.doc_id = c.doc_a
+          JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
           GROUP BY 1, 2, 3, 4)
     SELECT doc_a, doc_b,
            round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
@@ -360,9 +374,12 @@ def q_simhash_near_dups(spark, sf_dir):
     ORDER BY jaccard DESC, doc_a, doc_b
     LIMIT 1000
     """,
-    doc="n-gram Jaccard on sparse shared-shingle candidate pairs "
-    "(explode→equi-join→count, never an n² cross join); shingles are "
-    "int64 polynomial token-hashes, so the shuffle carries 8-byte keys "
+    doc="n-gram Jaccard: candidate pairs from a sparse shared-shingle "
+    "equi-join over RARE shingles only (posting df <= 128 — common "
+    "n-grams' posting lists grow with the corpus and would make the "
+    "self-join quadratic), then EXACT Jaccard re-counted per candidate "
+    "over the full shingle sets with a pair-bounded join; shingles are "
+    "int64 polynomial token-hashes, so shuffles carry 8-byte keys "
     "instead of 3-word strings",
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):

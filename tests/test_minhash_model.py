@@ -104,7 +104,7 @@ def test_minhash_pipeline_matches_python_model(spark, docs):
 
 def _py_simhash(text: str) -> int:
     toks = re.split(r"\s+", text.strip())
-    th = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks]
+    th = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in toks]
     sig = 0
     for b in range(dedup.SIMHASH_BITS):
         vote = sum(((c >> b) & 1) * 2 - 1 for c in th)
@@ -185,16 +185,58 @@ def test_ngram_jaccard_matches_python_model(spark, docs):
         ).collect()
     }
     sets = {i: _py_shingles(text) for i, text in rows}
+    from collections import Counter
+
+    df = Counter(g for s in sets.values() for g in s)
     want = {}
     for a in sets:
         for b in sets:
             if a < b and sets[a] and sets[b]:
-                inter = len(sets[a] & sets[b])
-                if inter:  # the sparse join only emits sharing pairs
+                both = sets[a] & sets[b]
+                # candidates need a shared RARE shingle (df cap);
+                # jaccard is then exact over the FULL sets
+                if any(df[g] <= dedup.MAX_SHINGLE_DF for g in both):
                     want[(a, b)] = round(
-                        inter / (len(sets[a]) + len(sets[b]) - inter), 4
+                        len(both)
+                        / (len(sets[a]) + len(sets[b]) - len(both)),
+                        4,
                     )
     assert got == want
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_postings(spark):
+    """The posting-df guard: one boilerplate trigram shared by 200
+    otherwise-unique docs exceeds MAX_SHINGLE_DF, so the 19,900-pair
+    clique never generates — while a genuine near-dup pair whose
+    shared shingles are rare still pairs, and its jaccard is computed
+    over the FULL sets (including any common shingles), not just the
+    rare ones."""
+    # each doc: shared 3-token boilerplate prefix + 4 unique tokens
+    boiler = [
+        (i, f"call me now u{i}a u{i}b u{i}c u{i}d") for i in range(200)
+    ]
+    organic = [
+        (1000, "the quick brown fox jumps over the lazy dog today"),
+        (1001, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(boiler + organic, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, min_jaccard=0.0, limit=None
+        ).collect()
+    }
+    assert set(got) == {(1000, 1001)}
+    sa, sb = _py_shingles(organic[0][1]), _py_shingles(organic[1][1])
+    inter = len(sa & sb)
+    assert got[(1000, 1001)] == round(
+        inter / (len(sa) + len(sb) - inter), 4
+    )
+    # cap disabled: the boilerplate clique floods back in
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, min_jaccard=0.0, limit=None, max_shingle_df=None
+    ).count()
+    assert uncapped == 200 * 199 // 2 + 1
 
 
 @settings(
