@@ -444,14 +444,19 @@ def ngram_jaccard_pairs(
     Two-phase shape (the 100 TB guard — same hazard class the scale
     probe measured in the pre-r7 LSH banding):
 
-      1. CANDIDATES from rare shingles only: a shingle posted in m
-         documents yields m²/2 join pairs, and common n-grams' posting
-         lists grow LINEARLY with the corpus — an uncapped self-join
-         is quadratic in corpus size through exactly those shingles.
-         `max_shingle_df` drops posting lists wider than the cap from
-         pair GENERATION (boilerplate n-grams carry no dedup signal —
-         the posting-list analogue of the LSH MAX_BUCKET_WIDTH), so
-         join cost is ∝ Σ min(df, cap)² — linear in corpus.
+      1. CANDIDATES from rare shingles only, generated posting-LOCALLY
+         (the minhash_candidates bucket shape, not a self-join): one
+         shuffle collects each shingle's posting list, a size() filter
+         applies the df cap for free, and i<j pairs explode inside the
+         group.  A shingle posted in m documents yields m²/2 pairs,
+         and common n-grams' posting lists grow LINEARLY with the
+         corpus — uncapped, pair generation is quadratic in corpus
+         size through exactly those shingles.  `max_shingle_df` drops
+         wider posting lists from pair GENERATION (boilerplate n-grams
+         carry no dedup signal — the posting-list analogue of the LSH
+         MAX_BUCKET_WIDTH), so generation cost is ∝ Σ min(df, cap)² —
+         linear in corpus — and per-group memory is bounded by
+         cap × 16 bytes.
       2. EXACT Jaccard for every generated pair, re-counted over the
          FULL shingle sets with a pair-bounded join (cand → exploded
          doc_a shingles → semi-match doc_b's) — cost ∝ candidates ×
@@ -466,27 +471,31 @@ def ngram_jaccard_pairs(
     ex = sized.select(
         "doc_id", F.col("n_sh"), F.explode("sh").alias("shingle")
     )
-    rare = ex
+    groups = (
+        ex.groupBy("shingle")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias(
+                "posting"
+            )
+        )
+        .where(F.size("posting") >= 2)
+    )
     if max_shingle_df is not None:
-        df_tbl = (
-            ex.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_shingle_df)
+        groups = groups.where(F.size("posting") <= max_shingle_df)
+    # posting sorted ascending by doc_id (struct compare, doc_id
+    # first), so slicing strictly after position i yields doc_a <
+    # doc_b pairs — the same idiom as minhash_candidates.
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(posting, (m, i) -> "
+            "transform(slice(posting, i + 2, size(posting) - i - 1), "
+            "n -> struct(m.doc_id as doc_a, n.doc_id as doc_b, "
+            "m.n_sh as na, n.n_sh as nb)))"
         )
-        rare = ex.join(df_tbl.select("shingle"), "shingle")
-    a, b = rare.alias("a"), rare.alias("b")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        groups.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .distinct()
     )
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")

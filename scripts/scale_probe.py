@@ -57,6 +57,8 @@ DEFAULT_QUERIES = [
     "pagerank_top_items",
     "text_metrics",
     "minhash_dedup_candidates",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
     "frequent_terms_report",
     "benchmark_contamination",
     "doc_crossdup_rates",

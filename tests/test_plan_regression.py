@@ -252,14 +252,14 @@ EXPECTED_SHUFFLES = {
     # (supersteps run during construction, same as pagerank)
     "dedup_clusters": 0,
     "simhash_near_dups": 3,  # sig map; chunk-pair-key self-join; distinct
-    # cold-count 9: doc repartition (printed per consumer subtree of the
-    # persisted shingle_sets — ×4: rare self-join sides + ea + eb) + df
-    # rollup (×2, one per self-join side) + candidate distinct + phase-2
-    # exact-recount joins/rollup; warm execution materializes the cached
-    # sets once and reuses the df-rollup exchange, so the real data
-    # motion is: df rollup, rare join, candidate distinct, two
+    # cold-count 6: doc repartition (printed per consumer subtree of
+    # the persisted shingle_sets — ×3: postings + ea + eb) + posting
+    # rollup (bucket-LOCAL pair gen, the minhash shape — df cap is a
+    # free size() filter) + candidate distinct + phase-2 exact-recount
+    # rollup; warm execution materializes the cached sets once, so the
+    # real data motion is: posting rollup, candidate distinct, two
     # pair-bounded joins, shared rollup — each linear in corpus size
-    "ngram_jaccard_pairs": 9,
+    "ngram_jaccard_pairs": 6,
     "multimodal_byte_histogram": 1,  # Arrow kernel map + one rollup
     "multimodal_frame_stats": 1,  # strided frame kernel + one rollup
     "ann_pandas_topk": 1,  # Arrow top-k kernel; per-query rank partials
