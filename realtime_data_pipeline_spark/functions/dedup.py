@@ -312,9 +312,15 @@ def simhash_near_pairs(
     pigeonhole bucketing: the signature splits into c = max_hamming+2
     bit-chunks; d differing bits can touch at most d chunks, so a pair
     within the radius agrees fully on at least TWO chunks — i.e. on
-    some 2-subset of chunks.  Candidates come from an equi-join on
-    (chunk-pair index, both chunk values): RECALL 1.0 by construction,
-    then the exact Hamming filter runs only on candidates.
+    some 2-subset of chunks.  Candidates are generated bucket-LOCALLY
+    on (chunk-pair index, both chunk values) — the minhash_candidates
+    shape: one shuffle collects each bucket's members, i<j pairs
+    explode inside the group — RECALL 1.0 by construction, then the
+    exact Hamming filter runs only on candidates.  No width cap (a cap
+    would break the recall guarantee): 24-bit combo keys keep random
+    buckets near-empty, so a wide bucket IS a near-duplicate cluster —
+    per-group memory is ∝ the largest dup cluster (16 B per member),
+    the same bound the downstream pair list costs anyway.
 
     Why 2-subset keys and not the single-chunk d+1 pigeonhole (rounds
     1-6): a single chunk is SIMHASH_BITS/(d+1) bits wide (≈7 at 60/8),
@@ -326,10 +332,8 @@ def simhash_near_pairs(
     volume stays ∝ genuine near-dups.  Cost: C(c,2) exploded rows per
     doc (10 at d=3) instead of d+1 — a constant fan-out traded for
     2^17× better key selectivity.  This is the block-permutation idea
-    of Manku et al. (WWW'07 §3) expressed as one equi-join."""
-    # Persist for the same reason as minhash_candidates: the chunk join
-    # is a self-join and the signature subtree would otherwise run twice.
-    sigs = simhash_signatures(docs).select("doc_id", "simhash").persist()
+    of Manku et al. (WWW'07 §3) expressed as one bucket rollup."""
+    sigs = simhash_signatures(docs).select("doc_id", "simhash")
     c = max_hamming + 2
     chunks = _bit_chunks(SIMHASH_BITS, c)
 
@@ -352,21 +356,30 @@ def simhash_near_pairs(
             ])
         ).alias("c"),
     ).select("doc_id", "simhash", "c.combo", "c.v1", "c.v2")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    dist = F.expr("bit_count(a.simhash ^ b.simhash)")
+    groups = (
+        buckets.groupBy("combo", "v1", "v2")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "members"
+            )
+        )
+        .where(F.size("members") >= 2)
+    )
+    # members sorted ascending by doc_id (struct compare, doc_id
+    # first), so slicing strictly after position i yields doc_a <
+    # doc_b pairs — the same idiom as minhash_candidates.
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(members, (m, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), "
+            "n -> struct(m.doc_id as doc_a, n.doc_id as doc_b, "
+            "cast(bit_count(m.simhash ^ n.simhash) as int) "
+            "as hamming_dist)))"
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.combo") == F.col("b.combo"))
-            & (F.col("a.v1") == F.col("b.v1"))
-            & (F.col("a.v2") == F.col("b.v2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("hamming_dist"),
-        )
+        groups.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming_dist")
         .where(F.col("hamming_dist") <= max_hamming)
         .distinct()
         .orderBy("hamming_dist", "doc_a", "doc_b")

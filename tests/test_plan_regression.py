@@ -251,7 +251,9 @@ EXPECTED_SHUFFLES = {
     # 0 = final plan reads the localCheckpoint()ed CC fixpoint
     # (supersteps run during construction, same as pagerank)
     "dedup_clusters": 0,
-    "simhash_near_dups": 3,  # sig map; chunk-pair-key self-join; distinct
+    # sig map; (combo,v1,v2) bucket rollup (bucket-local pair gen —
+    # the minhash shape, no self-join, no persist); pair distinct
+    "simhash_near_dups": 3,
     # cold-count 6: doc repartition (printed per consumer subtree of
     # the persisted shingle_sets — ×3: postings + ea + eb) + posting
     # rollup (bucket-LOCAL pair gen, the minhash shape — df cap is a
