@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -261,16 +263,52 @@ def minhash_candidates(
 SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 3
 
-# Token hashes are materialized into a `th` COLUMN first: referencing
-# the md5 transform inside the per-bit aggregate would re-hash every
-# token once PER BIT (60×).
-SIMHASH_EXPR = f"""aggregate(
-    sequence(0, {SIMHASH_BITS - 1}),
-    cast(0 as bigint),
-    (acc, b) -> acc + CASE
-        WHEN aggregate(th, cast(0 as bigint),
-                       (a, c) -> a + ((c >> b) & 1) * 2 - 1) > 0
-        THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"""
+# Semantic definition (the DuckDB oracle mirrors this form): per-bit
+# frequency-weighted majority vote over token hashes —
+#   sig = Σ_b [ (Σ_t ((th_t >> b) & 1)·2 − 1) > 0 ] · 2^b
+# Rounds 1-7a evaluated it as this nested higher-order aggregate:
+#   aggregate(sequence(0, 59), 0L, (acc, b) ->
+#       acc + CASE WHEN aggregate(th, 0L,
+#                       (a, c) -> a + ((c >> b) & 1) * 2 - 1) > 0
+#             THEN 1L << b ELSE 0L END)
+# — 60 bits × n tokens of INTERPRETED Catalyst lambda steps per doc
+# (higher-order lambdas never enter whole-stage codegen), measured at
+# 73 of the query's 77 s on 500k 50-token probe docs.  The vote is now
+# an Arrow kernel over the SAME JVM-computed th column: md5 hashing
+# stays JVM-side (bit-identical to the oracle), and the kernel is
+# integer-only numpy (bit tests, integer sums, comparisons — no
+# floats), so the signature is bit-identical to the expression form;
+# tests/test_minhash_model.py pins it against a pure-Python twin.
+
+
+def _simhash_vote_kernel():
+    """Arrow pandas_udf: array<bigint> token hashes → bigint SimHash.
+    NULL semantics mirror the expression form (and the DuckDB oracle)
+    exactly: NULL th → 0, because the per-bit CASE evaluates
+    `NULL > 0` to false and contributes the ELSE 0 — NULL-text docs
+    all carry signature 0 (and pair with each other at distance 0),
+    in BOTH engines; empty th → 0 (no bit wins a majority of zero
+    votes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (np.int64(1) << shifts).astype(np.int64)
+
+    @pandas_udf("bigint")
+    def _sig(th: pd.Series) -> pd.Series:
+        out = []
+        for row in th:
+            if row is None or len(row) == 0:
+                out.append(0)
+                continue
+            a = np.asarray(row, dtype=np.int64)
+            ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
+            # vote_b = 2·ones_b − n > 0  ⇔  2·ones_b > n
+            sig = int(weights[(2 * ones) > a.size].sum())
+            out.append(sig)
+        return pd.Series(out, dtype="Int64")
+
+    return _sig
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -287,7 +325,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                 "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
             ),
         )
-        .withColumn("simhash", F.expr(SIMHASH_EXPR))
+        .withColumn("simhash", _simhash_vote_kernel()(F.col("th")))
         .drop("th")
     )
 
@@ -470,12 +508,19 @@ def ngram_jaccard_pairs(
          MAX_BUCKET_WIDTH), so generation cost is ∝ Σ min(df, cap)² —
          linear in corpus — and per-group memory is bounded by
          cap × 16 bytes.
-      2. EXACT Jaccard for every generated pair, re-counted over the
-         FULL shingle sets with a pair-bounded join (cand → exploded
-         doc_a shingles → semi-match doc_b's) — cost ∝ candidates ×
-         doc length, and the emitted jaccard is exact, not biased by
-         the cap.  A pair is missed only if ALL its shared shingles
-         are corpus-common (df > cap) — by construction a boilerplate
+      2. EXACT Jaccard for every generated pair, re-computed over the
+         FULL shingle sets: the pair list joins the COMPACT per-doc
+         array relation (one row per doc, never the 48×-exploded one)
+         twice on doc id, and |A∩B| is a map-side
+         size(array_intersect) — cost ∝ candidates × doc length, and
+         the emitted jaccard is exact, not biased by the cap.  Both
+         joins carry SHUFFLE_HASH hints: the planner cannot estimate
+         the size of a distinct-over-explode output, and the one thing
+         this join must never become is a broadcast of either side (a
+         mis-estimated broadcast of the pair list OOMed the driver at
+         the 500k-doc probe scale — at 100 TB neither side ever fits).
+         A pair is missed only if ALL its shared shingles are
+         corpus-common (df > cap) — by construction a boilerplate
          relationship, not a near-duplicate.
 
     `max_shingle_df=None` keeps the same two-phase plan with no df
@@ -511,13 +556,12 @@ def ngram_jaccard_pairs(
         .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .distinct()
     )
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     shared = (
-        cand.join(ea, "doc_a")
-        .join(eb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("shared"))
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sa", "sb")))
     )
     jacc = F.round(
         F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),

@@ -254,14 +254,18 @@ EXPECTED_SHUFFLES = {
     # sig map; (combo,v1,v2) bucket rollup (bucket-local pair gen —
     # the minhash shape, no self-join, no persist); pair distinct
     "simhash_near_dups": 3,
-    # cold-count 6: doc repartition (printed per consumer subtree of
-    # the persisted shingle_sets — ×3: postings + ea + eb) + posting
-    # rollup (bucket-LOCAL pair gen, the minhash shape — df cap is a
-    # free size() filter) + candidate distinct + phase-2 exact-recount
-    # rollup; warm execution materializes the cached sets once, so the
-    # real data motion is: posting rollup, candidate distinct, two
-    # pair-bounded joins, shared rollup — each linear in corpus size
-    "ngram_jaccard_pairs": 6,
+    # cold-count 9: doc repartition (printed per consumer subtree of
+    # the persisted shingle_sets — ×3: postings + both compact array
+    # sides) + posting rollup (bucket-LOCAL pair gen, the minhash
+    # shape — df cap is a free size() filter) + candidate distinct +
+    # the two SHUFFLE_HASH pair-bounded joins (2 exchange sides each;
+    # hinted because a mis-estimated broadcast of the unestimatable
+    # distinct-over-explode pair list OOMed at probe scale — 0
+    # BroadcastExchange in this plan is load-bearing); warm execution
+    # materializes the cached sets once, so the real data motion is:
+    # posting rollup, candidate distinct, two joins, map-side
+    # array_intersect — each linear in corpus size
+    "ngram_jaccard_pairs": 9,
     "multimodal_byte_histogram": 1,  # Arrow kernel map + one rollup
     "multimodal_frame_stats": 1,  # strided frame kernel + one rollup
     "ann_pandas_topk": 1,  # Arrow top-k kernel; per-query rank partials
