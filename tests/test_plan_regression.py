@@ -489,6 +489,21 @@ def test_purchase_window_views_growing_frame_no_pair_join(spark):
     assert "RangeFrame, -86400000000" not in plan, plan[:3000]
 
 
+def test_ngram_jaccard_phase2_never_broadcasts(spark):
+    """Phase 2 joins the candidate-pair list with the compact per-doc
+    shingle-array relation under SHUFFLE_HASH hints.  The pin this
+    enforces (r7 scale probe, 500k docs): the planner cannot estimate
+    the size of a distinct-over-explode pair list and, unhinted, chose
+    to BROADCAST it — a driver OOM, and at cluster scale neither join
+    side ever fits a broadcast.  Zero BroadcastExchange anywhere in
+    the plan is load-bearing."""
+    spark.catalog.clearCache()
+    df = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan[:3000]
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+
+
 def test_pagerank_lineage_truncated_per_superstep(spark):
     """Each PageRank superstep must end in an eager localCheckpoint:
     the FINAL plan then reads one materialized vocab-sized relation
