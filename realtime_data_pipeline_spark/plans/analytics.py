@@ -1244,10 +1244,14 @@ def q_dedup_graph_stats(spark, sf_dir):
     )
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    # MERGE hints (r7 broadcast audit): every side of the triangle
+    # double join is the edge list itself — candidate-bounded but
+    # CORPUS-scaled, so a mis-estimated broadcast is the ngram-class
+    # driver OOM; SMJ spills instead.
     tri = (
-        e.join(e2, "b")
+        e.join(e2.hint("merge"), "b")
         .join(
-            e3,
+            e3.hint("merge"),
             (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
         )
         .agg(F.count("*").alias("n_triangles"))
@@ -1360,23 +1364,29 @@ def q_minhash_calibration_report(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_candidates(docs, limit=None)
     sh = dedup.shingle_sets(docs)
-    ex = sh.select("doc_id", F.explode("sh").alias("g"))
-    exa = ex.select(F.col("doc_id").alias("doc_a"), "g")
-    exb = ex.select(F.col("doc_id").alias("doc_b"), "g")
-    tru = (
-        pairs.select("doc_a", "doc_b")
-        .join(exa, "doc_a")
-        .join(exb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
+    # True shared count via the compact per-doc array relation + a
+    # map-side array_intersect (the ngram_jaccard_pairs phase-2 shape,
+    # r7 broadcast audit): the pair list is a distinct-over-explode
+    # output the planner cannot size — unhinted it chose to broadcast
+    # the corpus-scaled side (the ngram-class driver OOM), and the
+    # exploded (doc, shingle) join moved 48× the bytes of the compact
+    # arrays.  SHUFFLE_HASH builds the bounded per-partition doc-array
+    # side; the LEFT join of the old form is gone because every pair
+    # gets its exact |A∩B| directly (0 when disjoint).
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sa"),
+        F.col("n_sh").alias("na"),
     )
-    na = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
     jj = (
-        pairs.join(tru, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("shared", F.coalesce("shared", F.lit(0)))
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "uni", F.col("na") + F.col("nb") - F.col("shared")
         )

@@ -847,14 +847,19 @@ def q_doc_crossdup_rates(spark, sf_dir):
         .where(F.col("nd") >= 2)
         .select("h")
     )
+    # MERGE hints (r7 broadcast audit): both the >=2-doc shingle set
+    # and the per-doc rollup are CORPUS-scaled — the planner cannot be
+    # allowed to broadcast either (the class of mis-estimate that
+    # OOMed ngram_jaccard_pairs at probe scale); SMJ spills, never
+    # builds an unbounded driver-side relation.
     per = (
-        expl.join(shared, "h", "left_semi")
+        expl.join(shared.hint("merge"), "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
     return (
         ss.select("doc_id", F.col("n_sh").cast("long").alias("n_shingles"))
-        .join(per, "doc_id", "left")
+        .join(per.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",

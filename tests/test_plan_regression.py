@@ -106,13 +106,16 @@ EXPECTED_SHUFFLES = {
     "referential_integrity_audit": 5,
     "embedding_quantization_report": 0,  # pure map over the store
     # minhash pair-gen (3) + persisted shingle subtree printed per
-    # consumer branch + pair-bounded true-jaccard joins + band rollup
-    "minhash_calibration_report": 13,
+    # consumer branch + the two SHUFFLE_HASH compact-array joins
+    # (array_intersect true-jaccard, the ngram phase-2 shape — no
+    # broadcast of the unestimatable pair list) + band rollup
+    "minhash_calibration_report": 10,
     "doc_model_scores": 0,  # JVM features -> mapInPandas, pure map
     # persisted minhash edge subtree prints once per consumer branch
     # (edges, nodes x2, degrees, triangle join x3); runtime: pair-gen
-    # once (cached) + degree rollup + ordered-edge double join
-    "dedup_graph_stats": 30,
+    # once (cached) + degree rollup + ordered-edge double join, now
+    # MERGE-hinted (edge x edge must never broadcast — r7 audit)
+    "dedup_graph_stats": 34,
     "ab_test_report": 2,  # (user,grp) rollup; 1-row arm reduce
     # persisted basket/contingency subtrees print per consumer branch;
     # runtime: distinct, basket-local pair join, marginal rollups
@@ -159,8 +162,10 @@ EXPECTED_SHUFFLES = {
     "scd2_user_segment_history": 1,
     "join_skew_report": 8,  # 4 families x (key rollup + 1-row reduce)
     # shingle_sets' parallelizing repartition; shared-hash rollup;
-    # semi-join probe side; per-doc rollup; final doc_id join
-    "doc_crossdup_rates": 5,
+    # MERGE-hinted semi-join (both sides corpus-scaled — never a
+    # broadcast, r7 audit); per-doc rollup; MERGE-hinted final doc_id
+    # join (both sides exchange+sort)
+    "doc_crossdup_rates": 7,
     "k_anonymity_audit": 4,  # 2 levels x (QI rollup + 1-row reduce)
     "data_contract_violations": 2,  # 8 rules, ONE agg pass per table
     # 7 = the day-rollup exchange prints once per consumer subtree
@@ -489,19 +494,30 @@ def test_purchase_window_views_growing_frame_no_pair_join(spark):
     assert "RangeFrame, -86400000000" not in plan, plan[:3000]
 
 
-def test_ngram_jaccard_phase2_never_broadcasts(spark):
-    """Phase 2 joins the candidate-pair list with the compact per-doc
-    shingle-array relation under SHUFFLE_HASH hints.  The pin this
-    enforces (r7 scale probe, 500k docs): the planner cannot estimate
-    the size of a distinct-over-explode pair list and, unhinted, chose
-    to BROADCAST it — a driver OOM, and at cluster scale neither join
-    side ever fits a broadcast.  Zero BroadcastExchange anywhere in
-    the plan is load-bearing."""
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ngram_jaccard_pairs",
+        "minhash_calibration_report",
+        "dedup_graph_stats",
+        "doc_crossdup_rates",
+    ],
+)
+def test_corpus_scaled_joins_never_broadcast(spark, name):
+    """The r7 broadcast audit's pin: these queries join CORPUS-scaled
+    relations (candidate-pair lists, near-dup edge lists, the >=2-doc
+    shingle set, per-doc rollups), and the planner cannot estimate a
+    distinct-over-explode output — unhinted, it chose to BROADCAST the
+    ngram pair list and OOMed the driver at the 500k-doc probe step
+    (at cluster scale no such side ever fits a broadcast).  Every such
+    join now carries a SHUFFLE_HASH or MERGE hint; zero
+    HashedRelationBroadcastMode anywhere in the plan is load-bearing
+    (IdentityBroadcastMode 1-row summary cross joins remain legal)."""
     spark.catalog.clearCache()
-    df = REGISTRY["ngram_jaccard_pairs"].fn(spark, SF_DIR)
+    df = REGISTRY[name].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" not in plan, plan[:3000]
-    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "HashedRelationBroadcastMode" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" not in plan, plan[:3000]
 
 
 def test_pagerank_lineage_truncated_per_superstep(spark):
