@@ -42,4 +42,12 @@ def salted_join(
     r = right.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return l.join(r, keys + [SALT], how).drop(SALT)
+    # MERGE hint (r7 broadcast audit): the operator's documented use
+    # case is a right side ABOVE the broadcast threshold (if it fit a
+    # broadcast you would broadcast and need no salt), but the
+    # replicated side's static size estimate is explode-derived
+    # garbage and the planner chose to broadcast it at toy scale —
+    # which routes zero rows through the salted exchange and turns
+    # the demonstration into a no-op.  The hint makes the salted
+    # shuffle join the plan that actually runs at every scale.
+    return l.join(r.hint("merge"), keys + [SALT], how).drop(SALT)

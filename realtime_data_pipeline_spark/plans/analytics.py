@@ -161,15 +161,17 @@ def q_doc_lm_scores(spark, sf_dir):
     )
     c12 = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    # NO broadcast hints: the LM tables are vocabulary-sized — tiny
-    # here (Catalyst's size stats broadcast them on their own) but
-    # 100M+ rows on a real corpus, where a forced broadcast OOMs the
-    # driver; unhinted, the same code degrades to a keyed equi-join
-    # (the hint policy from PLANS.md: explicit broadcast only on
-    # TRUE bounded dimensions).
+    # MERGE hints (r7 broadcast audit): the LM tables are observed-
+    # bigram/vocab-scaled (100M+ rows on a real corpus) and their
+    # static size estimates are explode-derived garbage — the r6
+    # assumption that the unhinted plan "degrades to a keyed
+    # equi-join" was DISPROVED by the ngram probe OOM (the planner
+    # broadcast a mis-estimated explode-derived side, and AQE does
+    # not demote a statically-planned broadcast).  SMJ spills; a
+    # broadcast build does not.
     scored = (
-        ex.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+        ex.join(c12.hint("merge"), ["w1", "w2"])
+        .join(c1.hint("merge"), ["w1"])
         .select(
             "doc_id",
             (F.col("c12").cast("double") / F.col("c1")).alias("p"),
@@ -233,19 +235,30 @@ def q_term_postings_stats(spark, sf_dir):
         .persist()  # Generate-pathology barrier
     )
     ex = toks_arr.select("doc_id", F.explode("t").alias("term"))
-    d = ex.distinct().persist()  # three consumers: df, heads
-    df_t = d.groupBy("term").agg(F.count("*").alias("df"))
-    cf_t = ex.groupBy("term").agg(F.count("*").alias("cf"))
+    d = ex.distinct()
+    # df and the bounded posting head come from ONE pass over the
+    # distinct postings: the term-partitioned window and the term
+    # rollup share the same exchange, and collect_list over the
+    # pr<=5 conditional keeps O(5) state per term (NULLs are skipped)
+    # — one fewer vocab-scaled join than the r5 three-relation form.
     w = Window.partitionBy("term").orderBy("doc_id")
-    heads = (
+    dfh = (
         d.withColumn("pr", F.row_number().over(w))
-        .where(F.col("pr") <= 5)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("pr") <= 5, F.col("doc_id"))
+                )
+            ).alias("posting_head"),
+        )
     )
+    cf_t = ex.groupBy("term").agg(F.count("*").alias("cf"))
+    # MERGE hint (r7 broadcast audit): both sides are VOCAB-scaled
+    # with explode-derived static estimates — never a broadcast.
     return (
-        df_t.join(cf_t, "term")
-        .join(heads, "term")
+        dfh.join(cf_t.hint("merge"), "term")
         .select("term", "df", "cf", "posting_head")
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
@@ -1058,8 +1071,12 @@ def q_term_source_association(spark, sf_dir):
     s = ts.groupBy("source").agg(F.sum("o").alias("n_s"))
     tot = ts.agg(F.sum("o").alias("n"))
     e = F.col("n_t").cast("double") * F.col("n_s") / F.col("n")
+    # MERGE hint on the per-TERM marginal (r7 broadcast audit:
+    # vocab-scaled, explode-derived estimate); the per-source marginal
+    # and the 1-row total stay explicitly broadcast — those ARE
+    # bounded dimensions.
     scored = (
-        ts.join(t, "term")
+        ts.join(t.hint("merge"), "term")
         .join(F.broadcast(s), "source")
         .crossJoin(F.broadcast(tot))
         .withColumn("e", e)

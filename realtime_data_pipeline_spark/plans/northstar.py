@@ -949,8 +949,12 @@ def q_tfidf_top_terms(spark, sf_dir):
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
+    # MERGE hint (r7 broadcast audit): the df map is VOCAB-scaled and
+    # its static size estimate is explode-derived garbage — on a real
+    # corpus (billions of distinct tokens) a mis-planned broadcast is
+    # a driver OOM; the 1-row n_docs broadcast stays explicit.
     scored = (
-        tf.join(df, "token")
+        tf.join(df.hint("merge"), "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

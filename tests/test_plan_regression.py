@@ -39,7 +39,10 @@ EXPECTED_SHUFFLES = {
     "top_unshipped_orders": 1,
     "part_type_revenue_share": 2,
     "purchase_click_attribution": 1,  # union + one user_id exchange (as-of)
-    "salted_segment_counts": 2,
+    # salted (key,salt) exchange is REAL now: the replicated right
+    # side is MERGE-hinted (a broadcast routed zero rows through the
+    # salt and made the demo a no-op — r7 audit)
+    "salted_segment_counts": 4,
     "nation_year_profit": 1,
     "region_market_share": 1,
     "forecast_revenue_change": 1,
@@ -94,11 +97,14 @@ EXPECTED_SHUFFLES = {
     "source_overlap_matrix": 10,
     "event_type_islands": 2,  # ONE user_id exchange feeds lag+cumsum+run rollup
     # persisted bigram subtree prints per consumer; real runtime
-    # exchanges: 4 (repartition, c12 rollup, c1 rollup, per-doc collect)
-    "doc_lm_scores": 7,
-    # persisted token + distinct subtrees print per consumer; real:
-    # repartition, distinct, df/cf rollups, per-term posting window
-    "term_postings_stats": 8,
+    # exchanges: repartition, c12/c1 rollups, the two MERGE-hinted LM
+    # joins (vocab-scaled sides never broadcast — r7 audit), per-doc
+    # collect
+    "doc_lm_scores": 9,
+    # repartition, distinct, ONE-pass df+posting-head rollup (shares
+    # the per-term window exchange), cf rollup, MERGE-hinted final
+    # join (vocab-scaled sides never broadcast — r7 audit)
+    "term_postings_stats": 5,
     "user_activity_trend": 2,  # (user,day) partials; user moment sums
     "lexical_diversity_correlation": 1,  # one lang rollup of moment sums
     # three anti-joins + two null scans, each a 1-row reduce; scalar
@@ -120,7 +126,9 @@ EXPECTED_SHUFFLES = {
     # persisted basket/contingency subtrees print per consumer branch;
     # runtime: distinct, basket-local pair join, marginal rollups
     "event_type_lift": 10,
-    "term_source_association": 12,
+    # per-TERM marginal join MERGE-hinted (vocab-scaled; the
+    # per-source and 1-row marginals stay explicitly broadcast)
+    "term_source_association": 13,
     # customer-rollup subtree prints per consumer branch (ref, q,
     # score); runtime: one o_custkey rollup + two 1-row reduces +
     # cell rollup
@@ -274,9 +282,10 @@ EXPECTED_SHUFFLES = {
     "multimodal_byte_histogram": 1,  # Arrow kernel map + one rollup
     "multimodal_frame_stats": 1,  # strided frame kernel + one rollup
     "ann_pandas_topk": 1,  # Arrow top-k kernel; per-query rank partials
-    # tokens repartition + df rollup + (lang,term) tf rollup + idf
-    # join + per-lang top-k window (each the vocabulary-sized relation)
-    "tfidf_top_terms": 5,
+    # tokens repartition + df rollup + (lang,term) tf rollup +
+    # MERGE-hinted idf join (vocab-scaled — never broadcast, r7
+    # audit) + per-lang top-k window
+    "tfidf_top_terms": 6,
     "doc_length_buckets": 1,  # map-side bit-bucket + bucket rollup
     "curation_keep_best": 1,  # ONE fingerprint exchange feeds keep-best argmax
     "embedding_dedup_clusters": 0,  # CC fixpoint read, supersteps eager
@@ -501,6 +510,12 @@ def test_purchase_window_views_growing_frame_no_pair_join(spark):
         "minhash_calibration_report",
         "dedup_graph_stats",
         "doc_crossdup_rates",
+        # vocab-scaled sides (df map, LM tables, per-term rollups) and
+        # the salted join's replicated right — wave 2 of the audit
+        "tfidf_top_terms",
+        "doc_lm_scores",
+        "term_postings_stats",
+        "salted_segment_counts",
     ],
 )
 def test_corpus_scaled_joins_never_broadcast(spark, name):
