@@ -98,8 +98,10 @@ def main() -> None:
         and sf_large > 0
         and sf_small > 0
     ):
+        # SPARK_GRAFT_SCALE_RUNS<=0 means "skip the probe" (leaving
+        # scale_curve empty) rather than min()-ing an empty run list.
         probe_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
-        for spec in bench_specs:
+        for spec in bench_specs if probe_runs >= 1 else []:
             runs = []
             for _ in range(probe_runs):
                 t0 = time.perf_counter()

@@ -92,10 +92,17 @@ def read_index_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
 
     try:
         df = spark.read.parquet(f"{index_dir}/assignments")
-    except AnalysisException:
+    except AnalysisException as exc:
         # empty-corpus build: no partition dirs were written — serve
-        # the 0-row frame from the schema sidecar
-        df = spark.read.parquet(f"{index_dir}/_schema")
+        # the 0-row frame from the schema sidecar.  A store MISSING
+        # the sidecar (pre-sidecar build, partial write) must fail
+        # with a message naming the assignments path, not a
+        # PATH_NOT_FOUND on _schema that masks the original cause
+        # (ADVICE r7) — so chain the original exception.
+        try:
+            df = spark.read.parquet(f"{index_dir}/_schema")
+        except AnalysisException:
+            raise exc from None
     return df.withColumn("cell", F.col("cell").cast("long"))
 
 

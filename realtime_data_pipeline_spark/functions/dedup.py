@@ -370,8 +370,23 @@ def simhash_near_pairs(
     volume stays ∝ genuine near-dups.  Cost: C(c,2) exploded rows per
     doc (10 at d=3) instead of d+1 — a constant fan-out traded for
     2^17× better key selectivity.  This is the block-permutation idea
-    of Manku et al. (WWW'07 §3) expressed as one bucket rollup."""
-    sigs = simhash_signatures(docs).select("doc_id", "simhash")
+    of Manku et al. (WWW'07 §3) expressed as one bucket rollup.
+
+    Degenerate-doc guard: signature-0 docs (NULL text / NULL token
+    arrays — see _simhash_vote_kernel) are EXCLUDED from pairing
+    before the banding explode.  k such docs would otherwise collide
+    on all C(c,2) chunk-pair combos and emit one k-wide group plus
+    ~C(c,2)·k²/2 exploded distance-0 pairs — a quadratic hazard for a
+    common degenerate class with no content to be "near" anything
+    (MinHash's analogue is its <3-token filter).  Content-less dup
+    detection stays covered by exact_dedup_groups.  The DuckDB oracle
+    mirrors the exclusion (simhash <> 0), so recall semantics stay
+    pinned cross-engine."""
+    sigs = (
+        simhash_signatures(docs)
+        .select("doc_id", "simhash")
+        .where(F.col("simhash") != 0)
+    )
     c = max_hamming + 2
     chunks = _bit_chunks(SIMHASH_BITS, c)
 

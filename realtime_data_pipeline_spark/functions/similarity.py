@@ -408,6 +408,15 @@ def pandas_topk(vectors: DataFrame, query_pred, k: int = 10) -> DataFrame:
         # row FIRST while the built-in aggregate/zip_with twin's NULL
         # sorts last).  A NULL element arrives as NaN after Arrow's
         # float64 conversion, so the mask checks both None and NaN.
+        # DELIBERATE CONFLATION (ADVICE r7): a genuine NaN stored in
+        # the embedding is indistinguishable from an Arrow-converted
+        # NULL element at this point, so the kernel scores BOTH as
+        # NULL, while the built-in fold twin would propagate a real
+        # NaN (ranked first).  Real-NaN vectors are a data-contract
+        # violation the ingest gate counts (embedding_health_report's
+        # n_nonfinite column) — within the contract (no NaN/Inf
+        # elements) both paths agree on every input, which is what
+        # tests pin.
         def _clean(x) -> bool:
             if x is None:
                 return False

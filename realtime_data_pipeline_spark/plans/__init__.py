@@ -238,22 +238,62 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # ks_drift_report, knn_label_consistency, hard_negative_report,
 # streaming_frequent_terms, shared_chunk_report) plus
 # multimodal_audio_stats (the last never-checked lake.py entry).
+#
+# Round-8 rotation (VERDICT r7 'Next round' #1 — executed exactly as
+# pre-verified above; CORRECTNESS_r07 landed 50/50 green, making every
+# planned-out name >=2-round hash-green).  FIFTEEN slots rotate out to
+# the local parity suite, each operator family still driver-covered by
+# a sibling kept in (subsumption arguments recorded in the r8 queue
+# comment above):
+#   part_type_revenue_share, forecast_revenue_change,
+#   hll_partitioned_distinct, status_priority_grouping_sets,
+#   segment_event_pivot, purchase_click_attribution,
+#   streaming_replay_user_counts, minhash_dedup_candidates,
+#   ann_ivf_assigned_topk, embedding_near_dups_lsh,
+#   epoch_shuffle_sample, temperature_mixture_stats,
+#   ffd_packing_report, large_quantity_orders, idle_rich_customers.
+# Fifteen never-driver-checked queries rotate in — this window
+# hash-checks exactly the queries whose plans the round-7
+# broadcast-audit rewrites touched (minhash_calibration_report,
+# dedup_graph_stats, term_postings_stats, doc_lm_scores), the round-5
+# eval/analytics wave, the streaming heavy hitters, and the
+# deterministic batch synthetic source:
+#   ab_test_report, ks_drift_report, knn_label_consistency,
+#   hard_negative_report, embedding_quantization_report,
+#   minhash_calibration_report, dedup_graph_stats,
+#   term_postings_stats, bigram_lm_report, doc_lm_scores,
+#   stratified_doc_sample, event_transition_matrix, rfm_segments,
+#   streaming_frequent_terms, synthetic_events_batch_sample.
+#
+# Round-9 rotation queue (staged r8; pre-verify before promoting):
+# Planned OUT (>=2-round hash-green if r8 lands green, each family
+# still driver-covered by a sibling kept in):
+#   nation_year_profit or region_market_share (multi-join TPC-H — keep
+#   one), scd2_user_segment_history (scd2_pointintime_enrichment and
+#   streaming_scd2_user_segments stay), corpus_snapshot_diff,
+#   purchase_window_views, model_eval_report, data_contract_violations,
+#   pii_scrub_stats, doc_crossdup_rates, ann_ivf_multiprobe_topk
+#   (ann_recall_report + ann_stored_index_topk stay),
+#   streaming_session_counts or streaming_incremental_dedup (keep one).
+# Planned IN: the nine never-checked TPC-H extras that survive the r8
+# subsumption audit (VERDICT r7 #2) plus the top of the remaining
+# never-checked pool (doc_model_scores, streaming_model_scored_counts,
+# event_type_lift, term_source_association, source_diversity_report,
+# rolling_daily_revenue, user_activity_zscores, ...).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 reference operators (registry.py)
     "sliding_user_counts",
-    # synthetic source (S1/S2/P10/P11 — first hard hash row, r6)
-    "pyds_synthetic_sample",
-    # relational surface
-    "part_type_revenue_share", "purchase_click_attribution",
-    "nation_year_profit", "region_market_share", "forecast_revenue_change",
-    "hll_partitioned_distinct",
-    "status_priority_grouping_sets", "segment_event_pivot",
+    # synthetic source (S1/S2/P10/P11): streaming face (r6) + the
+    # md5-deterministic batch face (first hash row, r8)
+    "pyds_synthetic_sample", "synthetic_events_batch_sample",
+    # relational surface (multi-join TPC-H shapes)
+    "nation_year_profit", "region_market_share",
     # streaming parity (batch-replayed)
-    "streaming_replay_user_counts", "streaming_session_counts",
-    "streaming_incremental_dedup",
+    "streaming_session_counts", "streaming_incremental_dedup",
     "streaming_scd2_user_segments", "streaming_enriched_segment_counts",
+    "streaming_frequent_terms",
     # dataset lifecycle / lake operators (lake.py, round-5 wave)
     "scd2_user_segment_history", "corpus_snapshot_diff",
     "purchase_window_views", "pagerank_top_items", "model_eval_report",
@@ -269,15 +309,16 @@ _DRIVER_WINDOW = [
     "item_covisitation_pairs", "langid_confusion_matrix",
     "ann_stored_index_topk", "zorder_roundtrip_stats",
     "upsert_time_travel_stats",
-    # LLM-data operators (northstar.py + training.py + analytics.py)
-    "minhash_dedup_candidates",
-    "ann_ivf_assigned_topk", "ann_ivf_multiprobe_topk",
-    "ann_recall_report", "embedding_near_dups_lsh",
+    # round-8 rotate-ins: eval/analytics wave + the queries whose
+    # plans the round-7 broadcast-audit rewrites touched
+    "ab_test_report", "ks_drift_report", "knn_label_consistency",
+    "hard_negative_report", "embedding_quantization_report",
+    "minhash_calibration_report", "dedup_graph_stats",
+    "term_postings_stats", "bigram_lm_report", "doc_lm_scores",
+    "stratified_doc_sample", "event_transition_matrix", "rfm_segments",
+    # LLM-data operators (northstar.py + analytics.py)
+    "ann_ivf_multiprobe_topk", "ann_recall_report",
     "corpus_curation_stats", "frequent_terms_report",
-    "ffd_packing_report",
-    "temperature_mixture_stats", "epoch_shuffle_sample",
-    # physically-distinct TPC-H shapes (tpch_shapes.py)
-    "large_quantity_orders", "idle_rich_customers",
 ]
 
 

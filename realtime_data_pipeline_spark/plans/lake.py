@@ -1592,6 +1592,10 @@ _SQNORM_DUCK = (
     WITH e AS (SELECT label,
                       embedding IS NULL AS is_null,
                       len(embedding) AS d,
+                      (embedding IS NOT NULL AND len(list_filter(embedding,
+                           x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
+                                OR isinf(CAST(x AS DOUBLE)))) > 0)
+                          AS has_nonfinite,
                       {_SQNORM_DUCK} AS sq
                FROM embeddings)
     SELECT label, count(*) AS n_vecs,
@@ -1602,6 +1606,8 @@ _SQNORM_DUCK = (
            CAST(coalesce(sum(CASE WHEN d IS NOT NULL AND d != 64
                              THEN 1 ELSE 0 END), 0) AS BIGINT)
                AS n_bad_dim,
+           CAST(coalesce(sum(CASE WHEN has_nonfinite THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_nonfinite,
            round(min(sq), 6) AS min_sq_norm,
            round(max(sq), 6) AS max_sq_norm
     FROM e GROUP BY label
@@ -1609,7 +1615,12 @@ _SQNORM_DUCK = (
     doc="vector-store health gate, per label: NULL embeddings, "
     "zero-norm vectors (they poison cosine similarity — "
     "functions/kmeans.py silently drops them, this query makes the "
-    "drop VISIBLE), wrong-dimension rows, and the squared-norm range "
+    "drop VISIBLE), wrong-dimension rows, non-finite rows "
+    "(NULL/NaN/Inf elements — the class where the Arrow kernel "
+    "deliberately scores NULL while the built-in fold would "
+    "propagate NaN, see functions/similarity.py pandas_topk: this "
+    "column makes that contract violation countable at ingest), and "
+    "the squared-norm range "
     "— the checks every ANN index build should run first.  Squared "
     "norms only (no sqrt): computed by the same in-order "
     "aggregate-fold both engines execute bit-identically "
@@ -1623,6 +1634,11 @@ def q_embedding_health_report(spark, sf_dir):
         "label",
         F.col("embedding").isNull().alias("is_null"),
         F.size("embedding").alias("d"),
+        F.expr(
+            "embedding is not null and exists(embedding, x -> "
+            "isnull(x) or isnan(cast(x as double)) or "
+            "abs(cast(x as double)) = double('infinity'))"
+        ).alias("has_nonfinite"),
         F.expr(_SQNORM_SPARK).alias("sq"),
     )
 
@@ -1636,6 +1652,7 @@ def q_embedding_health_report(spark, sf_dir):
         c(F.col("d").isNotNull() & (F.col("d") != 64))
         .cast("long")
         .alias("n_bad_dim"),
+        c(F.col("has_nonfinite")).cast("long").alias("n_nonfinite"),
         F.round(F.min("sq"), 6).alias("min_sq_norm"),
         F.round(F.max("sq"), 6).alias("max_sq_norm"),
     )

@@ -321,7 +321,10 @@ def q_dedup_clusters(spark, sf_dir):
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_dist
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
+    -- signature-0 (NULL-text) degenerates are excluded from pairing in
+    -- BOTH engines (see simhash_near_pairs' degenerate-doc guard)
+    WHERE a.simhash <> 0 AND b.simhash <> 0
+      AND bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
     ORDER BY hamming_dist, doc_a, doc_b
     LIMIT 1000
     """,

@@ -658,3 +658,21 @@ def test_python_datasource_streaming_emits_exact_rows(spark, tmp_path):
         q.stop()
     want = sorted(pydatasource.synth_row(i) for i in range(200))
     assert got == want
+
+
+def test_missing_sidecar_index_fails_naming_assignments_path(
+    spark, tmp_path
+):
+    """A store missing the _schema sidecar (pre-sidecar or partial
+    build) must fail with the ORIGINAL error naming the assignments
+    path — not a PATH_NOT_FOUND on _schema masking the cause
+    (ADVICE r7)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from realtime_data_pipeline_spark.functions import ann_index
+
+    idx = str(tmp_path / "no_such_index")
+    with pytest.raises(AnalysisException) as exc_info:
+        ann_index.read_index_assignments(spark, idx)
+    assert "assignments" in str(exc_info.value)

@@ -141,11 +141,16 @@ def test_simhash_pipeline_matches_python_model(spark, docs, max_hamming):
             df, max_hamming=max_hamming, limit=10_000
         ).collect()
     }
+    # signature-0 degenerates are excluded from pairing (the engine's
+    # degenerate-doc guard — cannot occur with this vocab strategy, but
+    # the model mirrors the contract exactly)
     want_pairs = {
         (a, b): bin(want_sigs[a] ^ want_sigs[b]).count("1")
         for a in want_sigs
         for b in want_sigs
         if a < b
+        and want_sigs[a] != 0
+        and want_sigs[b] != 0
         and bin(want_sigs[a] ^ want_sigs[b]).count("1") <= max_hamming
     }
     assert got_pairs == want_pairs
@@ -573,3 +578,31 @@ def test_minhash_bucket_width_cap_drops_boilerplate(spark):
         df, limit=None, max_bucket_width=None
     ).count()
     assert uncapped == 200 * 199 // 2 + 1
+
+
+def test_simhash_degenerate_docs_never_pair(spark):
+    """The degenerate-doc guard (ADVICE r7): NULL-text docs all carry
+    signature 0 and would collide on every chunk-pair combo — k of
+    them must emit ZERO pairs (no C(c,2)*k^2/2 blowup), while genuine
+    near-identical docs in the same frame still pair.  The DuckDB
+    oracle mirrors the simhash <> 0 exclusion."""
+    degenerate = [(i, None) for i in range(50)]
+    organic = [
+        (1000, "the quick brown fox jumps over the lazy dog today"),
+        (1001, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(
+        degenerate + organic, "doc_id long, text string"
+    )
+    # signatures still report the degenerates (as 0)...
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(df).collect()
+    }
+    assert all(sigs[i] == 0 for i in range(50))
+    # ...but pairing excludes them entirely
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs(df, limit=10_000).collect()
+    }
+    assert pairs == {(1000, 1001)}

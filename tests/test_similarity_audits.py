@@ -104,3 +104,58 @@ def test_null_label_and_embedding_rows_are_dropped(spark):
     for out in (votes, margins):
         ids = {r["query_id"] for r in out.collect()}
         assert ids == set(range(8)), ids
+
+
+def test_real_nan_embedding_contract(spark):
+    """The NaN==NULL conflation contract (ADVICE r7): a genuine NaN
+    stored in an embedding is indistinguishable from an
+    Arrow-converted NULL element inside pandas_topk's kernel, so the
+    kernel scores it NULL (sorted last) — it must never emit NaN,
+    which Spark would rank FIRST.  The ingest gate makes the class
+    countable: embedding_health_report counts the vector in
+    n_nonfinite."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.01, 0.0], 0),
+        (2, [float("nan"), 1.0, 0.0], 0),   # real NaN element
+        (3, [float("inf"), 1.0, 0.0], 0),   # real Inf element
+        (4, None, 0),                        # whole-NULL vector
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+
+    got = similarity.pandas_topk(df, F.col("vec_id") == 0, k=10).collect()
+    # neighbor 1 scores ~1.0; NaN/NULL neighbors score NULL (never NaN)
+    by_n = {r["neighbor_id"]: r["cos_sim"] for r in got}
+    assert by_n[1] is not None and abs(by_n[1] - 1.0) < 1e-4
+    assert by_n[2] is None and by_n[4] is None
+    for v in by_n.values():
+        assert v is None or not math.isnan(v)
+    # NULL scores sort LAST under desc ranking
+    ranked = sorted(got, key=lambda r: r["rnk"])
+    assert ranked[0]["neighbor_id"] == 1
+
+    # the gate counts the whole non-finite class (NaN + Inf, not the
+    # whole-NULL vector — that one is n_null) via the same expression
+    # q_embedding_health_report computes per label
+    health = (
+        df.select(
+            "label",
+            F.col("embedding").isNull().alias("is_null"),
+            F.size("embedding").alias("d"),
+            F.expr(
+                "embedding is not null and exists(embedding, x -> "
+                "isnull(x) or isnan(cast(x as double)) or "
+                "abs(cast(x as double)) = double('infinity'))"
+            ).alias("has_nonfinite"),
+        )
+        .agg(
+            F.sum(F.when(F.col("has_nonfinite"), 1).otherwise(0)).alias(
+                "n_nonfinite"
+            ),
+            F.sum(F.when(F.col("is_null"), 1).otherwise(0)).alias("n_null"),
+        )
+        .collect()[0]
+    )
+    assert health["n_nonfinite"] == 2 and health["n_null"] == 1
