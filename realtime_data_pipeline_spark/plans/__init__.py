@@ -275,10 +275,20 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #   pii_scrub_stats, doc_crossdup_rates, ann_ivf_multiprobe_topk
 #   (ann_recall_report + ann_stored_index_topk stay),
 #   streaming_session_counts or streaming_incremental_dedup (keep one).
-# Planned IN: the nine never-checked TPC-H extras that survive the r8
-# subsumption audit (VERDICT r7 #2) plus the top of the remaining
-# never-checked pool (doc_model_scores, streaming_model_scored_counts,
-# event_type_lift, term_source_association, source_diversity_report,
+# Planned IN: the four never-checked TPC-H extras that survived the
+# r8 subsumption audit (VERDICT r7 #2; executed — see the retirement
+# arguments in tpch_shapes.py's module docstring; the other five,
+# bilateral_trade_volume / promo_revenue_share /
+# priority_shipping_stats / top_revenue_suppliers /
+# supplier_part_diversity, were RETIRED):
+#   sole_late_suppliers (Q21 decorrelated EXISTS/NOT-EXISTS pair),
+#   brand_quantity_revenue (Q19 disjunctive cross-side predicate),
+#   small_order_parts_revenue (Q17 correlated subquery decorrelated
+#   into a window average), returned_revenue_top_customers (Q10
+#   top-k on the exact decimal with rounded projection);
+# plus the top of the remaining never-checked pool
+# (doc_model_scores, streaming_model_scored_counts, event_type_lift,
+# term_source_association, source_diversity_report,
 # rolling_daily_revenue, user_activity_zscores, ...).
 # ---------------------------------------------------------------------------
 

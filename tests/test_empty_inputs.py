@@ -157,14 +157,9 @@ _QUERIES = [
     "ann_pandas_topk",
     "tfidf_top_terms",
     "doc_length_buckets",
-    "bilateral_trade_volume",
     "returned_revenue_top_customers",
-    "priority_shipping_stats",
     "customer_order_count_histogram",
-    "promo_revenue_share",
-    "supplier_part_diversity",
     "brand_quantity_revenue",
-    "top_revenue_suppliers",
     "sole_late_suppliers",
     "session_window_counts",
     "value_stats_by_type",

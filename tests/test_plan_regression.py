@@ -292,14 +292,9 @@ EXPECTED_SHUFFLES = {
     # multi-action Lloyd training report: final plan reads the k×dim
     # codebook literal; iteration exchanges run during construction
     "kmeans_codebook_report": 0,
-    "bilateral_trade_volume": 1,  # facts exchange once; both nation roles broadcast
     "returned_revenue_top_customers": 1,  # R-filtered rollup; dims broadcast
-    "priority_shipping_stats": 1,  # conditional sums, one priority rollup
     "customer_order_count_histogram": 2,  # cust rollup + count-of-counts rollup
-    "promo_revenue_share": 1,  # conditional share from one aggregate pass
-    "supplier_part_diversity": 2,  # (supp,part) pre-distinct + supp rollup
     "brand_quantity_revenue": 1,  # part dim broadcast; brand rollup
-    "top_revenue_suppliers": 3,  # supp rollup; 1-row max; threshold semi back-join
     # lineitem supplier rollup + late-only recount + 1-row total +
     # sole-supplier pre-distinct — the anti-join rides broadcast
     "sole_late_suppliers": 4,
