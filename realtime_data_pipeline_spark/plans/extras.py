@@ -252,8 +252,14 @@ def q_synthetic_events_batch_sample(spark, sf_dir):
     # tail the p99 of 200 rows interpolates between the two largest
     # values while the sketch returns a sample — a 25% value gap at a
     # correct rank), so the envelope asserts rank-window containment:
-    # each estimate must lie between the exact quantiles at q ± 0.01,
-    # true at every scale factor.
+    # each estimate must lie between the exact quantiles at q ± 0.01.
+    # Containment is only asserted for groups of >= 100 rows: below
+    # that the ±0.01 rank window is NARROWER than one order statistic,
+    # so the interpolated bounds can both fall strictly between two
+    # adjacent samples while the sketch (correctly) returns one of the
+    # samples — unsatisfiable by construction, not an accuracy failure
+    # (found by the unicode events axis: 7 injected multiscript event
+    # types with ~17 rows each flipped the flag).
     """
     SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50_exact,
@@ -284,6 +290,8 @@ def q_approx_quantiles_report(spark, sf_dir):
     ok = within[0]
     for w in within[1:]:
         ok = ok & w
+    # vacuous below 100 rows — see the rank-window note above
+    ok = ok | (F.count("*") < 100)
     return (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull())
