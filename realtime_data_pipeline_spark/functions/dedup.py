@@ -288,25 +288,51 @@ def _simhash_vote_kernel():
     `NULL > 0` to false and contributes the ELSE 0 — NULL-text docs
     all carry signature 0 (and pair with each other at distance 0),
     in BOTH engines; empty th → 0 (no bit wins a majority of zero
-    votes)."""
+    votes).
+
+    Vectorized across the WHOLE Arrow batch (not per document): the
+    batch's token-hash lists concatenate into one flat int64 vector,
+    each bit-plane's per-document ones-count is a single segmented
+    sum (np.add.reduceat over the document offsets), and the majority
+    vote is one comparison matrix — so per-batch work is 60 flat
+    numpy passes regardless of document count, with O(total_tokens)
+    peak memory (one bit-plane temp at a time, never the 60-wide bits
+    matrix).  Integer-only throughout (shifts, masks, integer sums,
+    comparisons — no floats), so the signature stays bit-identical to
+    the nested-aggregate expression form and the pure-Python twin in
+    tests/test_minhash_model.py."""
     from pyspark.sql.functions import pandas_udf
 
-    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
-    weights = (np.int64(1) << shifts).astype(np.int64)
+    weights = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)).astype(
+        np.int64
+    )
 
     @pandas_udf("bigint")
     def _sig(th: pd.Series) -> pd.Series:
-        out = []
-        for row in th:
-            if row is None or len(row) == 0:
-                out.append(0)
-                continue
-            a = np.asarray(row, dtype=np.int64)
-            ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
+        n = len(th)
+        lens = np.fromiter(
+            (0 if row is None else len(row) for row in th),
+            dtype=np.int64,
+            count=n,
+        )
+        sigs = np.zeros(n, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(row, dtype=np.int64) for row in th[nonempty]]
+            )
+            ne_lens = lens[nonempty]
+            starts = np.zeros(ne_lens.size, dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=starts[1:])
+            ones = np.empty((ne_lens.size, SIMHASH_BITS), dtype=np.int64)
+            tmp = np.empty(flat.size, dtype=np.int64)
+            for b in range(SIMHASH_BITS):
+                np.right_shift(flat, b, out=tmp)
+                np.bitwise_and(tmp, 1, out=tmp)
+                ones[:, b] = np.add.reduceat(tmp, starts)
             # vote_b = 2·ones_b − n > 0  ⇔  2·ones_b > n
-            sig = int(weights[(2 * ones) > a.size].sum())
-            out.append(sig)
-        return pd.Series(out, dtype="Int64")
+            sigs[nonempty] = ((2 * ones) > ne_lens[:, None]) @ weights
+        return pd.Series(sigs, dtype="Int64")
 
     return _sig
 

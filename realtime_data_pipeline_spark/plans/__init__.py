@@ -289,7 +289,15 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # plus the top of the remaining never-checked pool
 # (doc_model_scores, streaming_model_scored_counts, event_type_lift,
 # term_source_association, source_diversity_report,
-# rolling_daily_revenue, user_activity_zscores, ...).
+# rolling_daily_revenue, user_activity_zscores, doc_length_buckets,
+# ...).
+# doc_length_buckets subsumption audit (VERDICT r7 #4): NOT a subset
+# of documents_profile — the profile is a single-pass parallel
+# aggregate + stack unpivot with no derived grouping key, while
+# doc_length_buckets groups on a DERIVED integer key computed by bit
+# arithmetic (length(bin(n))-1 bucketing + shiftleft boundaries); no
+# other registered query hash-checks integer log2 bucketing or a
+# groupBy on a computed power-of-2 bucket.  KEPT, queued above.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [

@@ -16,8 +16,23 @@ dwarfs fixed overhead; the iterative/join-heavy rows
 (purchase_window_views, pagerank_top_items, user_session_stats) are
 the ones worth watching.
 
+Measurement protocol (default since round 8 — the round-7 probe
+learned that warmed-vs-fresh JVM variance contributes ±50% to
+single-run exponents, dominating any real plan signal): each
+(query, scale) measurement runs in its OWN fresh JVM subprocess —
+`runs` back-to-back executions, min taken — so no query inherits
+another's codegen caches, broadcast cleanup debt, or GC heap shape,
+and the small step never pre-warms the big step.  Shuffle partitions
+derive PER SCALE STEP as max(n_cpus, rows / rows-per-task), the
+cluster-realistic constant-per-task sizing.  `--mode shared`
+restores the old single-JVM loop (fast smoke runs; its exponents
+carry the warmth artifact).  The final ratios line is also written
+as a JSON artifact (--out, default SCALE.json next to this script's
+repo root) so rounds diff measured scale curves, not anecdotes.
+
 Usage: python scripts/scale_probe.py [--rows-small 1000000]
        [--rows-large 10000000] [--runs 2] [--queries a,b,c]
+       [--mode fresh|shared] [--out SCALE.json]
 Prints one JSON line per scale plus a final ratios line.
 """
 
@@ -102,14 +117,26 @@ def generate_events(spark, out_dir: str, n_rows: int) -> None:
     df.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
-def generate_documents(spark, out_dir: str, n_docs: int) -> None:
+def generate_documents(
+    spark, out_dir: str, n_docs: int, vocab: str = "closed"
+) -> None:
     """documents(doc_id, text, lang, source, n_chars) at probe scale:
-    ~50-token texts over a zipf-ish vocabulary (25% of draws from a
-    50-word head, the rest from a 5000-word tail), 5 langs, 20
-    sources.  Every 10th doc REPEATS its decade-leader's token stream
-    with only the position-index salt changed on the last 5 tokens —
-    planted near-duplicate structure so the dedup operators do real
-    candidate work at every scale instead of hashing unique noise."""
+    ~50-token texts, 5 langs, 20 sources.  Every 10th doc REPEATS its
+    decade-leader's token stream with only the position-index salt
+    changed on the last 5 tokens — planted near-duplicate structure so
+    the dedup operators do real candidate work at every scale instead
+    of hashing unique noise.
+
+    vocab='closed' (the r7 probe): 25% of draws from a 50-word head,
+    the rest from a FIXED 5000-word tail — posting lists for every
+    tail word grow linearly with the corpus, the df-cap's documented
+    worst-case intermediate regime.  vocab='open': the tail draw is
+    power-law inverse-CDF over an UNBOUNDED id space
+    (tid = floor(u^-1.25), u uniform on (0,1] from the same md5 hash),
+    so token frequencies are Zipf-ish and distinct vocabulary grows
+    ~n^0.8 — the Heaps-law shape of real corpora, where the df-cap's
+    linear asymptote should show up as a measured ratio, not an
+    analytic argument."""
     base = "cast(id - (id % 10) as string)"  # decade leader's stream
     tok = (
         # position-salted 32-bit hash of (leader, pos) for the first
@@ -119,10 +146,26 @@ def generate_documents(spark, out_dir: str, n_docs: int) -> None:
         f"  if(p < 45, {base}, cast(id as string)), ':', cast(p as string)"
         f")), 1, 8), 16, 10) as bigint)"
     )
+    if vocab == "closed":
+        tail = f"concat('w', cast(({tok}) % 5000 as string))"
+    else:
+        # u in (0,1] at 1e-6 grain; floor(100·u^-1.25) is an
+        # offset power-law inverse CDF: P(tid >= x) = (x/100)^-0.8
+        # for x >= 100, so the most frequent tail word sits at ~0.8%
+        # of tail draws (a realistic mid-frequency word, not a
+        # degenerate 40% super-token) while distinct vocabulary still
+        # grows ~n^0.56 (measured 347 -> 1255 over a 10x doc step) —
+        # integer-rendered so the token string is exact and
+        # deterministic
+        u = f"((({tok}) % 1000000) + 1) / 1000000.0"
+        tail = (
+            f"concat('w', cast(cast(100 * pow({u}, -1.25) as bigint) "
+            f"as string))"
+        )
     text = (
         f"array_join(transform(sequence(0, 49), p -> "
         f"if(({tok}) % 4 = 0, concat('hot', cast(({tok}) % 50 as string)), "
-        f"concat('w', cast(({tok}) % 5000 as string)))), ' ')"
+        f"{tail})), ' ')"
     )
     df = spark.range(0, n_docs, 1, default_parallelism()).select(
         F.col("id").alias("doc_id"),
@@ -138,15 +181,66 @@ def generate_documents(spark, out_dir: str, n_docs: int) -> None:
     df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
-def stage_star_dir(spark, n_rows: int, n_docs: int) -> str:
+def stage_star_dir(
+    spark, n_rows: int, n_docs: int, vocab: str = "closed"
+) -> str:
     d = scratch_dir(f"rdp_scale_{n_rows}_")
     for name in TABLE_NAMES:
         if name in ("events", "documents"):
             continue
         os.symlink(f"{SF01_DIR}/{name}.parquet", f"{d}/{name}.parquet")
     generate_events(spark, d, n_rows)
-    generate_documents(spark, d, n_docs)
+    generate_documents(spark, d, n_docs, vocab=vocab)
     return d
+
+
+def _measure(spark, name: str, d: str, runs: int) -> float:
+    """min-of-`runs` wall time for one registry query against dir `d`
+    (noop sink — full execution, no driver materialization)."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(min(times), 3)
+
+
+def _worker(args) -> None:
+    """Fresh-JVM measurement of ONE (query, staged dir) pair; prints a
+    single JSON line the parent parses.  Runs in its own subprocess so
+    no measurement inherits another's JVM warmth."""
+    spark = get_spark(
+        app_name=f"rdp-scale-worker-{args.worker_query}",
+        master=f"local[{default_parallelism()}]",
+        shuffle_partitions=args.shuffle_partitions or default_parallelism(),
+    )
+    sec = _measure(spark, args.worker_query, args.worker_dir, args.runs)
+    print(json.dumps({"query": args.worker_query, "sec": sec}), flush=True)
+    spark.stop()
+
+
+def _spawn_worker(args, name: str, d: str, parts: int) -> float:
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--worker-query", name,
+        "--worker-dir", d,
+        "--runs", str(args.runs),
+        "--shuffle-partitions", str(parts),
+    ]
+    if args.driver_mem:
+        cmd += ["--driver-mem", args.driver_mem]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])["sec"]
 
 
 def main() -> None:
@@ -158,6 +252,24 @@ def main() -> None:
     ap.add_argument("--docs-large", type=int, default=500_000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    # fresh (default): every (query, scale) measurement in its own JVM
+    # subprocess — the controlled protocol whose exponents round 7
+    # showed are reproducible; shared: the old one-JVM loop (faster,
+    # warmth-contaminated).
+    ap.add_argument("--mode", choices=("fresh", "shared"), default="fresh")
+    # closed = the r7 fixed-5000-word tail (df-cap worst case);
+    # open = Heaps-law power-law tail (real-corpus shape) — see
+    # generate_documents
+    ap.add_argument("--vocab", choices=("closed", "open"), default="closed")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE.json",
+        ),
+        help="write the final ratios line here as a JSON artifact "
+        "(empty string to skip)",
+    )
     # at 100M rows the default 32 shuffle partitions put 3M+ rows in
     # each hash-aggregate task and the default 8g heap thrashes GC —
     # a LOCAL artifact a real cluster doesn't have (it sizes executor
@@ -176,13 +288,17 @@ def main() -> None:
     # counts at 100M rows ran 2.1× faster under matched task sizing
     # with an identical plan).  --shuffle-partitions overrides.
     ap.add_argument("--rows-per-task", type=int, default=350_000)
+    # internal: subprocess entrypoint for --mode fresh
+    ap.add_argument("--worker-query", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--worker-dir", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    from realtime_data_pipeline_spark.plans.registry import REGISTRY
-
-    names = [n for n in args.queries.split(",") if n]
     if args.driver_mem:
         os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.driver_mem
+    if args.worker_query:
+        return _worker(args)
+
+    names = [n for n in args.queries.split(",") if n]
     n = default_parallelism()
     spark = get_spark(
         app_name="rdp-scale-probe",
@@ -190,29 +306,40 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions or n,
     )
 
-    results: dict[int, dict[str, float]] = {}
-    for n_rows, n_docs in (
+    steps = (
         (args.rows_small, args.docs_small),
         (args.rows_large, args.docs_large),
-    ):
-        parts = args.shuffle_partitions or max(n, n_rows // args.rows_per_task)
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        d = stage_star_dir(spark, n_rows, n_docs)
+    )
+    # stage both dirs up front; in fresh mode the staging JVM then
+    # stops so workers get the host to themselves (the scratch dirs
+    # outlive it — cleanup is this parent process's atexit)
+    dirs = {
+        n_rows: stage_star_dir(spark, n_rows, n_docs, vocab=args.vocab)
+        for n_rows, n_docs in steps
+    }
+    if args.mode == "fresh":
+        spark.stop()
+
+    results: dict[int, dict[str, float]] = {}
+    for n_rows, n_docs in steps:
+        # constant-per-task sizing must track whichever table carries
+        # the step's volume: a docs-only soak (tiny --rows-small with
+        # --docs-large in the millions) still needs its shuffle
+        # partitions scaled to the corpus — one doc ≈ 20 events of
+        # volume (the testdata's events:documents ratio)
+        eff_rows = max(n_rows, 20 * n_docs)
+        parts = args.shuffle_partitions or max(
+            n, eff_rows // args.rows_per_task
+        )
+        d = dirs[n_rows]
         timings: dict[str, float] = {}
         for name in names:
-            REGISTRY[name].fn(spark, d).write.format("noop").mode(
-                "overwrite"
-            ).save()  # warm
-            spark.catalog.clearCache()
-            runs = []
-            for _ in range(args.runs):
-                t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.perf_counter() - t0)
-                spark.catalog.clearCache()
-            timings[name] = round(min(runs), 3)
+            if args.mode == "fresh":
+                timings[name] = _spawn_worker(args, name, d, parts)
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                _measure(spark, name, d, 1)  # warm (shared-JVM mode only)
+                timings[name] = _measure(spark, name, d, args.runs)
         results[n_rows] = timings
         print(json.dumps({"rows": n_rows, "queries": timings}), flush=True)
 
@@ -222,20 +349,28 @@ def main() -> None:
         name: round(large[name] / small[name], 2) if small[name] > 0 else None
         for name in names
     }
-    print(
-        json.dumps(
-            {
-                "metric": "scale_probe_ratio",
-                "data_ratio": data_ratio,
-                "ratios": ratios,
-                "superlinear": sorted(
-                    n for n, r in ratios.items() if r and r > data_ratio * 1.2
-                ),
-            }
+    artifact = {
+        "metric": "scale_probe_ratio",
+        "mode": args.mode,
+        "vocab": args.vocab,
+        "runs": args.runs,
+        "rows": [args.rows_small, args.rows_large],
+        "docs": [args.docs_small, args.docs_large],
+        "data_ratio": data_ratio,
+        "small_sec": small,
+        "large_sec": large,
+        "ratios": ratios,
+        "superlinear": sorted(
+            n for n, r in ratios.items() if r and r > data_ratio * 1.2
         ),
-        flush=True,
-    )
-    spark.stop()
+    }
+    print(json.dumps(artifact), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+            f.write("\n")
+    if args.mode == "shared":
+        spark.stop()
 
 
 if __name__ == "__main__":
