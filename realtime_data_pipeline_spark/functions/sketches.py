@@ -99,10 +99,24 @@ def mg_candidate_terms(docs: DataFrame, capacity: int) -> DataFrame:
 def frequent_terms(docs: DataFrame, phi: float = 0.005) -> DataFrame:
     """Exact heavy hitters: every term with frequency ≥ φ·n plus its
     exact count and share.  capacity = ⌈2/φ⌉ gives 2× margin over the
-    no-false-negative bound."""
+    no-false-negative bound.
+
+    The tokenized frame is PERSISTED and shared by all three consumers
+    (pass-1 sketch, token total, exact re-count).  The barrier is
+    load-bearing, not a convenience: with the final φ·n filter on top,
+    the optimizer merges the split() projection INTO the exact pass's
+    Generate, re-evaluating the tokenizer per exploded ELEMENT —
+    O(len²) regex work per document (measured at the 500k-doc probe
+    step: 60-180 s for the composed query vs ~10 s for the sum of its
+    pieces; same pathology and same fix as dedup.shingle_sets).
+    Persist also collapses three corpus scans into one, keeping the
+    map side zero-shuffle; partitioning follows the scan splits, so
+    cluster parallelism is governed by maxPartitionBytes as usual."""
     capacity = int(2.0 / phi) + 1
-    cand = mg_candidate_terms(docs, capacity)
-    toks = _tok_frame(docs)
+    toks = _tok_frame(docs).persist()
+    cand = toks.mapInPandas(
+        _mg_kernel(capacity), schema="term string"
+    ).distinct()
     n_tok = toks.agg(F.sum(F.size("toks")).alias("n_tok"))
     exact = (
         toks.select(F.explode("toks").alias("term"))

@@ -74,6 +74,19 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin the heap floor to the ceiling — the standard posture for
+        # long-running Spark executors: Java 17's G1 otherwise
+        # uncommits idle heap back to the OS between query bursts and
+        # re-faults (kernel-zeroes) it on the next allocation spike,
+        # adding recurring sys-time to whatever query runs next.  (Not
+        # a cure-all: this box also shows minutes-long HOST-side
+        # memory-reclaim storms — sys >> user with steal blips — that
+        # hit pinned heaps too; scripts/scale_probe.py detects and
+        # retries those.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')}",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():

@@ -182,43 +182,104 @@ def generate_documents(
 
 
 def stage_star_dir(
-    spark, n_rows: int, n_docs: int, vocab: str = "closed"
-) -> str:
-    d = scratch_dir(f"rdp_scale_{n_rows}_")
+    spark, d: str, n_rows: int, n_docs: int, vocab: str = "closed"
+) -> None:
+    """Fill a pre-created dir `d` with the star schema at this scale
+    (the caller owns the dir's lifetime — in fresh mode the PARENT
+    creates it so atexit cleanup survives the staging subprocess)."""
     for name in TABLE_NAMES:
         if name in ("events", "documents"):
             continue
         os.symlink(f"{SF01_DIR}/{name}.parquet", f"{d}/{name}.parquet")
     generate_events(spark, d, n_rows)
     generate_documents(spark, d, n_docs, vocab=vocab)
-    return d
 
 
-def _measure(spark, name: str, d: str, runs: int) -> float:
-    """min-of-`runs` wall time for one registry query against dir `d`
-    (noop sink — full execution, no driver materialization)."""
+def _cpu_jiffies() -> tuple[int, int]:
+    """(user+nice, system) jiffies from /proc/stat — the storm
+    detector's inputs."""
+    parts = open("/proc/stat").readline().split()
+    v = list(map(int, parts[1:4]))
+    return v[0] + v[1], v[2]
+
+
+def _measure_runs(spark, name: str, d: str, runs: int) -> list[dict]:
+    """`runs` timed executions against dir `d` (noop sink — full
+    execution, no driver materialization), each annotated with the
+    box's user/sys CPU-time delta so host interference is visible."""
     from realtime_data_pipeline_spark.plans.registry import REGISTRY
 
-    times = []
+    out = []
     for _ in range(runs):
+        u0, s0 = _cpu_jiffies()
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, d).write.format("noop").mode(
             "overwrite"
         ).save()
-        times.append(time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
+        u1, s1 = _cpu_jiffies()
+        out.append(
+            {"wall": wall, "user_s": (u1 - u0) / 100.0,
+             "sys_s": (s1 - s0) / 100.0}
+        )
         spark.catalog.clearCache()
-    return round(min(times), 3)
+    return out
+
+
+def _is_stormy(run: dict) -> bool:
+    """Host-interference signature measured on this box: minutes-long
+    bursts where the kernel eats the machine (e.g. 1535 CPU-s of sys
+    vs 48 of user in an 87 s wall for a query whose clean profile is
+    ~100 user / ~7 sys in ~5 s).  sys > user on a Spark SQL query is
+    never the engine — whole-stage codegen work is user time."""
+    return run["sys_s"] > max(run["user_s"], 1.0)
+
+
+def _measure(spark, name: str, d: str, runs: int) -> float:
+    """min-of-`runs` wall time; retries up to twice when every run in
+    a batch carries the host-storm signature, so a freeze that spans
+    one worker's whole measurement window doesn't masquerade as a
+    scale exponent.  If the storm outlasts all retries the stormy
+    minimum is returned anyway (annotated upstream) — never silently
+    dropped."""
+    best_clean = None
+    all_runs = []
+    for _attempt in range(3):
+        batch = _measure_runs(spark, name, d, runs)
+        all_runs += batch
+        clean = [r["wall"] for r in batch if not _is_stormy(r)]
+        if clean:
+            best_clean = min(clean) if best_clean is None else min(
+                best_clean, min(clean)
+            )
+            break
+        print(
+            json.dumps({"query": name, "storm_retry": batch}),
+            file=sys.stderr, flush=True,
+        )
+    if best_clean is None:
+        best_clean = min(r["wall"] for r in all_runs)
+    return round(best_clean, 3)
 
 
 def _worker(args) -> None:
     """Fresh-JVM measurement of ONE (query, staged dir) pair; prints a
     single JSON line the parent parses.  Runs in its own subprocess so
-    no measurement inherits another's JVM warmth."""
+    no measurement inherits another QUERY's JVM warmth — but warms its
+    OWN JVM to steady state first (two discarded runs: measured run-0
+    is dominated by class loading + C1 JIT at ~10-15 s and run-1 by C2
+    tiering; sliding_user_counts at 1M rows measured 16.0 / 4.6 / 1.9 /
+    1.6 s across four runs in one fresh JVM).  The quantity under test
+    is the steady-state cost of the PLAN at each scale — the cluster
+    analogue is a long-running JIT-warm executor — so cold-JVM constant
+    overhead must not ride the small step and bias every ratio
+    sublinear."""
     spark = get_spark(
         app_name=f"rdp-scale-worker-{args.worker_query}",
         master=f"local[{default_parallelism()}]",
         shuffle_partitions=args.shuffle_partitions or default_parallelism(),
     )
+    _measure(spark, args.worker_query, args.worker_dir, 2)  # warm (JIT)
     sec = _measure(spark, args.worker_query, args.worker_dir, args.runs)
     print(json.dumps({"query": args.worker_query, "sec": sec}), flush=True)
     spark.stop()
@@ -288,37 +349,95 @@ def main() -> None:
     # counts at 100M rows ran 2.1× faster under matched task sizing
     # with an identical plan).  --shuffle-partitions overrides.
     ap.add_argument("--rows-per-task", type=int, default=350_000)
-    # internal: subprocess entrypoint for --mode fresh
+    ap.add_argument(
+        "--use-dirs",
+        default=None,
+        help="comma-separated pre-staged small,large dirs (skip "
+        "staging — the generators are deterministic, so a dir staged "
+        "with the same sizes/vocab is byte-identical); caller owns "
+        "their cleanup",
+    )
+    # internal: subprocess entrypoints for --mode fresh
     ap.add_argument("--worker-query", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--worker-dir", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--stage-out", default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--stage-rows", type=int, default=None, help=argparse.SUPPRESS
+    )
+    ap.add_argument(
+        "--stage-docs", type=int, default=None, help=argparse.SUPPRESS
+    )
     args = ap.parse_args()
 
     if args.driver_mem:
         os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.driver_mem
     if args.worker_query:
         return _worker(args)
+    if args.stage_out:
+        spark = get_spark(
+            app_name="rdp-scale-stager",
+            master=f"local[{default_parallelism()}]",
+            shuffle_partitions=default_parallelism(),
+        )
+        stage_star_dir(
+            spark, args.stage_out, args.stage_rows, args.stage_docs,
+            vocab=args.vocab,
+        )
+        spark.stop()
+        return None
 
     names = [n for n in args.queries.split(",") if n]
     n = default_parallelism()
-    spark = get_spark(
-        app_name="rdp-scale-probe",
-        master=f"local[{n}]",
-        shuffle_partitions=args.shuffle_partitions or n,
-    )
 
     steps = (
         (args.rows_small, args.docs_small),
         (args.rows_large, args.docs_large),
     )
-    # stage both dirs up front; in fresh mode the staging JVM then
-    # stops so workers get the host to themselves (the scratch dirs
-    # outlive it — cleanup is this parent process's atexit)
-    dirs = {
-        n_rows: stage_star_dir(spark, n_rows, n_docs, vocab=args.vocab)
-        for n_rows, n_docs in steps
-    }
-    if args.mode == "fresh":
-        spark.stop()
+    # stage both dirs up front.  In fresh mode staging runs in a
+    # SUBPROCESS: py4j's spark.stop() leaves the gateway JVM alive as
+    # a child of this parent for the whole run, and a resident
+    # multi-GB JVM measurably inflates every worker measurement —
+    # the parent must never own a JVM.  The parent still CREATES the
+    # scratch dirs so atexit cleanup is tied to the run's lifetime.
+    if args.use_dirs:
+        pre = args.use_dirs.split(",")
+        dirs = {args.rows_small: pre[0], args.rows_large: pre[1]}
+    else:
+        dirs = {
+            n_rows: scratch_dir(f"rdp_scale_{n_rows}_")
+            for n_rows, _ in steps
+        }
+    if args.use_dirs:
+        spark = None if args.mode == "fresh" else get_spark(
+            app_name="rdp-scale-probe",
+            master=f"local[{n}]",
+            shuffle_partitions=args.shuffle_partitions or n,
+        )
+    elif args.mode == "fresh":
+        import subprocess
+
+        for n_rows, n_docs in steps:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--stage-out", dirs[n_rows],
+                "--stage-rows", str(n_rows),
+                "--stage-docs", str(n_docs),
+                "--vocab", args.vocab,
+            ]
+            if args.driver_mem:
+                cmd += ["--driver-mem", args.driver_mem]
+            subprocess.run(cmd, check=True, capture_output=True)
+        spark = None
+    else:
+        spark = get_spark(
+            app_name="rdp-scale-probe",
+            master=f"local[{n}]",
+            shuffle_partitions=args.shuffle_partitions or n,
+        )
+        for n_rows, n_docs in steps:
+            stage_star_dir(
+                spark, dirs[n_rows], n_rows, n_docs, vocab=args.vocab
+            )
 
     results: dict[int, dict[str, float]] = {}
     for n_rows, n_docs in steps:
@@ -354,6 +473,8 @@ def main() -> None:
         "mode": args.mode,
         "vocab": args.vocab,
         "runs": args.runs,
+        "driver_mem": args.driver_mem
+        or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "rows": [args.rows_small, args.rows_large],
         "docs": [args.docs_small, args.docs_large],
         "data_ratio": data_ratio,
