@@ -555,11 +555,19 @@ def ngram_jaccard_pairs(
          twice on doc id, and |A∩B| is a map-side
          size(array_intersect) — cost ∝ candidates × doc length, and
          the emitted jaccard is exact, not biased by the cap.  Both
-         joins carry SHUFFLE_HASH hints: the planner cannot estimate
-         the size of a distinct-over-explode output, and the one thing
-         this join must never become is a broadcast of either side (a
-         mis-estimated broadcast of the pair list OOMed the driver at
-         the 500k-doc probe scale — at 100 TB neither side ever fits).
+         joins carry MERGE (sort-merge) hints: the planner cannot
+         estimate the size of a distinct-over-explode output, and the
+         one thing this join must never become is a broadcast of
+         either side (a mis-estimated broadcast of the pair list OOMed
+         the driver at the 500k-doc probe scale — at 100 TB neither
+         side ever fits).  MERGE, not SHUFFLE_HASH (rounds 7-8a): a
+         ShuffledHashJoin's per-task hash build CANNOT spill — at the
+         5M-doc open-vocab soak step the build threw
+         cannotAcquireMemoryToBuildLongHashedRelation under 32
+         concurrent tasks on a 12 GiB heap, the exact failure a skewed
+         or under-provisioned 100 TB executor would hit.  Sort-merge
+         spills both sides to disk and degrades gracefully; its sort
+         cost is noise here (the pair list is already exchange-bound).
          A pair is missed only if ALL its shared shingles are
          corpus-common (df > cap) — by construction a boilerplate
          relationship, not a near-duplicate.
@@ -600,8 +608,8 @@ def ngram_jaccard_pairs(
     sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     shared = (
-        cand.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .withColumn("shared", F.size(F.array_intersect("sa", "sb")))
     )
     jacc = F.round(

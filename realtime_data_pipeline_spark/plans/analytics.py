@@ -1387,9 +1387,12 @@ def q_minhash_calibration_report(spark, sf_dir):
     # output the planner cannot size — unhinted it chose to broadcast
     # the corpus-scaled side (the ngram-class driver OOM), and the
     # exploded (doc, shingle) join moved 48× the bytes of the compact
-    # arrays.  SHUFFLE_HASH builds the bounded per-partition doc-array
-    # side; the LEFT join of the old form is gone because every pair
-    # gets its exact |A∩B| directly (0 when disjoint).
+    # arrays.  MERGE, not SHUFFLE_HASH (r8): a ShuffledHashJoin's
+    # per-task hash build cannot spill and threw
+    # cannotAcquireMemoryToBuildLongHashedRelation at the 5M-doc soak
+    # step (see ngram_jaccard_pairs) — sort-merge spills gracefully.
+    # The LEFT join of the old form is gone because every pair gets
+    # its exact |A∩B| directly (0 when disjoint).
     sa = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sa"),
@@ -1401,8 +1404,8 @@ def q_minhash_calibration_report(spark, sf_dir):
         F.col("n_sh").alias("nb"),
     )
     jj = (
-        pairs.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        pairs.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .withColumn("shared", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "uni", F.col("na") + F.col("nb") - F.col("shared")

@@ -298,10 +298,16 @@ def _spawn_worker(args, name: str, d: str, parts: int) -> float:
     ]
     if args.driver_mem:
         cmd += ["--driver-mem", args.driver_mem]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, check=True
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])["sec"]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        # surface the worker's real error before the parent dies (and
+        # its atexit removes the staged dirs — the evidence)
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(
+            f"worker {name} failed (exit {proc.returncode}); "
+            f"stderr tail above"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])["sec"]
 
 
 def main() -> None:
