@@ -209,19 +209,23 @@ def q_doc_lm_scores(spark, sf_dir):
                  row_number() OVER (PARTITION BY term ORDER BY doc_id)
                      AS pr
           FROM d),
-    heads AS (SELECT term, list_sort(list(doc_id)) AS posting_head
+    heads AS (SELECT term,
+                     array_to_string(list_sort(list(doc_id)), ',')
+                         AS posting_head
               FROM r WHERE pr <= 5 GROUP BY term)
     SELECT term, df.df AS df, cf.cf AS cf, posting_head
     FROM df JOIN cf USING (term) JOIN heads USING (term)
     ORDER BY df.df DESC, term LIMIT 100
     """,
     doc="inverted-index build: per term, document frequency, collection "
-    "frequency, and the first-5 posting-list head (doc_ids ascending), "
-    "top-100 terms by df.  The posting head is BOUNDED before any "
-    "collect — a per-term row_number keeps ≤5 docs, so executor state "
-    "is O(5), never O(df) (an unbounded collect_list per term is the "
-    "classic index-build OOM at 100 TB); the top-100 render is "
-    "TakeOrderedAndProject, no global sort",
+    "frequency, and the first-5 posting-list head (doc_ids ascending, "
+    "rendered as a comma-joined string — driver-window outputs must be "
+    "scalar-only: the driver's pandas canonicalization cannot sort an "
+    "array<> column), top-100 terms by df.  The posting head is "
+    "BOUNDED before any collect — a per-term row_number keeps ≤5 docs, "
+    "so executor state is O(5), never O(df) (an unbounded collect_list "
+    "per term is the classic index-build OOM at 100 TB); the top-100 "
+    "render is TakeOrderedAndProject, no global sort",
 )
 def q_term_postings_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -259,7 +263,20 @@ def q_term_postings_stats(spark, sf_dir):
     # with explode-derived static estimates — never a broadcast.
     return (
         dfh.join(cf_t.hint("merge"), "term")
-        .select("term", "df", "cf", "posting_head")
+        .select(
+            "term",
+            "df",
+            "cf",
+            # Scalar render of the (already sorted, already O(5))
+            # head: the driver's pandas canon crashes sorting
+            # array cells, so the contract is scalar-only output.
+            F.array_join(
+                F.transform(
+                    "posting_head", lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("posting_head"),
+        )
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
     )

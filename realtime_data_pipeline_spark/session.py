@@ -50,6 +50,67 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _norm_jvm_mem(value: str) -> str:
+    """Normalize a memory size for use as a JVM -Xms/-Xmx flag.
+
+    `spark.driver.memory` accepts a bare number and reads it as MiB,
+    but `-Xms1500` means 1500 BYTES — interpolating the env value
+    verbatim into extraJavaOptions made such a value fail JVM launch
+    (ADVICE r8).  Bare digits get an 'm' suffix; anything that is not
+    digits-plus-one-of-k/m/g (JVM-legal units) raises rather than
+    producing a flag the JVM will reject at a distance.
+    """
+    v = value.strip().lower()
+    if v.isdigit():
+        return v + "m"
+    if v and v[-1] in "kmg" and v[:-1].isdigit():
+        return v
+    raise ValueError(
+        f"SPARK_GRAFT_DRIVER_MEM={value!r} is not a JVM heap size "
+        "(expected digits with an optional k/m/g suffix, e.g. '8g')"
+    )
+
+
+def _mem_bytes(value: str) -> int:
+    """JVM heap string ('12g', '512m', bare-digit MiB) -> bytes."""
+    v = _norm_jvm_mem(value)
+    return int(v[:-1]) * {"k": 1024, "m": 1024**2, "g": 1024**3}[v[-1]]
+
+
+# Measured provisioning floor (round-8 open-vocabulary soak, 5M docs of
+# ~50 tokens): the shingle-explode posting-list aggregation needs
+# ~0.7 GiB of execution memory PER CONCURRENT TASK — below it, the
+# hash-map-to-external-sorter spill handoff itself starves
+# (UNABLE_TO_ACQUIRE_MEMORY inside destructAndCreateExternalSorter; 32
+# tasks on a 12 GiB heap is ~225 MB/slot and dies, the same step at
+# 48 GiB runs).  The plan spills gracefully ABOVE the floor, so this is
+# executor sizing, not a plan defect — encode it as code so the 100 TB
+# provisioning rule ships with the engine.
+SHINGLE_AGG_TASK_FLOOR_BYTES = 700 * 1024**2
+# Fraction of the heap Spark's unified memory manager makes available
+# for execution+storage (spark.memory.fraction default).
+_SPARK_MEMORY_FRACTION = 0.6
+
+
+def max_concurrent_tasks_for_heap(
+    heap: str,
+    floor_bytes: int = SHINGLE_AGG_TASK_FLOOR_BYTES,
+    memory_fraction: float = _SPARK_MEMORY_FRACTION,
+) -> int:
+    """Max task slots an executor heap supports for the shingle-explode
+    aggregation family (the engine's hungriest per-task consumer).
+
+    Cluster rule: set `spark.executor.cores` (or local[N]) to at most
+    this for corpus-dedup workloads, or equivalently size
+    `spark.executor.memory` to cores × ~0.7 GiB / 0.6.  Always >= 1 —
+    a single task below the floor may still complete by spilling
+    earlier; the floor is where CONCURRENT peak demand starves the
+    spill handoff.
+    """
+    usable = _mem_bytes(heap) * memory_fraction
+    return max(1, int(usable // floor_bytes))
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing (possibly driver-owned) session."""
     for k, v in RUNTIME_CONFS.items():
@@ -69,11 +130,14 @@ def get_spark(
     """Build (or fetch) the engine's SparkSession."""
     n = shuffle_partitions or default_parallelism()
     master = master or f"local[{default_parallelism()}]"
+    driver_mem = _norm_jvm_mem(
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(n))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         # Pin the heap floor to the ceiling — the standard posture for
         # long-running Spark executors: Java 17's G1 otherwise
         # uncommits idle heap back to the OS between query bursts and
@@ -83,10 +147,9 @@ def get_spark(
         # memory-reclaim storms — sys >> user with steal blips — that
         # hit pinned heaps too; scripts/scale_probe.py detects and
         # retries those.)
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')}",
-        )
+        # Only effective when THIS process launches the gateway JVM —
+        # a silent no-op on an already-running session, by design.
+        .config("spark.driver.extraJavaOptions", f"-Xms{driver_mem}")
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():

@@ -307,7 +307,21 @@ def _spawn_worker(args, name: str, d: str, parts: int) -> float:
             f"worker {name} failed (exit {proc.returncode}); "
             f"stderr tail above"
         )
-    return json.loads(proc.stdout.strip().splitlines()[-1])["sec"]
+    # Scan stdout in reverse for the worker's JSON result line: stray
+    # stdout after the print (JVM shutdown chatter) or an empty stdout
+    # with exit 0 must produce a descriptive error, not an opaque
+    # JSONDecodeError/IndexError (ADVICE r8).
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and obj.get("query") == name and "sec" in obj:
+            return obj["sec"]
+    raise RuntimeError(
+        f"worker {name} exited 0 but emitted no result JSON; "
+        f"stdout tail: {proc.stdout[-2000:]!r}"
+    )
 
 
 def main() -> None:
@@ -405,13 +419,17 @@ def main() -> None:
     # multi-GB JVM measurably inflates every worker measurement —
     # the parent must never own a JVM.  The parent still CREATES the
     # scratch dirs so atexit cleanup is tied to the run's lifetime.
+    # Dirs and results are keyed by STEP INDEX, not n_rows: a docs-only
+    # soak can legitimately use identical row counts for both steps, and
+    # n_rows keys would then collide — one shared dir, the second staging
+    # overwriting the first, and every ratio silently 1.0 (ADVICE r8).
     if args.use_dirs:
         pre = args.use_dirs.split(",")
-        dirs = {args.rows_small: pre[0], args.rows_large: pre[1]}
+        dirs = {0: pre[0], 1: pre[1]}
     else:
         dirs = {
-            n_rows: scratch_dir(f"rdp_scale_{n_rows}_")
-            for n_rows, _ in steps
+            i: scratch_dir(f"rdp_scale_s{i}_{n_rows}_")
+            for i, (n_rows, _) in enumerate(steps)
         }
     if args.use_dirs:
         spark = None if args.mode == "fresh" else get_spark(
@@ -422,17 +440,26 @@ def main() -> None:
     elif args.mode == "fresh":
         import subprocess
 
-        for n_rows, n_docs in steps:
+        for i, (n_rows, n_docs) in enumerate(steps):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
-                "--stage-out", dirs[n_rows],
+                "--stage-out", dirs[i],
                 "--stage-rows", str(n_rows),
                 "--stage-docs", str(n_docs),
                 "--vocab", args.vocab,
             ]
             if args.driver_mem:
                 cmd += ["--driver-mem", args.driver_mem]
-            subprocess.run(cmd, check=True, capture_output=True)
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                # mirror _spawn_worker: surface the subprocess's real
+                # error before raising (ADVICE r8 — check=True swallowed
+                # the stderr inside CalledProcessError)
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(
+                    f"staging step {i} ({n_rows} rows / {n_docs} docs) "
+                    f"failed (exit {proc.returncode}); stderr tail above"
+                )
         spark = None
     else:
         spark = get_spark(
@@ -440,13 +467,13 @@ def main() -> None:
             master=f"local[{n}]",
             shuffle_partitions=args.shuffle_partitions or n,
         )
-        for n_rows, n_docs in steps:
+        for i, (n_rows, n_docs) in enumerate(steps):
             stage_star_dir(
-                spark, dirs[n_rows], n_rows, n_docs, vocab=args.vocab
+                spark, dirs[i], n_rows, n_docs, vocab=args.vocab
             )
 
     results: dict[int, dict[str, float]] = {}
-    for n_rows, n_docs in steps:
+    for i, (n_rows, n_docs) in enumerate(steps):
         # constant-per-task sizing must track whichever table carries
         # the step's volume: a docs-only soak (tiny --rows-small with
         # --docs-large in the millions) still needs its shuffle
@@ -456,7 +483,7 @@ def main() -> None:
         parts = args.shuffle_partitions or max(
             n, eff_rows // args.rows_per_task
         )
-        d = dirs[n_rows]
+        d = dirs[i]
         timings: dict[str, float] = {}
         for name in names:
             if args.mode == "fresh":
@@ -465,10 +492,10 @@ def main() -> None:
                 spark.conf.set("spark.sql.shuffle.partitions", str(parts))
                 _measure(spark, name, d, 1)  # warm (shared-JVM mode only)
                 timings[name] = _measure(spark, name, d, args.runs)
-        results[n_rows] = timings
+        results[i] = timings
         print(json.dumps({"rows": n_rows, "queries": timings}), flush=True)
 
-    small, large = results[args.rows_small], results[args.rows_large]
+    small, large = results[0], results[1]
     data_ratio = args.rows_large / args.rows_small
     ratios = {
         name: round(large[name] / small[name], 2) if small[name] > 0 else None

@@ -47,7 +47,31 @@ def _norm_cell(v):
     return str(v)
 
 
+def _assert_scalar_cells(pdf):
+    """Round-8 driver red (`term_postings_stats`): the DRIVER's pandas
+    canonicalization crashes sorting any array/map/struct cell
+    (`sort_values` → factorize → `TypeError: unhashable type`), while
+    this harness's `_norm_cell` used to stringify lists silently — so
+    local green did NOT imply driver green for non-scalar outputs.
+    Close the hole at driver strength: a non-scalar cell in a compared
+    frame is a FAILURE here, exactly where the driver fails."""
+    head = pdf.head(5)
+    for c in head.columns:
+        for v in head[c]:
+            if isinstance(v, (list, tuple, dict)) or (
+                hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+            ):
+                raise AssertionError(
+                    f"non-scalar cell in column {c!r} "
+                    f"({type(v).__name__}): driver-window outputs must "
+                    "be scalar-only (the driver's pandas canon cannot "
+                    "sort array/map/struct cells) — render with "
+                    "array_join/to_json before the final select"
+                )
+
+
 def _norm_frame(pdf):
+    _assert_scalar_cells(pdf)
     cols = sorted(pdf.columns)
     rows = [
         tuple(_norm_cell(row[c]) for c in cols)

@@ -546,3 +546,37 @@ def test_pagerank_lineage_truncated_per_superstep(spark):
     for fragment in ("Window", "Scan parquet", "Join", "Exchange"):
         assert fragment not in plan, (fragment, plan[:3000])
     assert len(plan) < 2000, len(plan)
+
+
+def test_registry_outputs_scalar_only(spark):
+    """Round-8's one driver red was a CONTRACT bug, not a wrong answer:
+    `term_postings_stats` emitted an `array<string>` column and the
+    driver's pandas canonicalization crashed sorting it (`sort_values`
+    → factorize → `TypeError: unhashable type: 'numpy.ndarray'`).
+    Registry-wide ratchet: no registered batch query may emit an
+    Array/Map/Struct TOP-LEVEL output field — arrays built mid-plan
+    (collect_list posting heads, per-doc probability vectors) must be
+    consumed (`size`/`element_at`/`F.aggregate`) or rendered
+    (`array_join`/`to_json`) before the final select.  Streaming
+    twins are covered at runtime by the parity harnesses' scalar-cell
+    guard (tests/test_oracle_parity.py::_assert_scalar_cells) — a
+    single construction here cannot represent a sink-backed query."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    spark.catalog.clearCache()
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if "streaming" in (spec.tags or ()):
+            continue
+        schema = spec.fn(spark, SF_DIR).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "non-scalar top-level output fields (driver canon cannot sort "
+        f"them): {offenders}"
+    )
