@@ -265,64 +265,99 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #   stratified_doc_sample, event_transition_matrix, rfm_segments,
 #   streaming_frequent_terms, synthetic_events_batch_sample.
 #
-# Round-9 rotation queue (staged r8; pre-verify before promoting):
-# Planned OUT (>=2-round hash-green if r8 lands green, each family
-# still driver-covered by a sibling kept in):
-#   nation_year_profit or region_market_share (multi-join TPC-H — keep
-#   one), scd2_user_segment_history (scd2_pointintime_enrichment and
-#   streaming_scd2_user_segments stay), corpus_snapshot_diff,
-#   purchase_window_views, model_eval_report, data_contract_violations,
-#   pii_scrub_stats, doc_crossdup_rates, ann_ivf_multiprobe_topk
-#   (ann_recall_report + ann_stored_index_topk stay),
-#   streaming_session_counts or streaming_incremental_dedup (keep one).
-# Planned IN: the four never-checked TPC-H extras that survived the
-# r8 subsumption audit (VERDICT r7 #2; executed — see the retirement
-# arguments in tpch_shapes.py's module docstring; the other five,
-# bilateral_trade_volume / promo_revenue_share /
-# priority_shipping_stats / top_revenue_suppliers /
-# supplier_part_diversity, were RETIRED):
-#   sole_late_suppliers (Q21 decorrelated EXISTS/NOT-EXISTS pair),
-#   brand_quantity_revenue (Q19 disjunctive cross-side predicate),
-#   small_order_parts_revenue (Q17 correlated subquery decorrelated
-#   into a window average), returned_revenue_top_customers (Q10
-#   top-k on the exact decimal with rounded projection);
-# plus the top of the remaining never-checked pool
+# Round-9 rotation (VERDICT r8 #3 — the staged queue executed, widened
+# from 10 to 14 slots to hit the backlog<=13 target).  Pre-verification
+# protocol (VERDICT r8 #4): every candidate's output schema printed and
+# confirmed scalar-only, rows>0 at sf0.01, and byte-exact parity green
+# under BOTH config axes (engine-default tz / shuffle=8 AND
+# Asia/Kathmandu / shuffle=3) before promotion — all 27 never-checked
+# queries passed all three gates (ffd_packing_stats rows-only by
+# design, 20 rows).
+#
+# FOURTEEN >=2-round hash-green slots rotate out to the local parity
+# suite, each family still driver-covered by a sibling kept in:
+#   nation_year_profit (region_market_share stays: same multi-join
+#   TPC-H family), scd2_user_segment_history
+#   (scd2_pointintime_enrichment + streaming_scd2_user_segments stay),
+#   corpus_snapshot_diff, purchase_window_views, model_eval_report
+#   (ab_test_report + ks_drift_report stay: eval family),
+#   data_contract_violations, pii_scrub_stats, k_anonymity_audit
+#   (join_skew_report + daily_anomaly_report + quality_funnel_stats
+#   stay: governance family), doc_crossdup_rates,
+#   ann_ivf_multiprobe_topk (ann_recall_report + ann_stored_index_topk
+#   stay), streaming_session_counts (streaming_incremental_dedup +
+#   four other streaming twins stay), jsonl_roundtrip_stats,
+#   csv_roundtrip_stats (zorder_roundtrip_stats + upsert_time_travel_
+#   stats stay: lifecycle materialization family), user_feature_vectors
+#   (hourly_seasonality_profile + rfm_segments stay: training-feature
+#   family).
+# FOURTEEN never-driver-checked queries rotate in: the four TPC-H
+# extras that survived the r8 subsumption audit (sole_late_suppliers
+# Q21 decorrelated EXISTS/NOT-EXISTS, brand_quantity_revenue Q19
+# disjunctive cross-side predicate, small_order_parts_revenue Q17
+# decorrelated window average, returned_revenue_top_customers Q10
+# exact-decimal top-k) plus the top of the never-checked pool
 # (doc_model_scores, streaming_model_scored_counts, event_type_lift,
 # term_source_association, source_diversity_report,
 # rolling_daily_revenue, user_activity_zscores, doc_length_buckets,
-# ...).
+# streaming_doc_quality_counts, source_overlap_matrix).
+#
 # doc_length_buckets subsumption audit (VERDICT r7 #4): NOT a subset
 # of documents_profile — the profile is a single-pass parallel
 # aggregate + stack unpivot with no derived grouping key, while
 # doc_length_buckets groups on a DERIVED integer key computed by bit
 # arithmetic (length(bin(n))-1 bucketing + shiftleft boundaries); no
 # other registered query hash-checks integer log2 bucketing or a
-# groupBy on a computed power-of-2 bucket.  KEPT, queued above.
+# groupBy on a computed power-of-2 bucket.  KEPT, rotated in.
+# Round-9 subset audits (VERDICT r8 #5): source_overlap_matrix is NOT
+# a subset of source_diversity_report + term_source_association —
+# overlap computes pairwise Jaccard of cross-source SHINGLE-HASH SETS
+# (polynomial 3-gram shingles carried by source, shingle-local
+# source-set i<j expansion, per-source distinct-set sizes joined back)
+# while diversity/association are unigram contingency rollups; no
+# other query hash-checks group-level set Jaccard or the group-keyed
+# shingle pipeline.  KEPT, rotated in.  user_activity_trend is NOT a
+# subset of user_activity_zscores — trend hash-checks the datediff
+# day-index derivation and a two-level (user,day)->user rollup with
+# five exact integer moments feeding a closed-form least-squares
+# slope; zscores is a one-level rollup against GLOBAL broadcast
+# moments with a TakeOrdered render.  Shared idiom (exact integer
+# moments), disjoint plan shapes and date arithmetic.  KEPT, queued.
+# Two queries RETIRED instead (arguments in plans/extras.py module
+# docstring): synthetic_events_sample (constant invariants-row oracle
+# dominated by test_synthetic_source_shape + the deterministic twin's
+# value hash) and json_wire_roundtrip (counts-only oracle dominated by
+# streaming_json_wire_counts' value-exact wire-path hash + the
+# µs-salted test_kafka_contract pin).  Registry 157 -> 155.
+#
+# Remaining never-driver-checked backlog after this window (11):
+#   event_type_islands, ffd_packing_stats (rows-only by design),
+#   iso_timestamp_render, lexical_diversity_correlation,
+#   multimodal_audio_stats, multimodal_frame_stats,
+#   referential_integrity_audit, shared_chunk_report,
+#   streaming_window_topk_items, user_activity_trend,
+#   value_stats_by_type.
+# All 11 already pre-verified this round (scalar-only + rows>0 +
+# two-config parity) — the round-10 queue can promote them as-is.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 reference operators (registry.py)
     "sliding_user_counts",
     # synthetic source (S1/S2/P10/P11): streaming face (r6) + the
-    # md5-deterministic batch face (first hash row, r8)
+    # md5-deterministic batch face (r8)
     "pyds_synthetic_sample", "synthetic_events_batch_sample",
     # relational surface (multi-join TPC-H shapes)
-    "nation_year_profit", "region_market_share",
+    "region_market_share",
     # streaming parity (batch-replayed)
-    "streaming_session_counts", "streaming_incremental_dedup",
+    "streaming_incremental_dedup",
     "streaming_scd2_user_segments", "streaming_enriched_segment_counts",
     "streaming_frequent_terms",
-    # dataset lifecycle / lake operators (lake.py, round-5 wave)
-    "scd2_user_segment_history", "corpus_snapshot_diff",
-    "purchase_window_views", "pagerank_top_items", "model_eval_report",
-    "data_contract_violations", "pii_scrub_stats", "doc_crossdup_rates",
-    # round-7 rotate-ins: lifecycle materialization + governance +
-    # analytics (first hash rows for persisted index / z-order /
-    # time travel / JSONL+CSV round-trips)
-    "scd2_pointintime_enrichment", "k_anonymity_audit",
+    # lake / lifecycle / governance (round-5/-7 waves, kept slots)
+    "pagerank_top_items",
+    "scd2_pointintime_enrichment",
     "join_skew_report", "daily_anomaly_report",
-    "jsonl_roundtrip_stats", "csv_roundtrip_stats",
-    "quality_funnel_stats", "user_feature_vectors",
+    "quality_funnel_stats",
     "hourly_seasonality_profile", "embedding_health_report",
     "item_covisitation_pairs", "langid_confusion_matrix",
     "ann_stored_index_topk", "zorder_roundtrip_stats",
@@ -335,8 +370,18 @@ _DRIVER_WINDOW = [
     "term_postings_stats", "bigram_lm_report", "doc_lm_scores",
     "stratified_doc_sample", "event_transition_matrix", "rfm_segments",
     # LLM-data operators (northstar.py + analytics.py)
-    "ann_ivf_multiprobe_topk", "ann_recall_report",
+    "ann_recall_report",
     "corpus_curation_stats", "frequent_terms_report",
+    # round-9 rotate-ins: the four surviving TPC-H extras + the top of
+    # the never-checked pool (pre-verified: scalar-only, rows>0 at
+    # sf0.01, two-config byte-exact parity — see the rotation record)
+    "sole_late_suppliers", "brand_quantity_revenue",
+    "small_order_parts_revenue", "returned_revenue_top_customers",
+    "doc_model_scores", "streaming_model_scored_counts",
+    "event_type_lift", "term_source_association",
+    "source_diversity_report", "rolling_daily_revenue",
+    "user_activity_zscores", "doc_length_buckets",
+    "streaming_doc_quality_counts", "source_overlap_matrix",
 ]
 
 

@@ -1,6 +1,36 @@
 """Coverage fill-ins: session windows, duplicate elimination, cube,
 exact statistical aggregates, ISO-8601 rendering (P10), synthetic
 source (S1/S2), and approximate distinct (scale posture).
+
+Round-9 subset retirements (the r8/r9 never-checked-pool audit; same
+discipline as the five TPC-H retirements argued in tpch_shapes.py —
+a query is retired when every behavior its driver hash would pin is
+already hash-checked or pytest-pinned elsewhere, so a driver slot
+spent on it buys zero new signal):
+
+* ``synthetic_events_sample`` — RETIRED.  Its oracle was a CONSTANT
+  invariants row (count/ranges/domain/prefix booleans), so a driver
+  hash match proved only that the booleans came out TRUE — exactly
+  what ``tests/test_streaming.py::test_synthetic_source_shape``
+  asserts against the same rand() generator, with better failure
+  messages.  The generation PLUMBING the query routed through
+  (range-partitioned spark.range → key formatting → 1-based type
+  indexing → wire shape) is hash-checked VALUE-exactly by its
+  deterministic twin ``synthetic_events_batch_sample`` (driver-green
+  r8), which recomputes the md5 generator in SQL.  S1/S2 driver
+  coverage: unchanged (pyds_synthetic_sample + the batch twin).
+
+* ``json_wire_roundtrip`` — RETIRED.  Its oracle was counts-only
+  (n_rows repeated three times + one json_valid count), so the hash
+  pinned row counts, not fidelity.  The actual wire path — serialize
+  to the reference's JSON lines, parse back with the declared schema,
+  then window-count — is hash-checked value-exactly end-to-end by
+  ``streaming_json_wire_counts`` (driver r4+r5, oracle equals batch
+  A1), and MICROSECOND timestamp round-trip fidelity is pinned with
+  an explicit sub-millisecond salt by ``tests/test_kafka_contract``
+  (synthetic timestamps land on whole seconds, so only the salted
+  pytest actually exercises the µs digits).  S3/P2 driver coverage:
+  unchanged.
 """
 
 from __future__ import annotations
@@ -139,44 +169,6 @@ def q_iso_timestamp_render(spark, sf_dir):
 
 
 @register(
-    "synthetic_events_sample",
-    # Randomness has no value-level SQL oracle; the oracle instead pins
-    # the INVARIANTS the reference's generator guarantees
-    # (producer/producer.py:15-23): exact row count, key ranges, the
-    # 5-valued interaction-type domain, wire-shape key prefixes.
-    """
-    SELECT 10000 AS n_rows, TRUE AS users_in_range, TRUE AS items_in_range,
-           TRUE AS types_in_domain, TRUE AS keys_wire_shaped
-    """,
-    doc="S1/S2 producer/producer.py:17-23 — distributed synthetic event "
-    "source: spark.range + rand() expressions (no driver loop); oracle "
-    "checks the generator's invariants (counts, key ranges, type domain)",
-)
-def q_synthetic_events_sample(spark, sf_dir):
-    from realtime_data_pipeline_spark.sources.synthetic import (
-        INTERACTION_TYPES,
-        synthetic_events_batch,
-    )
-
-    df = synthetic_events_batch(spark, 10_000, user_range=1000, item_range=100)
-    user_n = F.substring("user_id", 6, 12).cast("long")
-    item_n = F.substring("item_id", 6, 12).cast("long")
-    types = F.array(*[F.lit(t) for t in INTERACTION_TYPES])
-    return df.agg(
-        F.count("*").alias("n_rows"),
-        ((F.min(user_n) >= 1) & (F.max(user_n) <= 1000)).alias("users_in_range"),
-        ((F.min(item_n) >= 1) & (F.max(item_n) <= 100)).alias("items_in_range"),
-        F.every(F.array_contains(types, F.col("interaction_type"))).alias(
-            "types_in_domain"
-        ),
-        F.every(
-            F.col("user_id").startswith("user_")
-            & F.col("item_id").startswith("item_")
-        ).alias("keys_wire_shaped"),
-    )
-
-
-@register(
     "synthetic_events_batch_sample",
     # The deterministic face of the same generator (VERDICT r6 #5:
     # the pyds_synthetic_sample trick applied to the spark.range batch
@@ -212,7 +204,7 @@ def q_synthetic_events_sample(spark, sf_dir):
     doc="S1 batch variant, hash-checked (sources/synthetic.py "
     "deterministic=True): spark.range + md5-of-id expressions — same "
     "wire shape and domains as the rand() path that "
-    "synthetic_events_sample invariant-checks, but a pure function of "
+    "the retired rand() invariant query checked, but a pure function of "
     "the id, rolled up per interaction type with parsed key ordinals "
     "and the generated time range",
 )
@@ -411,59 +403,6 @@ def q_small_order_parts_revenue(spark, sf_dir):
             ).alias("avg_yearly"),
             F.count("*").alias("n_lineitems"),
         )
-    )
-
-
-@register(
-    "json_wire_roundtrip",
-    """
-    SELECT count(*) AS n_rows,
-           count(*) AS n_user_match,
-           count(CASE WHEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NOT NULL
-                      THEN 1 END) AS n_item_match,
-           count(*) AS n_ts_match
-    FROM events
-    WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    """,
-    doc="S3+P2 batch path: events serialized to the reference's Kafka wire "
-    "format (to_json + ISO-8601 µs render) then parsed back with the "
-    "declared schema (from_json) — every field must survive the "
-    "round-trip bit-exactly (the oracle counts prove losslessness)",
-)
-def q_json_wire_roundtrip(spark, sf_dir):
-    ev = _events(spark, sf_dir).where(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
-    user = F.concat(F.lit("user_"), F.col("user_id").cast("string"))
-    item = F.get_json_object("props", "$.k")
-    wire = ev.withColumn(
-        "wire",
-        F.to_json(
-            F.struct(
-                user.alias("user_id"),
-                item.alias("item_id"),
-                F.col("event_type").alias("interaction_type"),
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
-                    "timestamp"
-                ),
-            )
-        ),
-    )
-    parsed = wire.withColumn(
-        "p",
-        F.from_json(
-            "wire",
-            "user_id string, item_id string, interaction_type string, "
-            "timestamp timestamp_ntz",
-        ),
-    )
-    return parsed.agg(
-        F.count("*").alias("n_rows"),
-        F.count(F.when(F.col("p.user_id") == user, 1)).alias("n_user_match"),
-        F.count(F.when(F.col("p.item_id") == item, 1)).alias("n_item_match"),
-        F.count(F.when(F.col("p.timestamp") == F.col("ts"), 1)).alias(
-            "n_ts_match"
-        ),
     )
 
 

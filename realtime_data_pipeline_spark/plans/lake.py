@@ -1240,7 +1240,8 @@ def q_jsonl_roundtrip_stats(spark, sf_dir):
     "(CSV carries no types), and rolled up per language equal to the "
     "source table.  Completes the interchange-format family: parquet "
     "(streaming_corpus_materialized_stats), gzip-JSONL "
-    "(jsonl_roundtrip_stats), JSON wire (json_wire_roundtrip), and "
+    "(jsonl_roundtrip_stats), JSON wire (streaming_json_wire_counts; "
+    "the batch counts-only face was retired r9 — see plans/extras.py), and "
     "CSV — this one is the only LOSSLESS one for empty-string lang "
     "values, because no DATA column is a Hive partition key (only the "
     "derived, never-empty shard key is, producing shard=N/ dirs)",

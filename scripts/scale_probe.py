@@ -83,6 +83,20 @@ DEFAULT_QUERIES = [
 _TYPES = "array('view', 'click', 'purchase', 'signup', 'error')"
 _DAY_US = 86_400 * 1_000_000
 
+# Queries whose hot path is the shingle-explode aggregation (per-task
+# posting-list hash maps over an exploded 3-gram stream) — the family
+# the measured ~0.7 GiB/task-slot floor applies to; workers cap their
+# concurrency via session.max_concurrent_tasks_for_heap.
+SHINGLE_HEAVY = {
+    "ngram_jaccard_pairs",
+    "minhash_dedup_candidates",
+    "minhash_calibration_report",
+    "corpus_curation_stats",
+    "simhash_near_dups",
+    "source_overlap_matrix",
+    "doc_crossdup_rates",
+}
+
 
 def _h32(seed: str) -> str:
     """md5-of-id 32-bit field (the sources/pydatasource.py idiom), as a
@@ -274,9 +288,28 @@ def _worker(args) -> None:
     analogue is a long-running JIT-warm executor — so cold-JVM constant
     overhead must not ride the small step and bias every ratio
     sublinear."""
+    from realtime_data_pipeline_spark.session import (
+        max_concurrent_tasks_for_heap,
+    )
+
+    # The shingle-explode aggregation family has a measured execution
+    # -memory floor of ~0.7 GiB PER CONCURRENT TASK (the r8 open-vocab
+    # soak: 32 tasks on a 12 GiB heap starved the hash-map-to-sorter
+    # spill handoff itself; the same step ran at 48 GiB).  Cap the
+    # worker's task slots to what the heap provisions — the probe-side
+    # embodiment of the cluster rule session.py encodes.
+    # Gate on the soak regime (>=1M docs): the floor was measured at
+    # 5M open-vocab docs, where the per-task posting map's key set
+    # grows with corpus vocabulary; the default 500k-doc probe step
+    # ran 32 slots on 12 GiB without starving, so capping it would
+    # only skew cross-round timing diffs.
+    cores = default_parallelism()
+    if args.worker_query in SHINGLE_HEAVY and args.worker_docs >= 1_000_000:
+        heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        cores = min(cores, max_concurrent_tasks_for_heap(heap))
     spark = get_spark(
         app_name=f"rdp-scale-worker-{args.worker_query}",
-        master=f"local[{default_parallelism()}]",
+        master=f"local[{cores}]",
         shuffle_partitions=args.shuffle_partitions or default_parallelism(),
     )
     _measure(spark, args.worker_query, args.worker_dir, 2)  # warm (JIT)
@@ -285,7 +318,7 @@ def _worker(args) -> None:
     spark.stop()
 
 
-def _spawn_worker(args, name: str, d: str, parts: int) -> float:
+def _spawn_worker(args, name: str, d: str, parts: int, n_docs: int) -> float:
     import subprocess
 
     cmd = [
@@ -293,6 +326,7 @@ def _spawn_worker(args, name: str, d: str, parts: int) -> float:
         os.path.abspath(__file__),
         "--worker-query", name,
         "--worker-dir", d,
+        "--worker-docs", str(n_docs),
         "--runs", str(args.runs),
         "--shuffle-partitions", str(parts),
     ]
@@ -380,6 +414,9 @@ def main() -> None:
     # internal: subprocess entrypoints for --mode fresh
     ap.add_argument("--worker-query", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--worker-dir", default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--worker-docs", type=int, default=0, help=argparse.SUPPRESS
+    )
     ap.add_argument("--stage-out", default=None, help=argparse.SUPPRESS)
     ap.add_argument(
         "--stage-rows", type=int, default=None, help=argparse.SUPPRESS
@@ -487,7 +524,7 @@ def main() -> None:
         timings: dict[str, float] = {}
         for name in names:
             if args.mode == "fresh":
-                timings[name] = _spawn_worker(args, name, d, parts)
+                timings[name] = _spawn_worker(args, name, d, parts, n_docs)
             else:
                 spark.conf.set("spark.sql.shuffle.partitions", str(parts))
                 _measure(spark, name, d, 1)  # warm (shared-JVM mode only)

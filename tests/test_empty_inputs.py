@@ -164,9 +164,7 @@ _QUERIES = [
     "session_window_counts",
     "value_stats_by_type",
     "iso_timestamp_render",
-    "synthetic_events_sample",
     "small_order_parts_revenue",
-    "json_wire_roundtrip",
     "mixture_sample_stats",
     "sequence_packing_stats",
     "vocab_oov_rates",

@@ -300,9 +300,7 @@ EXPECTED_SHUFFLES = {
     "sole_late_suppliers": 4,
     "value_stats_by_type": 1,  # exact percentiles + decimal moments, one rollup
     "iso_timestamp_render": 0,  # pure projection (P10/P9 render)
-    "synthetic_events_sample": 1,  # 1-row invariant reduce over generated scan
     "small_order_parts_revenue": 2,  # part-qty rollup + revenue rollup
-    "json_wire_roundtrip": 1,  # to_json/from_json round-trip + 1-row reduce
     "ffd_packing_stats": 1,  # (shard,lang) grouped-map FFD kernel
 }
 
