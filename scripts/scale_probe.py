@@ -298,11 +298,15 @@ def _worker(args) -> None:
     # spill handoff itself; the same step ran at 48 GiB).  Cap the
     # worker's task slots to what the heap provisions — the probe-side
     # embodiment of the cluster rule session.py encodes.
-    # Gate on the soak regime (>=1M docs): the floor was measured at
-    # 5M open-vocab docs, where the per-task posting map's key set
-    # grows with corpus vocabulary; the default 500k-doc probe step
-    # ran 32 slots on 12 GiB without starving, so capping it would
-    # only skew cross-round timing diffs.
+    # Gate on the soak regime (>=1M docs anywhere in the RUN): the
+    # floor was measured at 5M open-vocab docs, where the per-task
+    # posting map's key set grows with corpus vocabulary; the default
+    # 500k-doc probe ran 32 slots on 12 GiB without starving, so
+    # capping it would only skew cross-round timing diffs.  The parent
+    # passes the run's MAX step docs to EVERY worker, so both steps of
+    # a soak run under the SAME slot count — a scale ratio measured
+    # under different concurrency per step measures the cap, not the
+    # plan.
     cores = default_parallelism()
     if args.worker_query in SHINGLE_HEAVY and args.worker_docs >= 1_000_000:
         heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
@@ -312,13 +316,18 @@ def _worker(args) -> None:
         master=f"local[{cores}]",
         shuffle_partitions=args.shuffle_partitions or default_parallelism(),
     )
-    _measure(spark, args.worker_query, args.worker_dir, 2)  # warm (JIT)
+    if args.warm_runs > 0:  # JIT warm-up (see docstring); soak steps
+        # run many minutes each, where one warm run already reaches
+        # C2 steady state and a second only burns wall-clock
+        _measure(spark, args.worker_query, args.worker_dir, args.warm_runs)
     sec = _measure(spark, args.worker_query, args.worker_dir, args.runs)
     print(json.dumps({"query": args.worker_query, "sec": sec}), flush=True)
     spark.stop()
 
 
-def _spawn_worker(args, name: str, d: str, parts: int, n_docs: int) -> float:
+def _spawn_worker(
+    args, name: str, d: str, parts: int, cap_docs: int
+) -> float:
     import subprocess
 
     cmd = [
@@ -326,8 +335,9 @@ def _spawn_worker(args, name: str, d: str, parts: int, n_docs: int) -> float:
         os.path.abspath(__file__),
         "--worker-query", name,
         "--worker-dir", d,
-        "--worker-docs", str(n_docs),
+        "--worker-docs", str(cap_docs),
         "--runs", str(args.runs),
+        "--warm-runs", str(args.warm_runs),
         "--shuffle-partitions", str(parts),
     ]
     if args.driver_mem:
@@ -416,6 +426,11 @@ def main() -> None:
     ap.add_argument("--worker-dir", default=None, help=argparse.SUPPRESS)
     ap.add_argument(
         "--worker-docs", type=int, default=0, help=argparse.SUPPRESS
+    )
+    ap.add_argument(
+        "--warm-runs", type=int, default=2,
+        help="discarded in-JVM warm-up executions per worker before "
+        "the timed runs (JIT steady state); soaks use 1",
     )
     ap.add_argument("--stage-out", default=None, help=argparse.SUPPRESS)
     ap.add_argument(
@@ -510,6 +525,7 @@ def main() -> None:
             )
 
     results: dict[int, dict[str, float]] = {}
+    cap_docs = max(d for _, d in steps)
     for i, (n_rows, n_docs) in enumerate(steps):
         # constant-per-task sizing must track whichever table carries
         # the step's volume: a docs-only soak (tiny --rows-small with
@@ -524,7 +540,7 @@ def main() -> None:
         timings: dict[str, float] = {}
         for name in names:
             if args.mode == "fresh":
-                timings[name] = _spawn_worker(args, name, d, parts, n_docs)
+                timings[name] = _spawn_worker(args, name, d, parts, cap_docs)
             else:
                 spark.conf.set("spark.sql.shuffle.partitions", str(parts))
                 _measure(spark, name, d, 1)  # warm (shared-JVM mode only)
