@@ -345,8 +345,27 @@ def _spawn_worker(
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         # surface the worker's real error before the parent dies (and
-        # its atexit removes the staged dirs — the evidence)
-        sys.stderr.write(proc.stderr[-4000:])
+        # its atexit removes the staged dirs — the evidence).  A JVM
+        # stack trace easily exceeds any fixed tail and buries the
+        # root cause hundreds of lines up (the r9 soak failure
+        # surfaced 4000 chars of mid-trace frames and nothing else),
+        # so ALSO extract the marker lines from the full stderr.
+        markers = [
+            ln for ln in proc.stderr.splitlines()
+            if any(
+                m in ln
+                for m in (
+                    "Exception", "Error", "Caused by", "UNABLE_TO",
+                    "OutOfMemory", "No space", "Traceback",
+                )
+            ) and not ln.lstrip().startswith("at ")
+        ]
+        sys.stderr.write(
+            "---- worker root-cause lines ----\n"
+            + "\n".join(markers[:40])
+            + "\n---- worker stderr tail ----\n"
+            + proc.stderr[-4000:]
+        )
         raise RuntimeError(
             f"worker {name} failed (exit {proc.returncode}); "
             f"stderr tail above"
