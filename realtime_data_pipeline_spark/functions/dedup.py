@@ -517,96 +517,129 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-MAX_SHINGLE_DF = 128  # posting lists wider than this are boilerplate n-grams
+def lsh_candidate_ids(
+    sized: DataFrame,
+    n_perms: int = N_PERMS,
+    max_bucket_width: int | None = MAX_BUCKET_WIDTH,
+) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate id pairs from banded MinHash-
+    LSH over a precomputed shingle-set relation (`shingle_sets`
+    output) — the generation stage `ngram_jaccard_pairs` verifies.
+
+    Signatures are derived FROM the distinct shingle arrays: each
+    affine map h -> (A·h + B) mod P is a bijection on Z_P (P prime,
+    0 < A < P), so min over the DISTINCT set equals min over the raw
+    shingle stream and the signatures are bit-identical to
+    `minhash_signatures`' — one tokenize+md5 pass feeds both
+    generation and exact verification.  Pair generation is the
+    bucket-LOCAL idiom shared with `minhash_candidates` (one shuffle
+    collects each (band, b1, b2) bucket's doc ids, i<j pairs explode
+    inside the group, `max_bucket_width` bounds per-group memory and
+    the boilerplate blowup), but carries ONLY doc ids — the
+    agreement-estimate payload is dead weight when the consumer
+    recomputes exact Jaccard."""
+    sigs = sized.select(
+        "doc_id",
+        F.array(*[
+            F.expr(
+                f"array_min(transform(sh, h -> "
+                f"({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}))"
+            )
+            for j in range(n_perms)
+        ]).alias("sigs"),
+    )
+    groups = (
+        lsh_band_rows(sigs, n_perms)
+        .groupBy("band", "b1", "b2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    if max_bucket_width is not None:
+        groups = groups.where(F.size("members") <= max_bucket_width)
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(members, (m, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), "
+            "n -> struct(m as doc_a, n as doc_b)))"
+        )
+    )
+    return (
+        groups.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
     min_jaccard: float = 0.02,
-    limit: int = 1000,
-    max_shingle_df: int | None = MAX_SHINGLE_DF,
+    limit: int | None = 1000,
+    n_perms: int = N_PERMS,
+    max_bucket_width: int | None = MAX_BUCKET_WIDTH,
 ) -> DataFrame:
-    """3-gram Jaccard on candidate pairs from a sparse shared-shingle
-    equi-join.  Shingles are the same polynomial token-hash values
-    MinHash uses — the explode/join shuffles int64 keys, not 3-word
-    strings (~10× smaller shuffle payload; both engines hash
-    identically so Jaccard over hash sets equals Jaccard over string
-    sets modulo shared ~2^-32 collisions).
+    """EXACT 3-gram Jaccard over MinHash-LSH candidate pairs — the
+    verify stage of the near-dup pipeline, on the only generation
+    shape that measured sublinear on open vocabularies.  Shingles are
+    the same polynomial token-hash values MinHash uses (int64 keys,
+    never 3-word strings; both engines hash identically, so Jaccard
+    over hash sets equals Jaccard over string sets modulo shared
+    ~2^-32 collisions).
 
-    Two-phase shape (the 100 TB guard — same hazard class the scale
-    probe measured in the pre-r7 LSH banding):
+    Two-phase shape:
 
-      1. CANDIDATES from rare shingles only, generated posting-LOCALLY
-         (the minhash_candidates bucket shape, not a self-join): one
-         shuffle collects each shingle's posting list, a size() filter
-         applies the df cap for free, and i<j pairs explode inside the
-         group.  A shingle posted in m documents yields m²/2 pairs,
-         and common n-grams' posting lists grow LINEARLY with the
-         corpus — uncapped, pair generation is quadratic in corpus
-         size through exactly those shingles.  `max_shingle_df` drops
-         wider posting lists from pair GENERATION (boilerplate n-grams
-         carry no dedup signal — the posting-list analogue of the LSH
-         MAX_BUCKET_WIDTH), so generation cost is ∝ Σ min(df, cap)² —
-         linear in corpus — and per-group memory is bounded by
-         cap × 16 bytes.
-      2. EXACT Jaccard for every generated pair, re-computed over the
-         FULL shingle sets: the pair list joins the COMPACT per-doc
-         array relation (one row per doc, never the 48×-exploded one)
-         twice on doc id, and |A∩B| is a map-side
+      1. CANDIDATES from banded MinHash-LSH (`lsh_candidate_ids`,
+         BAND_R=2 rows × 6 bands, bucket-width cap): a pair is a
+         candidate iff two independent permutation minima agree on
+         some band — probability ≈ 1-(1-J²)⁶, the MMDS S-curve with
+         threshold ≈ 0.41 — so candidate mass tracks the corpus's
+         TRUE near-duplicate structure, not its vocabulary.  This
+         replaces the rounds 3-9 shared-rare-shingle posting join
+         (df ≤ 128): on Heaps-law vocabularies the df<128 regime's
+         Σ C(df,2) pair mass grows ~quadratically far past 2M docs —
+         the r9 open-vocab soak measured 15.75× time on a 4× doc step
+         (SOAK_r09_ngram4x.json) and exhausted 76 GiB of scratch in
+         shuffle spill at the 10× step.  Banding is the fix the
+         engine already proved: the same generator holds
+         corpus_curation_stats at 1.86× on 10× docs
+         (SOAK_r09_curation.json).
+      2. EXACT Jaccard for every candidate, computed over the FULL
+         distinct shingle sets: the pair list joins the COMPACT
+         per-doc array relation (one row per doc, never the exploded
+         one) twice on doc id, and |A∩B| is a map-side
          size(array_intersect) — cost ∝ candidates × doc length, and
-         the emitted jaccard is exact, not biased by the cap.  Both
-         joins carry MERGE (sort-merge) hints: the planner cannot
-         estimate the size of a distinct-over-explode output, and the
-         one thing this join must never become is a broadcast of
-         either side (a mis-estimated broadcast of the pair list OOMed
-         the driver at the 500k-doc probe scale — at 100 TB neither
-         side ever fits).  MERGE, not SHUFFLE_HASH (rounds 7-8a): a
-         ShuffledHashJoin's per-task hash build CANNOT spill — at the
-         5M-doc open-vocab soak step the build threw
+         the emitted jaccard is exact, not the signature estimate.
+         Both joins carry MERGE (sort-merge) hints: the planner
+         cannot estimate a distinct-over-explode output, and this
+         join must never become a broadcast of either side (a
+         mis-estimated broadcast of the pair list OOMed the driver at
+         the 500k-doc probe step; at 100 TB neither side ever fits).
+         MERGE, not SHUFFLE_HASH: a ShuffledHashJoin's per-task hash
+         build cannot spill — the 5M-doc soak step threw
          cannotAcquireMemoryToBuildLongHashedRelation under 32
-         concurrent tasks on a 12 GiB heap, the exact failure a skewed
-         or under-provisioned 100 TB executor would hit.  Sort-merge
-         spills both sides to disk and degrades gracefully; its sort
-         cost is noise here (the pair list is already exchange-bound).
-         A pair is missed only if ALL its shared shingles are
-         corpus-common (df > cap) — by construction a boilerplate
-         relationship, not a near-duplicate.
+         concurrent tasks on a 12 GiB heap.  Sort-merge spills both
+         sides and degrades gracefully.
 
-    `max_shingle_df=None` keeps the same two-phase plan with no df
-    filter (exhaustive; small-corpus diagnostics only)."""
+    RECALL contract (the re-scope, disclosed): a pair is emitted iff
+    it shares an LSH band bucket, so weakly-similar pairs are
+    deliberately sampled by the S-curve (J=0.1 → ~6% candidate
+    probability) while near-dups survive (J=0.8 → ~99.8%).  The old
+    semantics ("every pair sharing any rare shingle") were only
+    computable by a plan superlinear in corpus size — at 100 TB that
+    operator cannot exist; this one is its scalable refinement, and
+    the DuckDB oracle mirrors the banding exactly so the contract is
+    hash-checked, not aspirational."""
     sized = shingle_sets(docs)
-    ex = sized.select(
-        "doc_id", F.col("n_sh"), F.explode("sh").alias("shingle")
+    cand = lsh_candidate_ids(sized, n_perms, max_bucket_width)
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sa"),
+        F.col("n_sh").alias("na"),
     )
-    groups = (
-        ex.groupBy("shingle")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias(
-                "posting"
-            )
-        )
-        .where(F.size("posting") >= 2)
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sb"),
+        F.col("n_sh").alias("nb"),
     )
-    if max_shingle_df is not None:
-        groups = groups.where(F.size("posting") <= max_shingle_df)
-    # posting sorted ascending by doc_id (struct compare, doc_id
-    # first), so slicing strictly after position i yields doc_a <
-    # doc_b pairs — the same idiom as minhash_candidates.
-    pair_expr = F.flatten(
-        F.expr(
-            "transform(posting, (m, i) -> "
-            "transform(slice(posting, i + 2, size(posting) - i - 1), "
-            "n -> struct(m.doc_id as doc_a, n.doc_id as doc_b, "
-            "m.n_sh as na, n.n_sh as nb)))"
-        )
-    )
-    cand = (
-        groups.select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
-        .distinct()
-    )
-    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     shared = (
         cand.join(sa.hint("merge"), "doc_a")
         .join(sb.hint("merge"), "doc_b")

@@ -343,47 +343,35 @@ def q_simhash_near_dups(spark, sf_dir):
 @register(
     "ngram_jaccard_pairs",
     f"""
-    WITH t AS (SELECT doc_id, {D_TOKS} AS toks FROM documents),
-    tk AS (SELECT doc_id,
-                  list_transform(toks, t -> {D_HASH32.format(t='t')}) AS th
-           FROM t WHERE len(toks) >= 3),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(th) - 1),
-                      i -> (((th[i] * {dedup.SHINGLE_B} + th[i + 1])
-                             % {dedup.MINHASH_P}) * {dedup.SHINGLE_B} + th[i + 2])
-                           % {dedup.MINHASH_P})) AS s
-           FROM tk),
-    sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
-    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM sz),
-    -- df cap, mirroring dedup.ngram_jaccard_pairs: posting lists wider
-    -- than MAX_SHINGLE_DF are boilerplate n-grams and generate nothing
-    rare AS (SELECT ex.* FROM ex
-             JOIN (SELECT shingle FROM ex GROUP BY shingle
-                   HAVING count(*) <= {dedup.MAX_SHINGLE_DF}) r
-             USING (shingle)),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    a.n AS na, b.n AS nb
-             FROM rare a JOIN rare b
-             ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-    p AS (SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS shared
-          FROM cand c
-          JOIN ex ea ON ea.doc_id = c.doc_a
-          JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
-          GROUP BY 1, 2, 3, 4)
+    WITH {_MINHASH_CTES},
+    -- exact verify stage: distinct shingle sets per doc (same `sh`
+    -- hash chain the signatures derive from), intersected per LSH
+    -- candidate pair
+    ss AS (SELECT doc_id, list_distinct(h) AS s FROM sh),
+    sz AS (SELECT doc_id, s, len(s) AS n FROM ss),
+    jp AS (SELECT c.doc_a, c.doc_b,
+                  len(list_intersect(x.s, y.s)) AS shared,
+                  x.n AS na, y.n AS nb
+           FROM cand c
+           JOIN sz x ON x.doc_id = c.doc_a
+           JOIN sz y ON y.doc_id = c.doc_b)
     SELECT doc_a, doc_b,
            round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard
-    FROM p
+    FROM jp
     WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 4) >= 0.02
     ORDER BY jaccard DESC, doc_a, doc_b
     LIMIT 1000
     """,
-    doc="n-gram Jaccard: candidate pairs from a sparse shared-shingle "
-    "equi-join over RARE shingles only (posting df <= 128 — common "
-    "n-grams' posting lists grow with the corpus and would make the "
-    "self-join quadratic), then EXACT Jaccard re-counted per candidate "
-    "over the full shingle sets with a pair-bounded join; shingles are "
-    "int64 polynomial token-hashes, so shuffles carry 8-byte keys "
-    "instead of 3-word strings",
+    doc="EXACT n-gram Jaccard over MinHash-LSH candidate pairs — the "
+    "verify stage on the sublinear generator (r=2×6 banded buckets, "
+    "width-capped).  Re-scoped in round 10: the previous shared-rare-"
+    "shingle generation (posting df <= 128) measured 15.75x time on a "
+    "4x doc step on Heaps-law vocabularies (SOAK_r09_ngram4x.json) — "
+    "Σ C(df,2) candidate mass is ~quadratic in corpus size there, so "
+    "that operator cannot exist at 100 TB.  Jaccard is exact over the "
+    "FULL distinct shingle sets (int64 polynomial token-hashes), never "
+    "the signature estimate; recall follows the MMDS S-curve "
+    "(J=0.8 -> ~99.8%, J=0.1 -> ~6%)",
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))

@@ -57,24 +57,27 @@ def _norm_jvm_mem(value: str) -> str:
     but `-Xms1500` means 1500 BYTES — interpolating the env value
     verbatim into extraJavaOptions made such a value fail JVM launch
     (ADVICE r8).  Bare digits get an 'm' suffix; anything that is not
-    digits-plus-one-of-k/m/g (JVM-legal units) raises rather than
-    producing a flag the JVM will reject at a distance.
+    digits-plus-one-of-k/m/g/t (JVM-legal units — 't' included per
+    ADVICE r9: '1t' is a plausible 100 TB-cluster driver size) raises
+    rather than producing a flag the JVM will reject at a distance.
     """
     v = value.strip().lower()
     if v.isdigit():
         return v + "m"
-    if v and v[-1] in "kmg" and v[:-1].isdigit():
+    if v and v[-1] in "kmgt" and v[:-1].isdigit():
         return v
     raise ValueError(
         f"SPARK_GRAFT_DRIVER_MEM={value!r} is not a JVM heap size "
-        "(expected digits with an optional k/m/g suffix, e.g. '8g')"
+        "(expected digits with an optional k/m/g/t suffix, e.g. '8g')"
     )
 
 
 def _mem_bytes(value: str) -> int:
     """JVM heap string ('12g', '512m', bare-digit MiB) -> bytes."""
     v = _norm_jvm_mem(value)
-    return int(v[:-1]) * {"k": 1024, "m": 1024**2, "g": 1024**3}[v[-1]]
+    return int(v[:-1]) * {
+        "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4
+    }[v[-1]]
 
 
 # Measured provisioning floor (round-8 open-vocabulary soak, 5M docs of

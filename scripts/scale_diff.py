@@ -32,24 +32,44 @@ def main() -> int:
     names = sorted(set(old["ratios"]) | set(new["ratios"]))
     flagged = []
     print(f"| query | {args.old} ratio | {args.new} ratio | x | "
-          f"large_sec old | new |")
-    print("|---|---|---|---|---|---|")
+          f"large_sec old | new | write-ratio old | new | "
+          f"large spill old | new |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+
+    def _spill(art, n):  # large-step disk-spill bytes (r10+ artifacts)
+        b = art.get("large_bytes", {}).get(n)
+        return b.get("disk_spill") if b else None
+
     for n in names:
         r0, r1 = old["ratios"].get(n), new["ratios"].get(n)
         t0 = old.get("large_sec", {}).get(n)
         t1 = new.get("large_sec", {}).get(n)
+        w0 = old.get("shuffle_write_ratios", {}).get(n)
+        w1 = new.get("shuffle_write_ratios", {}).get(n)
+        s0, s1 = _spill(old, n), _spill(new, n)
         if r0 and r1:
             move = r1 / r0 if r1 >= r0 else r0 / r1
-            mark = " **FLAG**" if move > args.flag_factor else ""
+            # shuffle-write bytes are deterministic per plan, so any
+            # movement there is a PLAN change, not host noise — flag
+            # it at the same factor as wall-ratio movement
+            wmove = (
+                max(w1 / w0, w0 / w1) if w0 and w1 else 1.0
+            )
+            mark = (
+                " **FLAG**"
+                if move > args.flag_factor or wmove > args.flag_factor
+                else ""
+            )
             if mark:
                 flagged.append(n)
             print(f"| {n} | {r0} | {r1} | {move:.2f}{mark} | "
-                  f"{t0} | {t1} |")
+                  f"{t0} | {t1} | {w0} | {w1} | {s0} | {s1} |")
         else:
-            print(f"| {n} | {r0} | {r1} | only-one-round | {t0} | {t1} |")
+            print(f"| {n} | {r0} | {r1} | only-one-round | {t0} | {t1} | "
+                  f"{w0} | {w1} | {s0} | {s1} |")
     print()
-    print(f"flagged (> {args.flag_factor}x ratio movement): "
-          f"{flagged or 'none'}")
+    print(f"flagged (> {args.flag_factor}x ratio movement, wall or "
+          f"shuffle-write): {flagged or 'none'}")
     return 0
 
 

@@ -200,13 +200,19 @@ def stage_star_dir(
 ) -> None:
     """Fill a pre-created dir `d` with the star schema at this scale
     (the caller owns the dir's lifetime — in fresh mode the PARENT
-    creates it so atexit cleanup survives the staging subprocess)."""
+    creates it so atexit cleanup survives the staging subprocess).
+    Stamps a manifest.json with the staged sizes: --use-dirs reads it
+    back so worker concurrency caps and data_ratio always describe the
+    corpus actually in the dir, never whatever --docs-* defaults the
+    caller forgot to repeat (ADVICE r9)."""
     for name in TABLE_NAMES:
         if name in ("events", "documents"):
             continue
         os.symlink(f"{SF01_DIR}/{name}.parquet", f"{d}/{name}.parquet")
     generate_events(spark, d, n_rows)
     generate_documents(spark, d, n_docs, vocab=vocab)
+    with open(f"{d}/manifest.json", "w") as f:
+        json.dump({"n_rows": n_rows, "n_docs": n_docs, "vocab": vocab}, f)
 
 
 def _cpu_jiffies() -> tuple[int, int]:
@@ -217,14 +223,46 @@ def _cpu_jiffies() -> tuple[int, int]:
     return v[0] + v[1], v[2]
 
 
+_BYTE_KEYS = ("disk_spill", "mem_spill", "shuffle_write")
+
+
+def _stage_totals(spark) -> dict[str, int]:
+    """Cumulative task-metric byte totals over every stage the app has
+    run, read from the live AppStatusStore (the UI's backing store —
+    works with spark.ui.enabled=false).  Wall-time ratios can hide a
+    superlinear plan behind host noise; the resource that actually
+    killed the r9 5M-doc ngram step was shuffle-SPILL bytes, so the
+    probe records bytes per step alongside seconds (VERDICT r9 #3).
+    Callers take deltas around each timed run."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),  # all statuses
+        False,  # details
+        False,  # withSummaries
+        sc._gateway.new_array(jvm.double, 0),  # no task quantiles
+        jvm.java.util.ArrayList(),  # all task statuses
+    )
+    tot = dict.fromkeys(_BYTE_KEYS, 0)
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        tot["disk_spill"] += s.diskBytesSpilled()
+        tot["mem_spill"] += s.memoryBytesSpilled()
+        tot["shuffle_write"] += s.shuffleWriteBytes()
+    return tot
+
+
 def _measure_runs(spark, name: str, d: str, runs: int) -> list[dict]:
     """`runs` timed executions against dir `d` (noop sink — full
     execution, no driver materialization), each annotated with the
-    box's user/sys CPU-time delta so host interference is visible."""
+    box's user/sys CPU-time delta (host interference visibility) and
+    the run's stage-metric byte deltas (spill visibility)."""
     from realtime_data_pipeline_spark.plans.registry import REGISTRY
 
     out = []
     for _ in range(runs):
+        b0 = _stage_totals(spark)
         u0, s0 = _cpu_jiffies()
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, d).write.format("noop").mode(
@@ -232,9 +270,11 @@ def _measure_runs(spark, name: str, d: str, runs: int) -> list[dict]:
         ).save()
         wall = time.perf_counter() - t0
         u1, s1 = _cpu_jiffies()
+        b1 = _stage_totals(spark)
         out.append(
             {"wall": wall, "user_s": (u1 - u0) / 100.0,
-             "sys_s": (s1 - s0) / 100.0}
+             "sys_s": (s1 - s0) / 100.0,
+             **{k: b1[k] - b0[k] for k in _BYTE_KEYS}}
         )
         spark.catalog.clearCache()
     return out
@@ -249,31 +289,33 @@ def _is_stormy(run: dict) -> bool:
     return run["sys_s"] > max(run["user_s"], 1.0)
 
 
-def _measure(spark, name: str, d: str, runs: int) -> float:
-    """min-of-`runs` wall time; retries up to twice when every run in
-    a batch carries the host-storm signature, so a freeze that spans
-    one worker's whole measurement window doesn't masquerade as a
-    scale exponent.  If the storm outlasts all retries the stormy
-    minimum is returned anyway (annotated upstream) — never silently
-    dropped."""
-    best_clean = None
+def _measure(spark, name: str, d: str, runs: int) -> dict:
+    """Best (min-wall) run — {"sec", disk_spill, mem_spill,
+    shuffle_write} — retrying up to twice when every run in a batch
+    carries the host-storm signature, so a freeze that spans one
+    worker's whole measurement window doesn't masquerade as a scale
+    exponent.  If the storm outlasts all retries the stormy minimum is
+    returned anyway (annotated upstream) — never silently dropped.
+    Byte fields come from the SAME run as the reported wall time."""
+    best = None
     all_runs = []
     for _attempt in range(3):
         batch = _measure_runs(spark, name, d, runs)
         all_runs += batch
-        clean = [r["wall"] for r in batch if not _is_stormy(r)]
+        clean = [r for r in batch if not _is_stormy(r)]
         if clean:
-            best_clean = min(clean) if best_clean is None else min(
-                best_clean, min(clean)
-            )
+            cand = min(clean, key=lambda r: r["wall"])
+            if best is None or cand["wall"] < best["wall"]:
+                best = cand
             break
         print(
             json.dumps({"query": name, "storm_retry": batch}),
             file=sys.stderr, flush=True,
         )
-    if best_clean is None:
-        best_clean = min(r["wall"] for r in all_runs)
-    return round(best_clean, 3)
+    if best is None:
+        best = min(all_runs, key=lambda r: r["wall"])
+    return {"sec": round(best["wall"], 3),
+            **{k: best[k] for k in _BYTE_KEYS}}
 
 
 def _worker(args) -> None:
@@ -320,14 +362,14 @@ def _worker(args) -> None:
         # run many minutes each, where one warm run already reaches
         # C2 steady state and a second only burns wall-clock
         _measure(spark, args.worker_query, args.worker_dir, args.warm_runs)
-    sec = _measure(spark, args.worker_query, args.worker_dir, args.runs)
-    print(json.dumps({"query": args.worker_query, "sec": sec}), flush=True)
+    res = _measure(spark, args.worker_query, args.worker_dir, args.runs)
+    print(json.dumps({"query": args.worker_query, **res}), flush=True)
     spark.stop()
 
 
 def _spawn_worker(
     args, name: str, d: str, parts: int, cap_docs: int
-) -> float:
+) -> dict:
     import subprocess
 
     cmd = [
@@ -380,7 +422,7 @@ def _spawn_worker(
         except ValueError:
             continue
         if isinstance(obj, dict) and obj.get("query") == name and "sec" in obj:
-            return obj["sec"]
+            return obj
     raise RuntimeError(
         f"worker {name} exited 0 but emitted no result JSON; "
         f"stdout tail: {proc.stdout[-2000:]!r}"
@@ -497,6 +539,28 @@ def main() -> None:
     if args.use_dirs:
         pre = args.use_dirs.split(",")
         dirs = {0: pre[0], 1: pre[1]}
+        # Pre-staged dirs carry their own sizes: read the manifest each
+        # staging run stamps, so the shingle-heavy concurrency cap and
+        # data_ratio describe the corpus actually on disk — a caller
+        # reusing 5M-doc soak dirs with the default --docs-large 500000
+        # previously ran uncapped and starved (ADVICE r9).
+        manifests = []
+        for d in pre:
+            mpath = os.path.join(d, "manifest.json")
+            if not os.path.exists(mpath):
+                raise RuntimeError(
+                    f"{d} has no manifest.json — re-stage it (any "
+                    "--stage-out run stamps one), or stage fresh dirs; "
+                    "trusting --rows/--docs flags for unmanifested "
+                    "dirs is exactly the starvation footgun this "
+                    "manifest closes"
+                )
+            with open(mpath) as f:
+                manifests.append(json.load(f))
+        steps = tuple((m["n_rows"], m["n_docs"]) for m in manifests)
+        vocabs = {m.get("vocab") for m in manifests}
+        if manifests and len(vocabs) == 1 and args.vocab not in vocabs:
+            args.vocab = vocabs.pop()  # label the artifact truthfully
     else:
         dirs = {
             i: scratch_dir(f"rdp_scale_s{i}_{n_rows}_")
@@ -543,7 +607,7 @@ def main() -> None:
                 spark, dirs[i], n_rows, n_docs, vocab=args.vocab
             )
 
-    results: dict[int, dict[str, float]] = {}
+    results: dict[int, dict[str, dict]] = {}
     cap_docs = max(d for _, d in steps)
     for i, (n_rows, n_docs) in enumerate(steps):
         # constant-per-task sizing must track whichever table carries
@@ -556,21 +620,48 @@ def main() -> None:
             n, eff_rows // args.rows_per_task
         )
         d = dirs[i]
-        timings: dict[str, float] = {}
+        step: dict[str, dict] = {}
         for name in names:
             if args.mode == "fresh":
-                timings[name] = _spawn_worker(args, name, d, parts, cap_docs)
+                step[name] = _spawn_worker(args, name, d, parts, cap_docs)
             else:
                 spark.conf.set("spark.sql.shuffle.partitions", str(parts))
                 _measure(spark, name, d, 1)  # warm (shared-JVM mode only)
-                timings[name] = _measure(spark, name, d, args.runs)
-        results[i] = timings
-        print(json.dumps({"rows": n_rows, "queries": timings}), flush=True)
+                step[name] = _measure(spark, name, d, args.runs)
+        results[i] = step
+        print(
+            json.dumps(
+                {"rows": n_rows, "docs": n_docs,
+                 "queries": {q: r["sec"] for q, r in step.items()},
+                 "bytes": {q: {k: r.get(k) for k in _BYTE_KEYS}
+                           for q, r in step.items()}}
+            ),
+            flush=True,
+        )
 
-    small, large = results[0], results[1]
-    data_ratio = args.rows_large / args.rows_small
+    small = {q: r["sec"] for q, r in results[0].items()}
+    large = {q: r["sec"] for q, r in results[1].items()}
+    # the step whose table carries the volume defines the data ratio —
+    # rows-only (the classic probe), docs-only (a soak), or both; a
+    # docs-only soak previously computed 1.0 from rows alone and
+    # flagged perfectly linear doc-scaling as superlinear (ADVICE r9)
+    (rows_s, docs_s), (rows_l, docs_l) = steps
+    data_ratio = max(rows_l / rows_s, docs_l / docs_s)
     ratios = {
         name: round(large[name] / small[name], 2) if small[name] > 0 else None
+        for name in names
+    }
+    # spill/shuffle byte curves: wall-time ratios hide superlinear
+    # spill behind host noise — the r9 5M-doc ngram step died on spill
+    # VOLUME, not time (VERDICT r9 #3)
+    write_ratios = {
+        name: (
+            round(
+                results[1][name]["shuffle_write"]
+                / results[0][name]["shuffle_write"], 2
+            )
+            if results[0][name].get("shuffle_write") else None
+        )
         for name in names
     }
     artifact = {
@@ -580,14 +671,22 @@ def main() -> None:
         "runs": args.runs,
         "driver_mem": args.driver_mem
         or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        "rows": [args.rows_small, args.rows_large],
-        "docs": [args.docs_small, args.docs_large],
+        "rows": [rows_s, rows_l],
+        "docs": [docs_s, docs_l],
         "data_ratio": data_ratio,
         "small_sec": small,
         "large_sec": large,
+        "small_bytes": {q: {k: r.get(k) for k in _BYTE_KEYS}
+                        for q, r in results[0].items()},
+        "large_bytes": {q: {k: r.get(k) for k in _BYTE_KEYS}
+                        for q, r in results[1].items()},
         "ratios": ratios,
+        "shuffle_write_ratios": write_ratios,
         "superlinear": sorted(
             n for n, r in ratios.items() if r and r > data_ratio * 1.2
+        ),
+        "superlinear_shuffle_write": sorted(
+            n for n, r in write_ratios.items() if r and r > data_ratio * 1.2
         ),
     }
     print(json.dumps(artifact), flush=True)

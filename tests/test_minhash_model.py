@@ -175,11 +175,14 @@ def _py_shingles(text: str) -> set[int]:
 )
 @given(docs=_docs_strategy)
 def test_ngram_jaccard_matches_python_model(spark, docs):
-    """Exact 3-gram Jaccard from the shared-shingle join must equal
-    set-based Jaccard computed in Python over the same polynomial
-    shingle hashes — completing the model coverage of the third dedup
-    family (MinHash estimates it, SimHash approximates it in Hamming
-    space, this computes it exactly on sparse candidates)."""
+    """Exact 3-gram Jaccard over the LSH candidate set must equal the
+    Python model: candidates = the banded-bucket pairs the MinHash
+    model already derives (same signatures, same BAND_R=2 grouping),
+    jaccard = set-based Jaccard over the FULL distinct shingle sets —
+    completing the model coverage of the third dedup family (MinHash
+    estimates it, SimHash approximates it in Hamming space, this
+    computes it exactly on LSH candidates — the round-10 re-scope onto
+    the only generator that measured sublinear on open vocabularies)."""
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -189,59 +192,76 @@ def test_ngram_jaccard_matches_python_model(spark, docs):
             df, min_jaccard=0.0, limit=10_000
         ).collect()
     }
+    sigs = {
+        i: sig
+        for i, (_, text) in enumerate(rows)
+        if (sig := _py_signature(text)) is not None
+    }
     sets = {i: _py_shingles(text) for i, text in rows}
-    from collections import Counter
-
-    df = Counter(g for s in sets.values() for g in s)
     want = {}
-    for a in sets:
-        for b in sets:
-            if a < b and sets[a] and sets[b]:
-                both = sets[a] & sets[b]
-                # candidates need a shared RARE shingle (df cap);
-                # jaccard is then exact over the FULL sets
-                if any(df[g] <= dedup.MAX_SHINGLE_DF for g in both):
-                    want[(a, b)] = round(
-                        len(both)
-                        / (len(sets[a]) + len(sets[b]) - len(both)),
-                        4,
-                    )
+    for a, b in _py_candidates(sigs):
+        both = sets[a] & sets[b]
+        want[(a, b)] = round(
+            len(both) / (len(sets[a]) + len(sets[b]) - len(both)), 4
+        )
     assert got == want
 
 
-def test_ngram_jaccard_df_cap_drops_boilerplate_postings(spark):
-    """The posting-df guard: one boilerplate trigram shared by 200
-    otherwise-unique docs exceeds MAX_SHINGLE_DF, so the 19,900-pair
-    clique never generates — while a genuine near-dup pair whose
-    shared shingles are rare still pairs, and its jaccard is computed
-    over the FULL sets (including any common shingles), not just the
-    rare ones."""
-    # each doc: shared 3-token boilerplate prefix + 4 unique tokens
+def test_ngram_jaccard_bucket_cap_drops_boilerplate_cliques(spark):
+    """The generation guard after the round-10 re-scope: 200 docs
+    sharing only a 3-token boilerplate prefix are NOT near-duplicates
+    (J ≈ 1/9), so the S-curve keeps the 19,900-pair clique out of the
+    candidate set almost entirely, while a genuine near-dup pair
+    (45 of 47 shared trigrams) pairs with its jaccard computed over
+    the FULL sets.  Also pins the emitted set == the Python model's
+    LSH-candidate ∩ exact-jaccard derivation, and candidate pairs ==
+    minhash_candidates' (same banding, same bucket cap)."""
+    # each doc: shared 3-token boilerplate prefix + 20 unique tokens
+    # -> 21 shingles, 1 shared, pair J = 1/41; the S-curve admits
+    # ~6·J² ≈ 0.36% of the clique
+    uniq = " ".join(f"u{{i}}x{k}" for k in range(20))
     boiler = [
-        (i, f"call me now u{i}a u{i}b u{i}c u{i}d") for i in range(200)
+        (i, f"call me now {uniq}".format(i=i)) for i in range(200)
     ]
     organic = [
         (1000, "the quick brown fox jumps over the lazy dog today"),
         (1001, "the quick brown fox jumps over the lazy dog tonight"),
     ]
-    df = spark.createDataFrame(boiler + organic, "doc_id long, text string")
+    rows = boiler + organic
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in dedup.ngram_jaccard_pairs(
             df, min_jaccard=0.0, limit=None
         ).collect()
     }
-    assert set(got) == {(1000, 1001)}
-    sa, sb = _py_shingles(organic[0][1]), _py_shingles(organic[1][1])
+    sigs = {i: _py_signature(text) for i, text in rows}
+    sets = {i: _py_shingles(text) for i, text in rows}
+    want = {}
+    for a, b in _py_candidates(sigs):
+        both = sets[a] & sets[b]
+        want[(a, b)] = round(
+            len(both) / (len(sets[a]) + len(sets[b]) - len(both)), 4
+        )
+    assert got == want
+    # the near-dup pair IS found, with exact (not estimated) jaccard
+    sa, sb = sets[1000], sets[1001]
     inter = len(sa & sb)
     assert got[(1000, 1001)] == round(
         inter / (len(sa) + len(sb) - inter), 4
     )
-    # cap disabled: the boilerplate clique floods back in
-    uncapped = dedup.ngram_jaccard_pairs(
-        df, min_jaccard=0.0, limit=None, max_shingle_df=None
-    ).count()
-    assert uncapped == 200 * 199 // 2 + 1
+    # the boilerplate clique generates (almost) nothing: every emitted
+    # boilerplate pair is an S-curve sample (expected ~6·J² ≈ 0.36%
+    # of the 19,900-pair clique at J = 1/41) — the quadratic term the
+    # old df-cap plan materialized in full
+    clique_pairs = [p for p in got if p[0] < 1000 and p[1] < 1000]
+    assert len(clique_pairs) < 500
+    # candidate generation is the minhash banding exactly
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(df, limit=None).collect()
+    }
+    assert set(got) == mh
 
 
 @settings(

@@ -54,10 +54,12 @@ def _assert_scalar_cells(pdf):
     this harness's `_norm_cell` used to stringify lists silently — so
     local green did NOT imply driver green for non-scalar outputs.
     Close the hole at driver strength: a non-scalar cell in a compared
-    frame is a FAILURE here, exactly where the driver fails."""
-    head = pdf.head(5)
-    for c in head.columns:
-        for v in head[c]:
+    frame is a FAILURE here, exactly where the driver fails.  Scans
+    ALL rows, not a head sample (ADVICE r9: a column whose first cells
+    are None with arrays later escaped the head(5) guard) — the parity
+    frames are small, so the full scan is noise."""
+    for c in pdf.columns:
+        for v in pdf[c]:
             if isinstance(v, (list, tuple, dict)) or (
                 hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
             ):

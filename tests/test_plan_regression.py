@@ -267,17 +267,21 @@ EXPECTED_SHUFFLES = {
     # sig map; (combo,v1,v2) bucket rollup (bucket-local pair gen —
     # the minhash shape, no self-join, no persist); pair distinct
     "simhash_near_dups": 3,
-    # cold-count 9: doc repartition (printed per consumer subtree of
-    # the persisted shingle_sets — ×3: postings + both compact array
-    # sides) + posting rollup (bucket-LOCAL pair gen, the minhash
-    # shape — df cap is a free size() filter) + candidate distinct +
-    # the two SHUFFLE_HASH pair-bounded joins (2 exchange sides each;
-    # hinted because a mis-estimated broadcast of the unestimatable
+    # cold-count 9 (round-10 re-scope onto LSH generation): doc
+    # repartition (printed per consumer subtree of the persisted
+    # shingle_sets — ×3: the signature derivation + both compact
+    # array verify sides) + (band,b1,b2) bucket rollup (bucket-LOCAL
+    # pair gen, the minhash shape — bucket-width cap is a free size()
+    # filter) + candidate distinct + the two MERGE pair-bounded
+    # verify joins (2 exchange sides each; hinted because a
+    # mis-estimated broadcast of the unestimatable
     # distinct-over-explode pair list OOMed at probe scale — 0
     # BroadcastExchange in this plan is load-bearing); warm execution
     # materializes the cached sets once, so the real data motion is:
-    # posting rollup, candidate distinct, two joins, map-side
-    # array_intersect — each linear in corpus size
+    # bucket rollup, candidate distinct, two joins, map-side
+    # array_intersect — candidate mass S-curve-bounded, never
+    # vocabulary-quadratic (SOAK_r09_ngram4x.json measured the old
+    # posting-join generation at 15.75x on 4x open-vocab docs)
     "ngram_jaccard_pairs": 9,
     "multimodal_byte_histogram": 1,  # Arrow kernel map + one rollup
     "multimodal_frame_stats": 1,  # strided frame kernel + one rollup
