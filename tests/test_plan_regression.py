@@ -303,7 +303,6 @@ EXPECTED_SHUFFLES = {
     # sole-supplier pre-distinct — the anti-join rides broadcast
     "sole_late_suppliers": 4,
     "value_stats_by_type": 1,  # exact percentiles + decimal moments, one rollup
-    "iso_timestamp_render": 0,  # pure projection (P10/P9 render)
     "small_order_parts_revenue": 2,  # part-qty rollup + revenue rollup
     "ffd_packing_stats": 1,  # (shard,lang) grouped-map FFD kernel
 }
