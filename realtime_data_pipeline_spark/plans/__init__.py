@@ -399,11 +399,17 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #      ceil((154-15)/35) = 4 rounds.
 # Round-11 queue under this policy: no changed plans expected (freeze
 # holds); anchors stay; rotate out the 11 r9-promoted names once they
-# reach 2-round green and rotate in the 11 STALEST parity-local names
-# (last green r1-r2: kpi_avg_user_interactions, kpi_item_extrema,
-# top_users, latest_window_top_items, recent_user_windows,
-# null_hygiene_count, cast_hygiene, event_type_stats,
-# order_price_bands, text_metrics, language_id).
+# reach 2-round green and rotate in the 11 STALEST parity-local names.
+# Staleness is COMPUTED, not recalled: scripts/regreen_queue.py reads
+# every CORRECTNESS artifact and prints the buckets + proposal (as of
+# r9 artifacts: cast_hygiene, event_type_stats,
+# kpi_avg_user_interactions, kpi_item_extrema,
+# latest_window_top_items, null_hygiene_count, order_price_bands,
+# recent_user_windows, top_users — all last green r2 — then
+# customer_running_spend, customers_with_orders from r3).  Queries
+# demoted with a written zero-signal argument (0-row hashes,
+# duplicate shapes — the r1/r2 demotion list above) are exempt from
+# stale-first; the exemption set lives in regreen_queue.py.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
