@@ -42,12 +42,8 @@ DEMOTED_WITH_ARGUMENT = {
     "customers_without_orders",      # 0 rows at sf0.01 (vacuous hash)
     "click_not_error_users",         # 0 rows at sf0.01 (vacuous hash)
     "event_user_segment_counts",     # duplicate of salted_segment_counts
-    "embedding_near_dups",           # all-pairs variant; LSH kept
     "ann_pandas_topk",               # same query as ann_bruteforce_topk
-    "ann_ivf_topk_by_label",         # superseded by ann_ivf_assigned_topk
     "streaming_purchase_attribution_outer",  # outer twin of kept inner
-    "ann_lsh_topk",                  # subsumed by ann_recall_report
-    "ann_lsh_multiprobe_topk",       # subsumed by ann_recall_report
 }
 
 ANCHOR_PREFIXES = ("streaming_",)
@@ -63,11 +59,11 @@ ANCHOR_NAMES = {
 }
 
 
-def last_green_rounds() -> dict[str, int]:
+def last_green_rounds(root: str = REPO) -> dict[str, int]:
     """query -> latest round with a hash-green (or rows-only-green)
     driver entry; queries never driver-checked are absent."""
     out: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -160,8 +156,8 @@ def main() -> int:
     return 0
 
 
-def _green_in_round(name: str, rnd: int) -> bool:
-    path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+def _green_in_round(name: str, rnd: int, root: str = REPO) -> bool:
+    path = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
     if not os.path.exists(path):
         return False
     with open(path) as f:
