@@ -410,6 +410,10 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # demoted with a written zero-signal argument (0-row hashes,
 # duplicate shapes — the r1/r2 demotion list above) are exempt from
 # stale-first; the exemption set lives in regreen_queue.py.
+# All 11 staged names PRE-VERIFIED round 10 (the r9 protocol):
+# scalar-only driver canon + rows>0 at sf0.01, and byte-exact parity
+# green under BOTH config axes (engine-default tz / shuffle=8 AND
+# Asia/Kathmandu / shuffle=3) — round 11 can promote them as-is.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
