@@ -59,22 +59,49 @@ ANCHOR_NAMES = {
 }
 
 
-def last_green_rounds(root: str = REPO) -> dict[str, int]:
-    """query -> latest round with a hash-green (or rows-only-green)
-    driver entry; queries never driver-checked are absent."""
+def _rec_green(rec: dict) -> bool:
+    """One driver artifact entry -> did it earn staleness credit?
+
+    Two green shapes the driver actually emits:
+      * oracle-paired: err None, hash_match True (or hash_match null
+        with rows_match True — defensive; no historical artifact has
+        this shape, but it is the documented rows-only fallback);
+      * rows-only BY DESIGN (no oracle_sql entry): the driver records
+        err == "no_oracle" with the Spark row count — green iff the
+        query ran and produced rows (ffd_packing_stats is the one
+        such entry; see ADVICE r10).
+    Everything else (err set, hash_match False, rows_match False,
+    zero rows on a no-oracle run) is NOT green.
+    """
+    err = rec.get("err")
+    if err == "no_oracle":
+        return (rec.get("spark_rows") or 0) > 0
+    if err is not None:
+        return False
+    ok = rec.get("hash_match")
+    if ok is None:  # rows-only fallback: green iff rows matched
+        ok = rec.get("rows_match")
+    return bool(ok)
+
+
+def last_green_rounds(root: str = REPO,
+                      max_round: int | None = None) -> dict[str, int]:
+    """query -> latest round with a green driver entry (see _rec_green);
+    queries never driver-checked are absent.  max_round restricts the
+    scan to artifacts r<=max_round (for pinning historical facts that
+    later rounds legitimately change)."""
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             data = json.load(f)
         for name, rec in data.items():
-            ok = rec.get("hash_match")
-            if ok is None:  # rows-only query: green iff rows matched
-                ok = rec.get("rows_match")
-            if ok and rec.get("err") is None:
+            if _rec_green(rec):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 
@@ -117,34 +144,38 @@ def main() -> int:
     ]
     print(f"anchors in window ({len(anchors)}): {', '.join(anchors)}")
 
-    # Rotate-out candidates: non-anchor window slots green in >=2
-    # rounds (their current streak, not lifetime), freshest first.
+    # Rotate-out candidates: non-anchor window slots green in the two
+    # most recent consecutive rounds.
     rotatable = []
     for n in window:
         if n in anchors or n in changed:
             continue
-        streak = sum(
-            1 for r in (latest_round, latest_round - 1)
-            if greens.get(n, 0) >= r > 0
-        )
-        if greens.get(n, 0) == latest_round and streak >= 1:
-            # needs >=2 consecutive green rounds to rotate out; compute
-            # properly from the artifacts
-            prev = _green_in_round(n, latest_round - 1)
-            if prev:
-                rotatable.append(n)
+        if (greens.get(n, 0) == latest_round
+                and _green_in_round(n, latest_round - 1)):
+            rotatable.append(n)
     print(f"\nrotate-OUT eligible (>=2-round green, non-anchor): "
           f"{len(rotatable)}")
     for n in rotatable:
         print(f"  {n}")
 
     # Rotate-in: changed-plan first, then stalest parity-local.
+    # A --changed name already in the window keeps its slot (re-check
+    # in place) rather than consuming a rotate-in slot; changed names
+    # are excluded from the stale pool so no pick appears twice.
+    changed_in_window = [c for c in changed if c in in_window]
+    changed_rotate_in = [c for c in changed if c not in in_window]
+    if changed_in_window:
+        print(f"\nchanged-plan, already in window (keep slot, re-check "
+              f"in place): {', '.join(changed_in_window)}")
     stale_in = [
         (g, n) for g, n in stale
         if n not in in_window and g > 0 and n not in DEMOTED_WITH_ARGUMENT
+        and n not in set(changed)
     ]
     k = args.slots
-    picks = changed + [n for _, n in stale_in[: max(0, k - len(changed))]]
+    picks = changed_rotate_in + [
+        n for _, n in stale_in[: max(0, k - len(changed_rotate_in))]
+    ]
     print(f"\nrotate-IN proposal ({len(picks)} for --slots {k}):")
     for n in picks:
         tag = "CHANGED-PLAN" if n in changed else f"last green r{greens.get(n, 0)}"
@@ -162,10 +193,7 @@ def _green_in_round(name: str, rnd: int, root: str = REPO) -> bool:
         return False
     with open(path) as f:
         rec = json.load(f).get(name)
-    if not rec or rec.get("err") is not None:
-        return False
-    ok = rec.get("hash_match")
-    return bool(rec.get("rows_match")) if ok is None else bool(ok)
+    return bool(rec) and _rec_green(rec)
 
 
 if __name__ == "__main__":
