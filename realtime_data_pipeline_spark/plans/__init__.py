@@ -414,6 +414,42 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # scalar-only driver canon + rows>0 at sf0.01, and byte-exact parity
 # green under BOTH config axes (engine-default tz / shuffle=8 AND
 # Asia/Kathmandu / shuffle=3) — round 11 can promote them as-is.
+#
+# Round-11 rotation (EXECUTED — the staged queue above, confirmed by
+# scripts/regreen_queue.py --slots 11 against the r1-r10 artifacts
+# after the rows-only green fix; gate re-run this round: all 11
+# rotate-ins green under both config axes).  The 11 rotate-ins are the
+# stalest parity-local queries: cast_hygiene, event_type_stats,
+# kpi_avg_user_interactions, kpi_item_extrema, latest_window_top_items,
+# null_hygiene_count, order_price_bands, recent_user_windows,
+# top_users (last green r2); customer_running_spend,
+# customers_with_orders (r3).
+#
+# ELEVEN of the twelve non-anchor r9-promoted slots rotate out at
+# 2-round green (r9+r10), each family still driver-covered:
+#   sole_late_suppliers (Q21 multi-exists shape: region_market_share
+#   stays for multi-join TPC-H; incoming customers_with_orders
+#   driver-checks the EXISTS semi-join family),
+#   brand_quantity_revenue + small_order_parts_revenue (scalar
+#   part-lineitem aggregates: incoming order_price_bands +
+#   kpi_item_extrema carry the lineitem/price aggregate family),
+#   returned_revenue_top_customers (top-N over join: incoming
+#   top_users + latest_window_top_items carry the top-N family),
+#   doc_model_scores (anchor streaming_model_scored_counts shares the
+#   scoring expression verbatim; ks_drift_report stays: eval family),
+#   term_source_association (event_type_lift KEPT this round — the one
+#   r9-promote retained, preserving the r10 argument that named it the
+#   bucket-local co-occurrence/association family's kept sibling),
+#   source_diversity_report (corpus_curation_stats stays:
+#   source-profile family), rolling_daily_revenue (daily_anomaly_report
+#   stays: daily time-series family), user_activity_zscores
+#   (daily_anomaly_report stays: z-score anomaly family),
+#   doc_length_buckets (rfm_segments stays: quantile-bucket segment
+#   family; lexical_diversity_correlation stays for doc-stat shapes),
+#   source_overlap_matrix (shared_chunk_report stays: cross-source
+#   overlap family).
+# Oldest last-green in the registry rises from r2 to r4-era; next
+# stale cohort (for round 12) is the r4/r5 wave.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -444,16 +480,17 @@ _DRIVER_WINDOW = [
     # LLM-data operators (northstar.py + analytics.py)
     "ann_recall_report",
     "corpus_curation_stats", "frequent_terms_report",
-    # round-9 rotate-ins: the four surviving TPC-H extras + the top of
-    # the never-checked pool (pre-verified: scalar-only, rows>0 at
-    # sf0.01, two-config byte-exact parity — see the rotation record)
-    "sole_late_suppliers", "brand_quantity_revenue",
-    "small_order_parts_revenue", "returned_revenue_top_customers",
-    "doc_model_scores", "streaming_model_scored_counts",
-    "event_type_lift", "term_source_association",
-    "source_diversity_report", "rolling_daily_revenue",
-    "user_activity_zscores", "doc_length_buckets",
-    "streaming_doc_quality_counts", "source_overlap_matrix",
+    # r9-promotes still held: the two streaming anchors + the
+    # co-occurrence family's kept sibling (round-11 rotation record)
+    "streaming_model_scored_counts", "event_type_lift",
+    "streaming_doc_quality_counts",
+    # round-11 rotate-ins: the stalest parity-local cohort (r2/r3-era
+    # KPI + relational shapes; gate re-run green both axes this round)
+    "cast_hygiene", "event_type_stats",
+    "kpi_avg_user_interactions", "kpi_item_extrema",
+    "latest_window_top_items", "null_hygiene_count",
+    "order_price_bands", "recent_user_windows", "top_users",
+    "customer_running_spend", "customers_with_orders",
     # round-10 rotate-ins: the final never-checked backlog (10 of the
     # 11 — iso_timestamp_render retired instead, see the rotation
     # record above) + the changed-plan re-check of the re-scoped ngram
