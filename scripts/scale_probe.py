@@ -195,8 +195,33 @@ def generate_documents(
     df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
+def generate_embeddings(spark, out_dir: str, n_vecs: int) -> None:
+    """embeddings(vec_id, embedding float[64], label) at probe scale —
+    every component an md5 pure function of (id, dim), uniform on
+    [-0.2, 0.2] (the testdata's component range), label an md5 bucket
+    over 10 classes.  vec_ids 0-7 stay the serving query batch and
+    8-15 the codebook rows (ann_stored_index_topk's fixed predicates),
+    so the ANN build+serve path runs unchanged at any staged |V| —
+    build cost scales with |V| (assignment pass + cell-partitioned
+    write), serve with the probed cells' population."""
+    comp = (
+        "cast((cast(conv(substring(md5(concat(cast(id as string), ':', "
+        "cast(d as string), ':e')), 1, 8), 16, 10) as bigint) % 400001 "
+        "- 200000) / 1000000.0 as float)"
+    )
+    df = spark.range(0, n_vecs, 1, default_parallelism()).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"transform(sequence(0, 63), d -> {comp})").alias(
+            "embedding"
+        ),
+        F.expr(f"cast({_h32('lbl')} % 10 as int)").alias("label"),
+    )
+    df.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
 def stage_star_dir(
-    spark, d: str, n_rows: int, n_docs: int, vocab: str = "closed"
+    spark, d: str, n_rows: int, n_docs: int, vocab: str = "closed",
+    n_vecs: int = 0,
 ) -> None:
     """Fill a pre-created dir `d` with the star schema at this scale
     (the caller owns the dir's lifetime — in fresh mode the PARENT
@@ -204,15 +229,23 @@ def stage_star_dir(
     Stamps a manifest.json with the staged sizes: --use-dirs reads it
     back so worker concurrency caps and data_ratio always describe the
     corpus actually in the dir, never whatever --docs-* defaults the
-    caller forgot to repeat (ADVICE r9)."""
+    caller forgot to repeat (ADVICE r9).  n_vecs=0 symlinks the sf0.1
+    embeddings (the classic probe); n_vecs>0 generates the table at
+    scale for the ANN soak."""
+    gen_embeddings = n_vecs > 0
     for name in TABLE_NAMES:
         if name in ("events", "documents"):
+            continue
+        if name == "embeddings" and gen_embeddings:
             continue
         os.symlink(f"{SF01_DIR}/{name}.parquet", f"{d}/{name}.parquet")
     generate_events(spark, d, n_rows)
     generate_documents(spark, d, n_docs, vocab=vocab)
+    if gen_embeddings:
+        generate_embeddings(spark, d, n_vecs)
     with open(f"{d}/manifest.json", "w") as f:
-        json.dump({"n_rows": n_rows, "n_docs": n_docs, "vocab": vocab}, f)
+        json.dump({"n_rows": n_rows, "n_docs": n_docs, "vocab": vocab,
+                   "n_vecs": n_vecs}, f)
 
 
 def _cpu_jiffies() -> tuple[int, int]:
@@ -436,6 +469,10 @@ def main() -> None:
     # testdata keeps a 20:1 events:documents ratio — preserve it
     ap.add_argument("--docs-small", type=int, default=50_000)
     ap.add_argument("--docs-large", type=int, default=500_000)
+    # 0 = symlink the sf0.1 embeddings table (the classic probe);
+    # >0 = generate embeddings at scale (the ANN build+serve soak)
+    ap.add_argument("--vecs-small", type=int, default=0)
+    ap.add_argument("--vecs-large", type=int, default=0)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     # fresh (default): every (query, scale) measurement in its own JVM
@@ -500,6 +537,9 @@ def main() -> None:
     ap.add_argument(
         "--stage-docs", type=int, default=None, help=argparse.SUPPRESS
     )
+    ap.add_argument(
+        "--stage-vecs", type=int, default=0, help=argparse.SUPPRESS
+    )
     args = ap.parse_args()
 
     if args.driver_mem:
@@ -514,7 +554,7 @@ def main() -> None:
         )
         stage_star_dir(
             spark, args.stage_out, args.stage_rows, args.stage_docs,
-            vocab=args.vocab,
+            vocab=args.vocab, n_vecs=args.stage_vecs,
         )
         spark.stop()
         return None
@@ -523,8 +563,8 @@ def main() -> None:
     n = default_parallelism()
 
     steps = (
-        (args.rows_small, args.docs_small),
-        (args.rows_large, args.docs_large),
+        (args.rows_small, args.docs_small, args.vecs_small),
+        (args.rows_large, args.docs_large, args.vecs_large),
     )
     # stage both dirs up front.  In fresh mode staging runs in a
     # SUBPROCESS: py4j's spark.stop() leaves the gateway JVM alive as
@@ -557,14 +597,17 @@ def main() -> None:
                 )
             with open(mpath) as f:
                 manifests.append(json.load(f))
-        steps = tuple((m["n_rows"], m["n_docs"]) for m in manifests)
+        steps = tuple(
+            (m["n_rows"], m["n_docs"], m.get("n_vecs", 0))
+            for m in manifests
+        )
         vocabs = {m.get("vocab") for m in manifests}
         if manifests and len(vocabs) == 1 and args.vocab not in vocabs:
             args.vocab = vocabs.pop()  # label the artifact truthfully
     else:
         dirs = {
             i: scratch_dir(f"rdp_scale_s{i}_{n_rows}_")
-            for i, (n_rows, _) in enumerate(steps)
+            for i, (n_rows, _, _) in enumerate(steps)
         }
     if args.use_dirs:
         spark = None if args.mode == "fresh" else get_spark(
@@ -575,12 +618,13 @@ def main() -> None:
     elif args.mode == "fresh":
         import subprocess
 
-        for i, (n_rows, n_docs) in enumerate(steps):
+        for i, (n_rows, n_docs, n_vecs) in enumerate(steps):
             cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--stage-out", dirs[i],
                 "--stage-rows", str(n_rows),
                 "--stage-docs", str(n_docs),
+                "--stage-vecs", str(n_vecs),
                 "--vocab", args.vocab,
             ]
             if args.driver_mem:
@@ -602,20 +646,22 @@ def main() -> None:
             master=f"local[{n}]",
             shuffle_partitions=args.shuffle_partitions or n,
         )
-        for i, (n_rows, n_docs) in enumerate(steps):
+        for i, (n_rows, n_docs, n_vecs) in enumerate(steps):
             stage_star_dir(
-                spark, dirs[i], n_rows, n_docs, vocab=args.vocab
+                spark, dirs[i], n_rows, n_docs, vocab=args.vocab,
+                n_vecs=n_vecs,
             )
 
     results: dict[int, dict[str, dict]] = {}
-    cap_docs = max(d for _, d in steps)
-    for i, (n_rows, n_docs) in enumerate(steps):
+    cap_docs = max(d for _, d, _ in steps)
+    for i, (n_rows, n_docs, n_vecs) in enumerate(steps):
         # constant-per-task sizing must track whichever table carries
         # the step's volume: a docs-only soak (tiny --rows-small with
         # --docs-large in the millions) still needs its shuffle
         # partitions scaled to the corpus — one doc ≈ 20 events of
-        # volume (the testdata's events:documents ratio)
-        eff_rows = max(n_rows, 20 * n_docs)
+        # volume (the testdata's events:documents ratio), one 64-float
+        # vector ≈ 3 events of bytes
+        eff_rows = max(n_rows, 20 * n_docs, 3 * n_vecs)
         parts = args.shuffle_partitions or max(
             n, eff_rows // args.rows_per_task
         )
@@ -631,7 +677,7 @@ def main() -> None:
         results[i] = step
         print(
             json.dumps(
-                {"rows": n_rows, "docs": n_docs,
+                {"rows": n_rows, "docs": n_docs, "vecs": n_vecs,
                  "queries": {q: r["sec"] for q, r in step.items()},
                  "bytes": {q: {k: r.get(k) for k in _BYTE_KEYS}
                            for q, r in step.items()}}
@@ -645,8 +691,11 @@ def main() -> None:
     # rows-only (the classic probe), docs-only (a soak), or both; a
     # docs-only soak previously computed 1.0 from rows alone and
     # flagged perfectly linear doc-scaling as superlinear (ADVICE r9)
-    (rows_s, docs_s), (rows_l, docs_l) = steps
-    data_ratio = max(rows_l / rows_s, docs_l / docs_s)
+    (rows_s, docs_s, vecs_s), (rows_l, docs_l, vecs_l) = steps
+    data_ratio = max(
+        rows_l / rows_s, docs_l / docs_s,
+        (vecs_l / vecs_s) if vecs_s else 0.0,
+    )
     ratios = {
         name: round(large[name] / small[name], 2) if small[name] > 0 else None
         for name in names
@@ -673,6 +722,7 @@ def main() -> None:
         or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "rows": [rows_s, rows_l],
         "docs": [docs_s, docs_l],
+        "vecs": [vecs_s, vecs_l],
         "data_ratio": data_ratio,
         "small_sec": small,
         "large_sec": large,
