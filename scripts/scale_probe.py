@@ -653,6 +653,7 @@ def main() -> None:
             )
 
     results: dict[int, dict[str, dict]] = {}
+    step_parts: dict[int, int] = {}
     cap_docs = max(d for _, d, _ in steps)
     for i, (n_rows, n_docs, n_vecs) in enumerate(steps):
         # constant-per-task sizing must track whichever table carries
@@ -665,6 +666,7 @@ def main() -> None:
         parts = args.shuffle_partitions or max(
             n, eff_rows // args.rows_per_task
         )
+        step_parts[i] = parts
         d = dirs[i]
         step: dict[str, dict] = {}
         for name in names:
@@ -723,6 +725,11 @@ def main() -> None:
         "rows": [rows_s, rows_l],
         "docs": [docs_s, docs_l],
         "vecs": [vecs_s, vecs_l],
+        # the per-step shuffle-partition counts actually used — the
+        # constant-per-task lever; lever comparisons (same dirs, a
+        # different --rows-per-task) are uninterpretable without it
+        "shuffle_partitions": [step_parts[0], step_parts[1]],
+        "rows_per_task": args.rows_per_task,
         "data_ratio": data_ratio,
         "small_sec": small,
         "large_sec": large,
