@@ -450,6 +450,25 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #   overlap family).
 # Oldest last-green in the registry rises from r2 to r4-era; next
 # stale cohort (for round 12) is the r4/r5 wave.
+#
+# Round-12 queue STAGED (computed by regreen_queue.py from the
+# r1-r10 artifacts; will recompute against r11's artifact when it
+# lands — the proposal below assumed the r11 window greens):
+#   doc_fingerprints, exact_dedup_groups, language_id,
+#   nation_top_customers, order_priority_rollup, simhash_near_dups,
+#   text_metrics (last green r3); click_and_purchase_users,
+#   customer_order_count_histogram, customer_spend_distribution,
+#   pricing_summary (r4).
+# All 11 PRE-VERIFIED round 11: byte-exact parity green under BOTH
+# config axes (engine-default tz / shuffle=8 AND Asia/Kathmandu /
+# shuffle=3), scalar-only driver canon (toPandas + sort_values), and
+# rows>0 at sf0.01.  Rotate-out candidates: the r10-promoted
+# never-checked cohort reaches 2-round green when CORRECTNESS_r11
+# lands (event_type_islands, lexical_diversity_correlation,
+# multimodal_*_stats, referential_integrity_audit,
+# shared_chunk_report, user_activity_trend, value_stats_by_type,
+# ffd_packing_stats rows-only, + the re-scoped ngram) — family
+# arguments to be written at rotation time per the r11 template.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
