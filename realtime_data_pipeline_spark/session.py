@@ -114,6 +114,39 @@ def max_concurrent_tasks_for_heap(
     return max(1, int(usable // floor_bytes))
 
 
+# Measured per-task volume sweet spot (round-11 partition-lever soak,
+# 10M open-vocab docs / 100M events, SOAK_r11_20x_parts{2x,4x}.json vs
+# the round-10 protocol point): shuffle partitions sized to ~175k
+# event-equivalent rows per task cut corpus_curation_stats' memory
+# spill 27% and wall 16% versus the classic 350k, while halving again
+# (87.5k) over-partitioned — iterative operators (connected
+# components, PageRank) re-pay per-task scheduling overhead every
+# superstep, and wall regressed 63%.  MERGE-join external-sort spill
+# (the ngram verify joins) is partition-INELASTIC across the whole
+# range — that spill is the designed degradation path, not a sizing
+# defect.
+CORPUS_ROWS_PER_TASK = 175_000
+# one ~50-token document ≈ 20 events of shuffle volume; one 64-float
+# embedding ≈ 3 (the staging/probe equivalences, scale_probe.py)
+DOC_EVENT_EQUIV = 20
+VEC_EVENT_EQUIV = 3
+
+
+def corpus_shuffle_partitions(
+    n_events: int = 0, n_docs: int = 0, n_vecs: int = 0,
+    rows_per_task: int = CORPUS_ROWS_PER_TASK,
+) -> int:
+    """Shuffle-partition count for a corpus-scale job, from whichever
+    table carries the volume — the measured-sweet-spot embodiment of
+    'a real cluster holds per-task volume constant as data grows'.
+    Floors at default_parallelism() so small jobs still use every
+    core."""
+    eff = max(
+        n_events, DOC_EVENT_EQUIV * n_docs, VEC_EVENT_EQUIV * n_vecs
+    )
+    return max(default_parallelism(), eff // rows_per_task)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing (possibly driver-owned) session."""
     for k, v in RUNTIME_CONFS.items():

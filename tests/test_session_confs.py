@@ -69,3 +69,29 @@ def test_max_concurrent_tasks_reproduces_the_soak():
     assert max_concurrent_tasks_for_heap("48g") >= 32
     # tiny heaps never return 0 — a single task spills earlier instead
     assert max_concurrent_tasks_for_heap("512m") == 1
+
+def test_corpus_shuffle_partitions_reproduces_the_lever_soak():
+    """The round-11 partition-lever artifacts
+    (SOAK_r11_20x_parts{2x,4x}.json): at 10M docs / 100M events the
+    2x setting (1142 partitions from 175k rows/task) was the measured
+    spill/wall sweet spot.  The helper must reproduce that sizing from
+    the corpus volumes, track the volume-carrying table, and floor at
+    the core count for small jobs."""
+    from realtime_data_pipeline_spark.session import (
+        CORPUS_ROWS_PER_TASK,
+        corpus_shuffle_partitions,
+        default_parallelism,
+    )
+
+    assert CORPUS_ROWS_PER_TASK == 175_000
+    # the lever soak's sweet-spot point: eff = max(100M, 20*10M) = 200M
+    assert corpus_shuffle_partitions(
+        n_events=100_000_000, n_docs=10_000_000
+    ) == 200_000_000 // 175_000 == 1142
+    # docs-only and vecs-only volumes carry their equivalences
+    assert corpus_shuffle_partitions(n_docs=10_000_000) == 1142
+    assert corpus_shuffle_partitions(n_vecs=10_000_000) == (
+        30_000_000 // 175_000
+    )
+    # small jobs floor at the core count
+    assert corpus_shuffle_partitions(n_events=1000) == default_parallelism()
