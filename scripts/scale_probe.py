@@ -50,6 +50,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from realtime_data_pipeline_spark.scratch import scratch_dir  # noqa: E402
 from realtime_data_pipeline_spark.session import (  # noqa: E402
+    DOC_EVENT_EQUIV,
+    VEC_EVENT_EQUIV,
     default_parallelism,
     get_spark,
 )
@@ -659,10 +661,15 @@ def main() -> None:
         # constant-per-task sizing must track whichever table carries
         # the step's volume: a docs-only soak (tiny --rows-small with
         # --docs-large in the millions) still needs its shuffle
-        # partitions scaled to the corpus — one doc ≈ 20 events of
-        # volume (the testdata's events:documents ratio), one 64-float
-        # vector ≈ 3 events of bytes
-        eff_rows = max(n_rows, 20 * n_docs, 3 * n_vecs)
+        # partitions scaled to the corpus.  Equivalences shared with
+        # session.corpus_shuffle_partitions (one source of truth);
+        # note the probe's default --rows-per-task stays 350k for
+        # artifact continuity with the r8-r10 series — the measured
+        # sweet spot for spill-heavy corpus steps is 175k
+        # (CORPUS_ROWS_PER_TASK; SOAK_r11_20x_parts2x.json).
+        eff_rows = max(
+            n_rows, DOC_EVENT_EQUIV * n_docs, VEC_EVENT_EQUIV * n_vecs
+        )
         parts = args.shuffle_partitions or max(
             n, eff_rows // args.rows_per_task
         )
