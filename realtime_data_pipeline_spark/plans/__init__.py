@@ -448,8 +448,8 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #   family; lexical_diversity_correlation stays for doc-stat shapes),
 #   source_overlap_matrix (shared_chunk_report stays: cross-source
 #   overlap family).
-# Oldest last-green in the registry rises from r2 to r4-era; next
-# stale cohort (for round 12) is the r4/r5 wave.
+# Oldest last-green in the registry rises from r2 to r3-era; next
+# stale cohort (for round 12) is the r3/r4 wave.
 #
 # Round-12 queue STAGED (computed by regreen_queue.py from the
 # r1-r10 artifacts; will recompute against r11's artifact when it

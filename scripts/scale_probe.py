@@ -50,8 +50,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from realtime_data_pipeline_spark.scratch import scratch_dir  # noqa: E402
 from realtime_data_pipeline_spark.session import (  # noqa: E402
-    DOC_EVENT_EQUIV,
-    VEC_EVENT_EQUIV,
+    corpus_shuffle_partitions,
     default_parallelism,
     get_spark,
 )
@@ -206,6 +205,12 @@ def generate_embeddings(spark, out_dir: str, n_vecs: int) -> None:
     so the ANN build+serve path runs unchanged at any staged |V| —
     build cost scales with |V| (assignment pass + cell-partitioned
     write), serve with the probed cells' population."""
+    if n_vecs < 16:
+        raise ValueError(
+            f"n_vecs={n_vecs}: the ANN contract needs vec_ids 0-7 "
+            "(serving queries) and 8-15 (codebook rows) present, so "
+            "staged embeddings require n_vecs >= 16"
+        )
     comp = (
         "cast((cast(conv(substring(md5(concat(cast(id as string), ':', "
         "cast(d as string), ':e')), 1, 8), 16, 10) as bigint) % 400001 "
@@ -611,6 +616,21 @@ def main() -> None:
             i: scratch_dir(f"rdp_scale_s{i}_{n_rows}_")
             for i, (n_rows, _, _) in enumerate(steps)
         }
+    # vecs must be staged at BOTH steps or NEITHER: a 0-vs-positive
+    # mix would compare the fixed symlinked sf0.1 embeddings against a
+    # generated table AND drop the vec axis from data_ratio — every
+    # |V|-scaled query would then flag "superlinear" against a ratio
+    # of 1.0, the exact mislabeling ADVICE r9 fixed for docs-only
+    # soaks.  Fail loudly BEFORE any staging or measurement (steps is
+    # final here for both the args and the --use-dirs manifest path).
+    if (steps[0][2] == 0) != (steps[1][2] == 0):
+        raise RuntimeError(
+            f"staged vecs mix generated and symlinked embeddings "
+            f"across steps ({steps[0][2]} vs {steps[1][2]}) — set "
+            f"--vecs-small and --vecs-large together (or re-stage "
+            f"the dirs)"
+        )
+
     if args.use_dirs:
         spark = None if args.mode == "fresh" else get_spark(
             app_name="rdp-scale-probe",
@@ -661,17 +681,15 @@ def main() -> None:
         # constant-per-task sizing must track whichever table carries
         # the step's volume: a docs-only soak (tiny --rows-small with
         # --docs-large in the millions) still needs its shuffle
-        # partitions scaled to the corpus.  Equivalences shared with
+        # partitions scaled to the corpus.  Sizing logic lives in
         # session.corpus_shuffle_partitions (one source of truth);
         # note the probe's default --rows-per-task stays 350k for
         # artifact continuity with the r8-r10 series — the measured
         # sweet spot for spill-heavy corpus steps is 175k
         # (CORPUS_ROWS_PER_TASK; SOAK_r11_20x_parts2x.json).
-        eff_rows = max(
-            n_rows, DOC_EVENT_EQUIV * n_docs, VEC_EVENT_EQUIV * n_vecs
-        )
-        parts = args.shuffle_partitions or max(
-            n, eff_rows // args.rows_per_task
+        parts = args.shuffle_partitions or corpus_shuffle_partitions(
+            n_events=n_rows, n_docs=n_docs, n_vecs=n_vecs,
+            rows_per_task=args.rows_per_task,
         )
         step_parts[i] = parts
         d = dirs[i]

@@ -84,14 +84,18 @@ def test_corpus_shuffle_partitions_reproduces_the_lever_soak():
     )
 
     assert CORPUS_ROWS_PER_TASK == 175_000
-    # the lever soak's sweet-spot point: eff = max(100M, 20*10M) = 200M
+    n = default_parallelism()
+    # the lever soak's sweet-spot point: eff = max(100M, 20*10M) = 200M;
+    # expectations take the core-count floor so the test holds on any
+    # host (a >1142-core box legitimately floors higher)
     assert corpus_shuffle_partitions(
         n_events=100_000_000, n_docs=10_000_000
-    ) == 200_000_000 // 175_000 == 1142
+    ) == max(n, 200_000_000 // 175_000)
+    assert 200_000_000 // 175_000 == 1142  # the artifact's number
     # docs-only and vecs-only volumes carry their equivalences
-    assert corpus_shuffle_partitions(n_docs=10_000_000) == 1142
-    assert corpus_shuffle_partitions(n_vecs=10_000_000) == (
-        30_000_000 // 175_000
+    assert corpus_shuffle_partitions(n_docs=10_000_000) == max(n, 1142)
+    assert corpus_shuffle_partitions(n_vecs=10_000_000) == max(
+        n, 30_000_000 // 175_000
     )
     # small jobs floor at the core count
-    assert corpus_shuffle_partitions(n_events=1000) == default_parallelism()
+    assert corpus_shuffle_partitions(n_events=1000) == n
