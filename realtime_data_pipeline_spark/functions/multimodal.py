@@ -1,12 +1,13 @@
 """Multimodal column pattern: opaque binary payloads + typed metadata,
 processed by Arrow-batched pandas UDFs (north-star surface).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(NotImplementedError unless PIL/soundfile import succeeds) — but the
-Spark-side plumbing is real and tested: schema, partitioning, Arrow
-batch shape, and a deterministic feature extractor (byte-bucket
-histogram) that runs through mapInPandas exactly like a production
-decoder would.
+DECODE layer: the codec-FREE public formats are decoded for real with
+pure numpy — RIFF/WAVE integer PCM (decode_wav), netpbm P5/P6 images
+(decode_ppm), uncompressed 24/32-bit BMP (decode_bmp), and
+YUV4MPEG2 (y4m) raw video frame sampling (sample_frames).  Only
+formats that genuinely require a codec library (JPEG/PNG/MP4/...)
+fall back to a PIL import gate and raise NotImplementedError in this
+container — the honest boundary, now much smaller than "all decode".
 
 Scale notes: binary payloads ride in the same row as metadata —
 filters on metadata prune before any Python is invoked; mapInPandas
@@ -56,9 +57,182 @@ def attach_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
     )
 
 
+def decode_wav(data: bytes):
+    """Pure-numpy RIFF/WAVE decoder for uncompressed integer PCM
+    (format tag 1; 8/16/32-bit) — WAV is a public container format
+    that needs no codec library, only chunk parsing.
+
+    Returns (sample_rate, n_channels, samples): samples is an int64
+    array of interleaved amplitudes; 8-bit WAV (stored unsigned,
+    offset 128 per the spec) is re-centered to signed.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            (tag, n_ch, rate, _brate, _align, bits) = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    tag, n_ch, rate, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"WAVE format tag {tag}: only uncompressed integer PCM "
+            "(tag 1) decodes codec-free"
+        )
+    if bits == 8:  # unsigned, offset-128
+        samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    elif bits == 32:
+        samples = np.frombuffer(pcm, dtype="<i4").astype(np.int64)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    return rate, n_ch, samples
+
+
+def _pnm_header(data: bytes):
+    """Parse a netpbm header (magic, dims, maxval), skipping '#'
+    comments; returns (magic, width, height, maxval, body_offset)."""
+    toks, pos = [], 2
+    while len(toks) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":
+            pos = data.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            toks.append(int(data[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval, then raster
+    return data[:2], toks[0], toks[1], toks[2], pos
+
+
+def decode_ppm(data: bytes):
+    """Pure-numpy netpbm decoder: binary P6 (RGB) and P5 (grayscale),
+    maxval <= 255.  Returns an (h, w, 3) or (h, w) uint8 array."""
+    import numpy as np
+
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    _, w, h, maxval, off = _pnm_header(data)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=off)
+    return px.reshape((h, w, 3)) if ch == 3 else px.reshape((h, w))
+
+
+def decode_bmp(data: bytes):
+    """Pure-numpy decoder for uncompressed 24/32-bit BMP (BI_RGB).
+    Returns an (h, w, 3) uint8 array in RGB order, top row first
+    (BMP stores rows bottom-up with 4-byte padding)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    px_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bits = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bits not in (24, 32):
+        raise NotImplementedError(
+            "only uncompressed 24/32-bit BMP decodes codec-free"
+        )
+    flip = h > 0
+    h = abs(h)
+    bpp = bits // 8
+    stride = (w * bpp + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=px_off
+    ).reshape((h, stride))[:, : w * bpp].reshape((h, w, bpp))
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    return rgb[::-1] if flip else rgb
+
+
+_Y4M_FRACTIONS = {"C420": (1, 2), "C422": (1, 1), "C444": (2, 1),
+                  "Cmono": (-1, 1)}  # extra chroma bytes per luma: num/den
+
+
+def sample_frames(data: bytes, every_n: int = 10):
+    """Video frame sampling, decoded for real for YUV4MPEG2 (y4m) —
+    the public UNCOMPRESSED video interchange format (plain-text
+    header, fixed-size raw frames behind FRAME markers), parseable
+    with no codec.  Returns (width, height, frames): every
+    ``every_n``-th frame's luma plane as an (h, w) uint8 array.
+    Compressed containers (MP4/WebM/...) genuinely require codec
+    libraries and raise NotImplementedError here."""
+    import numpy as np
+
+    if not data.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "compressed video codecs not available in this container; "
+            "codec-free sampling supports YUV4MPEG2"
+        )
+    hdr_end = data.index(b"\n")
+    w = h = None
+    cspace = "C420"
+    for p in data[10:hdr_end].split():
+        tag = p.decode("ascii", "replace")
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "C":
+            # C420 has suffixed variants (C420jpeg/C420paldv/C420mpeg2)
+            # with the same plane sizes; match on the known prefixes
+            for known in ("C444", "C422", "C420", "Cmono"):
+                if tag.startswith(known):
+                    cspace = known
+                    break
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    num, den = _Y4M_FRACTIONS.get(cspace, _Y4M_FRACTIONS["C420"])
+    luma = w * h
+    frame_bytes = luma if num < 0 else luma + (luma * num) // den
+    frames, pos, idx = [], hdr_end + 1, 0
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1  # frame params end at newline
+        if idx % every_n == 0:
+            frames.append(
+                np.frombuffer(
+                    data, dtype=np.uint8, count=luma, offset=pos
+                ).reshape((h, w))
+            )
+        pos += frame_bytes
+        idx += 1
+    return w, h, frames
+
+
 def decode_image(data: bytes):
-    """Decode an image payload.  STUB: codecs are not available in this
-    environment; gate on import so real deployments light it up."""
+    """Decode an image payload.  Codec-free formats decode for real
+    (netpbm P5/P6, uncompressed BMP — returned as numpy arrays);
+    compressed formats gate on a PIL import so real deployments light
+    them up."""
+    if data[:2] in (b"P5", b"P6"):
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -66,13 +240,9 @@ def decode_image(data: bytes):
         return Image.open(io.BytesIO(data))
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "image decoding requires PIL; this container has no codecs"
+            "compressed image formats require PIL; this container has "
+            "no codecs (netpbm/BMP decode codec-free above)"
         ) from exc
-
-
-def sample_frames(data: bytes, every_n: int = 10):
-    """Video frame sampling.  STUB — same gating pattern as decode_image."""
-    raise NotImplementedError("video codecs not available in this container")
 
 
 _HIST_SCHEMA = StructType(
@@ -139,7 +309,7 @@ def frame_sample_stats(media_docs: DataFrame) -> DataFrame:
     every FRAME_STRIDE bytes, sample a FRAME_BYTES window; emit the
     frame count and the summed byte values ("energy") of the sampled
     windows.  A real deployment swaps the numpy kernel for a decoder
-    (see sample_frames stub) — schema, Arrow batching, and the
+    (sample_frames decodes y4m for real) — schema, Arrow batching, and the
     metadata-first projection stay identical.
     """
 
