@@ -76,6 +76,11 @@ def decode_wav(data: bytes):
     while pos + 8 <= len(data):
         cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated WAVE chunk {cid!r}: declared {size} bytes, "
+                f"payload has {len(body)}"
+            )
         if cid == b"fmt ":
             (tag, n_ch, rate, _brate, _align, bits) = struct.unpack_from(
                 "<HHIIHH", body, 0
@@ -91,6 +96,11 @@ def decode_wav(data: bytes):
         raise NotImplementedError(
             f"WAVE format tag {tag}: only uncompressed integer PCM "
             "(tag 1) decodes codec-free"
+        )
+    if bits in (16, 32) and len(pcm) % (bits // 8):
+        raise ValueError(
+            f"truncated {bits}-bit PCM data chunk: {len(pcm)} bytes is "
+            f"not a multiple of the {bits // 8}-byte sample width"
         )
     if bits == 8:  # unsigned, offset-128
         samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
@@ -119,6 +129,8 @@ def _pnm_header(data: bytes):
                 end += 1
             toks.append(int(data[pos:end]))
             pos = end
+    if len(toks) < 3:
+        raise ValueError("truncated netpbm header")
     pos += 1  # single whitespace after maxval, then raster
     return data[:2], toks[0], toks[1], toks[2], pos
 
@@ -198,14 +210,22 @@ def sample_frames(data: bytes, every_n: int = 10):
             h = int(tag[1:])
         elif tag[0] == "C":
             # C420 has suffixed variants (C420jpeg/C420paldv/C420mpeg2)
-            # with the same plane sizes; match on the known prefixes
+            # with the same plane sizes; match on the known prefixes.
+            # 10-bit variants (C420p10) widen the planes, so they must
+            # NOT fall through to 8-bit sizing: any digit suffix after
+            # the known prefix (pN bit depth) is a different stride.
             for known in ("C444", "C422", "C420", "Cmono"):
-                if tag.startswith(known):
+                if tag.startswith(known) and not tag[len(known):].startswith("p"):
                     cspace = known
                     break
+            else:
+                raise NotImplementedError(
+                    f"y4m colorspace {tag!r}: only 8-bit "
+                    "C420*/C422/C444/Cmono plane sizing is supported"
+                )
     if not w or not h:
         raise ValueError("y4m header missing W/H")
-    num, den = _Y4M_FRACTIONS.get(cspace, _Y4M_FRACTIONS["C420"])
+    num, den = _Y4M_FRACTIONS[cspace]
     luma = w * h
     frame_bytes = luma if num < 0 else luma + (luma * num) // den
     frames, pos, idx = [], hdr_end + 1, 0

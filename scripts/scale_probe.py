@@ -583,6 +583,25 @@ def main() -> None:
     # soak can legitimately use identical row counts for both steps, and
     # n_rows keys would then collide — one shared dir, the second staging
     # overwriting the first, and every ratio silently 1.0 (ADVICE r8).
+    # vecs must be staged at BOTH steps or NEITHER: a 0-vs-positive
+    # mix would compare the fixed symlinked sf0.1 embeddings against a
+    # generated table AND drop the vec axis from data_ratio — every
+    # |V|-scaled query would then flag "superlinear" against a ratio
+    # of 1.0, the exact mislabeling ADVICE r9 fixed for docs-only
+    # soaks.  Fail loudly BEFORE any staging, measurement, or scratch
+    # dir creation (ADVICE r11: the old post-dirs check left empty
+    # scratch dirs behind on the early exit); --use-dirs re-checks
+    # after the manifests overwrite steps below.
+    def _check_vecs_consistent(s) -> None:
+        if (s[0][2] == 0) != (s[1][2] == 0):
+            raise RuntimeError(
+                f"staged vecs mix generated and symlinked embeddings "
+                f"across steps ({s[0][2]} vs {s[1][2]}) — set "
+                f"--vecs-small and --vecs-large together (or re-stage "
+                f"the dirs)"
+            )
+
+    _check_vecs_consistent(steps)
     if args.use_dirs:
         pre = args.use_dirs.split(",")
         dirs = {0: pre[0], 1: pre[1]}
@@ -616,20 +635,9 @@ def main() -> None:
             i: scratch_dir(f"rdp_scale_s{i}_{n_rows}_")
             for i, (n_rows, _, _) in enumerate(steps)
         }
-    # vecs must be staged at BOTH steps or NEITHER: a 0-vs-positive
-    # mix would compare the fixed symlinked sf0.1 embeddings against a
-    # generated table AND drop the vec axis from data_ratio — every
-    # |V|-scaled query would then flag "superlinear" against a ratio
-    # of 1.0, the exact mislabeling ADVICE r9 fixed for docs-only
-    # soaks.  Fail loudly BEFORE any staging or measurement (steps is
-    # final here for both the args and the --use-dirs manifest path).
-    if (steps[0][2] == 0) != (steps[1][2] == 0):
-        raise RuntimeError(
-            f"staged vecs mix generated and symlinked embeddings "
-            f"across steps ({steps[0][2]} vs {steps[1][2]}) — set "
-            f"--vecs-small and --vecs-large together (or re-stage "
-            f"the dirs)"
-        )
+    # --use-dirs replaced steps with the manifest sizes: re-check the
+    # vec-axis consistency for the corpus actually on disk.
+    _check_vecs_consistent(steps)
 
     if args.use_dirs:
         spark = None if args.mode == "fresh" else get_spark(

@@ -284,3 +284,56 @@ def test_wav_decode_through_mapinpandas(spark):
            df.mapInPandas(_extract, schema=schema).collect()}
     want = {k: int((v * v).sum()) for k, v in waves.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Truncation / unknown-variant error paths (ADVICE r11): the decoders
+# must fail with a NAMED error, not an opaque numpy buffer error or a
+# silent short read.
+# ---------------------------------------------------------------------------
+
+
+def test_decode_wav_truncated_chunk_raises_named_error():
+    import struct
+
+    good = _wav_bytes(np.array([1, -2, 3, -4], dtype=np.int64))
+    with pytest.raises(ValueError, match="truncated WAVE chunk"):
+        multimodal.decode_wav(good[:-3])  # data chunk shorter than declared
+
+
+def test_decode_wav_misaligned_pcm_raises_named_error():
+    import struct
+
+    # declare a data chunk whose size is NOT a multiple of the 16-bit
+    # sample width (size honest, content misaligned)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 3) + b"\x01\x02\x03" + b"\x00"
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="not a multiple"):
+        multimodal.decode_wav(data)
+
+
+def test_pnm_truncated_header_raises_value_error():
+    with pytest.raises(ValueError, match="truncated netpbm header"):
+        multimodal.decode_ppm(b"P6 4 2")  # maxval never arrives
+    with pytest.raises(ValueError, match="truncated netpbm header"):
+        multimodal.decode_ppm(b"P5\n# only a comment\n")
+
+
+def test_sample_frames_rejects_10bit_and_unknown_colorspaces():
+    frames = [np.zeros((2, 2), dtype=np.uint8)]
+    with pytest.raises(NotImplementedError, match="C420p10"):
+        multimodal.sample_frames(_y4m_bytes(frames, cspace=b"C420p10"))
+    with pytest.raises(NotImplementedError, match="C411"):
+        multimodal.sample_frames(_y4m_bytes(frames, cspace=b"C411"))
+
+
+def test_sample_frames_c420_suffix_variants_still_decode():
+    # C420jpeg/C420mpeg2 share C420's plane sizes and must keep working
+    frames = [np.full((2, 4), 9, dtype=np.uint8)]
+    h, w = frames[0].shape
+    out = b"YUV4MPEG2 W%d H%d F25:1 C420jpeg\n" % (w, h)
+    out += b"FRAME\n" + frames[0].tobytes() + b"\x07" * ((w * h) // 2)
+    gw, gh, got = multimodal.sample_frames(out, every_n=1)
+    assert (gw, gh) == (w, h) and got[0].tolist() == frames[0].tolist()
