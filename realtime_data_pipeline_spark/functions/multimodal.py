@@ -244,6 +244,240 @@ def sample_frames(data: bytes, every_n: int = 10):
     return w, h, frames
 
 
+# ---------------------------------------------------------------------------
+# Deterministic ENCODERS for the codec-free formats (round 12).  These
+# are the spec-level duals of the decoders above, used by the decode
+# round-trip hash row (multimodal_decode_stats) and the tests: payloads
+# synthesized byte-for-byte from planted integer formulas, pushed
+# through encode → Arrow binary column → decode, with the output stats
+# computed from the DECODED arrays — a decoder bug breaks the DuckDB
+# hash, not just a pytest.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, rate: int = 8000, bits: int = 16, n_ch: int = 1) -> bytes:
+    """Encode int samples as RIFF/WAVE integer PCM (the dual of
+    decode_wav), including the spec's word-alignment pad after an
+    odd-sized data chunk."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if bits == 8:
+        pcm = (samples + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        pcm = samples.astype("<i2").tobytes()
+    elif bits == 32:
+        pcm = samples.astype("<i4").tobytes()
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    align = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * align, align, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_ppm(px) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary netpbm P6 (or (h, w)
+    as P5) — the dual of decode_ppm."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    magic = b"P6" if px.ndim == 3 else b"P5"
+    h, w = px.shape[0], px.shape[1]
+    return magic + b"\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_bmp(px) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array (top row first) as
+    uncompressed 24-bit BMP — bottom-up rows, BGR order, 4-byte row
+    padding, the exact layout decode_bmp undoes."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape((h, w * 3))  # flip+BGR
+    raster = rows.tobytes()
+    px_off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", px_off + len(raster), 0, 0, px_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return hdr + dib + raster
+
+
+def encode_y4m(frames, cspace: bytes = b"C420") -> bytes:
+    """Encode a list of (h, w) uint8 luma planes as YUV4MPEG2 with
+    constant chroma fill — the dual of sample_frames (which reads only
+    the luma planes back)."""
+    import numpy as np
+
+    h, w = np.asarray(frames[0]).shape
+    num, den = _Y4M_FRACTIONS[cspace.decode("ascii")]
+    chroma = 0 if num < 0 else (w * h * num) // den
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cspace)
+    for f in frames:
+        out += b"FRAME\n" + np.asarray(f, np.uint8).tobytes() + b"\x80" * chroma
+    return out
+
+
+# Planted-payload formulas (shared with the multimodal_decode_stats
+# DuckDB oracle in plans/northstar.py — keep the constants in sync
+# there via these names).  All moduli are positive and doc_id is
+# filtered >= 0 in both engines, so Python/numpy % and DuckDB %
+# agree.  WAV samples land in int16 range by construction.
+WAV_RATE_BASE, WAV_RATE_STEP = 8000, 100
+WAV_MUL_A, WAV_MUL_B = 7919, 104729
+PPM_MUL_A, PPM_MUL_B = 31, 17
+BMP_MUL_A, BMP_MUL_B = 53, 11
+Y4M_MUL_A, Y4M_MUL_B, Y4M_MUL_C = 13, 29, 7
+Y4M_EVERY_N = 2
+
+
+def planted_wav(doc_id: int):
+    """(rate, samples): n = 16 + doc_id%32 16-bit samples."""
+    import numpy as np
+
+    n = 16 + doc_id % 32
+    s = (doc_id * WAV_MUL_A + np.arange(n, dtype=np.int64) * WAV_MUL_B) % 65536 - 32768
+    return WAV_RATE_BASE + WAV_RATE_STEP * (doc_id % 7), s
+
+
+def planted_ppm(doc_id: int):
+    """(h, w, 3) planted RGB image, w = 4 + doc_id%5, h = 3 + doc_id%4."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    j = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * PPM_MUL_A + j * PPM_MUL_B) % 256).astype(np.uint8).reshape(
+        (h, w, 3)
+    )
+
+
+def planted_bmp(doc_id: int):
+    """(h, w, 3) planted RGB image; odd widths exercise stride padding."""
+    import numpy as np
+
+    w, h = 3 + doc_id % 4, 2 + doc_id % 3
+    j = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * BMP_MUL_A + j * BMP_MUL_B) % 256).astype(np.uint8).reshape(
+        (h, w, 3)
+    )
+
+
+def planted_y4m(doc_id: int):
+    """List of planted luma frames; even dims keep C420 chroma legal."""
+    import numpy as np
+
+    w, h = 4 + 2 * (doc_id % 3), 2 + 2 * (doc_id % 2)
+    nf = 3 + doc_id % 3
+    p = np.arange(w * h, dtype=np.int64)
+    return [
+        ((doc_id * Y4M_MUL_A + f * Y4M_MUL_B + p * Y4M_MUL_C) % 256)
+        .astype(np.uint8)
+        .reshape((h, w))
+        for f in range(nf)
+    ]
+
+
+_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("wav", BinaryType()),
+        StructField("ppm", BinaryType()),
+        StructField("bmp", BinaryType()),
+        StructField("y4m", BinaryType()),
+    ]
+)
+
+_DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("wav_rate", LongType()),
+        StructField("wav_channels", LongType()),
+        StructField("wav_n", LongType()),
+        StructField("wav_wsum", LongType()),
+        StructField("ppm_wsum", LongType()),
+        StructField("bmp_wsum", LongType()),
+        StructField("y4m_frames", LongType()),
+        StructField("y4m_wsum", LongType()),
+    ]
+)
+
+
+def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
+    """Stage 1 of the decode hash row: planted payloads as REAL binary
+    columns (they cross the Arrow boundary between the two kernels, so
+    the binary-column plumbing is driven, not simulated)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs, ppms, bmps, y4ms = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate, s = planted_wav(did)
+                wavs.append(encode_wav(s, rate=rate))
+                ppms.append(encode_ppm(planted_ppm(did)))
+                bmps.append(encode_bmp(planted_bmp(did)))
+                y4ms.append(encode_y4m(planted_y4m(did)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": wavs,
+                    "ppm": ppms,
+                    "bmp": bmps,
+                    "y4m": y4ms,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=_PAYLOAD_SCHEMA)
+
+
+def decode_media_stats(payloads: DataFrame) -> DataFrame:
+    """Stage 2: decode every payload with the REAL decoders and emit
+    position-weighted checksums computed from the DECODED arrays.
+    Position weighting (value * (index+1)) makes row-flip, stride, and
+    reshape bugs hash-visible — a plain sum is permutation-invariant
+    and would hide them."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def wsum(flat) -> int:
+            a = np.asarray(flat, dtype=np.int64).reshape(-1)
+            return int((a * (np.arange(a.size, dtype=np.int64) + 1)).sum())
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "wav_rate", "wav_channels", "wav_n", "wav_wsum",
+                "ppm_wsum", "bmp_wsum", "y4m_frames", "y4m_wsum",
+            )}
+            for wav, ppm, bmp, y4m in zip(
+                pdf["wav"], pdf["ppm"], pdf["bmp"], pdf["y4m"]
+            ):
+                rate, n_ch, s = decode_wav(bytes(wav))
+                out["wav_rate"].append(rate)
+                out["wav_channels"].append(n_ch)
+                out["wav_n"].append(s.size)
+                out["wav_wsum"].append(wsum(s))
+                out["ppm_wsum"].append(wsum(decode_ppm(bytes(ppm))))
+                out["bmp_wsum"].append(wsum(decode_bmp(bytes(bmp))))
+                _w, _h, frames = sample_frames(bytes(y4m), every_n=Y4M_EVERY_N)
+                out["y4m_frames"].append(len(frames))
+                out["y4m_wsum"].append(sum(wsum(f) for f in frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return payloads.mapInPandas(_dec, schema=_DECODE_STATS_SCHEMA)
+
+
 def decode_image(data: bytes):
     """Decode an image payload.  Codec-free formats decode for real
     (netpbm P5/P6, uncompressed BMP — returned as numpy arrays);

@@ -469,6 +469,66 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # shared_chunk_report, user_activity_trend, value_stats_by_type,
 # ffd_packing_stats rows-only, + the re-scoped ngram) — family
 # arguments to be written at rotation time per the r11 template.
+#
+# Round-12 rotation (EXECUTED — the staged queue above, re-confirmed
+# by regreen_queue.py --slots 11 against the r1-r11 artifacts; gate
+# RE-RUN this round: all 11 staged rotate-ins + the one NEW query
+# green via full_parity_sweep --only under both config axes).
+# TWELVE in, TWELVE out this round — the extra slot is
+# multimodal_decode_stats, the decode-layer hash row (r11 verdict
+# #3), promoted under the changed-plan-first rule (a NEW plan needs a
+# driver check before any re-green): planted WAV/P6/BMP/y4m payloads
+# encoded to real bytes, decoded by the pure-numpy decoders, stats
+# computed from the DECODED arrays against a closed-form DuckDB
+# oracle (plans/northstar.py).  Pre-verified this round: byte-exact
+# both axes, scalar-only canon, 500 rows at sf0.01, 0-shuffle pin.
+# The 12 rotate-outs, each ≥2-round green and family-covered:
+#   event_type_islands (gaps-and-islands: r10+r11 green; window-
+#     function sequences stay driver-covered by customer_running_spend),
+#   ffd_packing_stats (rows-only by design, r10+r11; packing family
+#     pinned by test_packing_model + parity-local ffd_packing_report),
+#   lexical_diversity_correlation (doc-stat family: incoming
+#     text_metrics carries it with a full per-doc oracle),
+#   multimodal_audio_stats + multimodal_frame_stats (SUPERSEDED in the
+#     window by incoming multimodal_decode_stats — a strictly stronger
+#     oracle: real decoders over real containers vs octet-stream
+#     stand-in kernels; both stay registered + parity-local),
+#   referential_integrity_audit (governance-audit family stays
+#     driver-covered by join_skew_report + daily_anomaly_report),
+#   shared_chunk_report (cross-source overlap: corpus_curation_stats
+#     stays — the r11 source_overlap_matrix argument),
+#   user_activity_trend (daily time-series: daily_anomaly_report
+#     stays — the r11 rolling_daily_revenue argument),
+#   value_stats_by_type (typed-value family: incoming cast_hygiene
+#     cohort sibling event_type_stats stays in window),
+#   ngram_jaccard_pairs (changed-plan re-check COMPLETE: r10+r11 green
+#     on the re-scoped plan; pair-verify family driver-covered by
+#     incoming simhash_near_dups + staying minhash_calibration_report),
+#   rfm_segments (r8-promote, 4-round green; quantile-bucket family
+#     carried by incoming customer_spend_distribution whose oracle
+#     adds the orders join),
+#   doc_lm_scores (r8-promote, 4-round green; anchor
+#     streaming_model_scored_counts shares the scoring expression
+#     verbatim — the r11 doc_model_scores argument).
+# Oldest last-green rises from r3 to r4/r5-era.  SUBSUMPTION AUDIT
+# (r11 verdict #2) of the re-greened r2-era KPI one-liners
+# (kpi_item_extrema, top_users, latest_window_top_items,
+# recent_user_windows): ALL FOUR KEPT — each is the unique registry
+# face of a reference §2 operator ID (A4/A5, T1, A6+T2, T3); written
+# arguments at their registration sites (plans/registry.py).  They
+# stay IN the window this round (1-round green only — eligible for
+# rotate-out at r13 once 2-round green).
+#
+# Round-13 queue STAGED (regreen_queue.py --slots 22 against r1-r11,
+# rows 12-22 — the stalest after this round's 11): jsonl/csv
+# roundtrips, session_window_counts + the r4/r5 relational wave;
+# recompute against CORRECTNESS_r12 when it lands before promoting.
+# Rotate-out candidates at r13: the r11 rotate-in KPI cohort reaches
+# 2-round green (subsumption-audited KEEP above — rotation out of the
+# WINDOW is still fine once 2-round green; registry retention was the
+# audited question) + this round's 4-round-held anchors-adjacent
+# slots (ks_drift_report, minhash_calibration_report,
+# term_postings_stats).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -491,11 +551,11 @@ _DRIVER_WINDOW = [
     "embedding_health_report",
     "ann_stored_index_topk", "zorder_roundtrip_stats",
     "upsert_time_travel_stats",
-    # round-8 rotate-ins kept for cadence (eval/analytics wave)
+    # round-8 rotate-ins kept for cadence (eval/analytics wave;
+    # doc_lm_scores + rfm_segments rotated out r12 with family args)
     "ks_drift_report",
     "minhash_calibration_report",
-    "term_postings_stats", "doc_lm_scores",
-    "rfm_segments",
+    "term_postings_stats",
     # LLM-data operators (northstar.py + analytics.py)
     "ann_recall_report",
     "corpus_curation_stats", "frequent_terms_report",
@@ -510,16 +570,19 @@ _DRIVER_WINDOW = [
     "latest_window_top_items", "null_hygiene_count",
     "order_price_bands", "recent_user_windows", "top_users",
     "customer_running_spend", "customers_with_orders",
-    # round-10 rotate-ins: the final never-checked backlog (10 of the
-    # 11 — iso_timestamp_render retired instead, see the rotation
-    # record above) + the changed-plan re-check of the re-scoped ngram
-    "event_type_islands", "ffd_packing_stats",
-    "lexical_diversity_correlation",
-    "multimodal_audio_stats", "multimodal_frame_stats",
-    "referential_integrity_audit", "shared_chunk_report",
-    "streaming_window_topk_items", "user_activity_trend",
-    "value_stats_by_type",
-    "ngram_jaccard_pairs",
+    # streaming anchor (stays; the rest of the r10 rotate-in cohort
+    # rotated out r12 at 2-round green — family args in the record)
+    "streaming_window_topk_items",
+    # round-12 rotate-ins: the stalest parity-local cohort (r3/r4-era
+    # text/dedup/relational shapes; gate re-run green both axes)
+    "doc_fingerprints", "exact_dedup_groups", "language_id",
+    "nation_top_customers", "order_priority_rollup",
+    "simhash_near_dups", "text_metrics",
+    "click_and_purchase_users", "customer_order_count_histogram",
+    "customer_spend_distribution", "pricing_summary",
+    # round-12 NEW plan (changed-plan-first): the decode-layer hash
+    # row — real WAV/P6/BMP/y4m decoders under the DuckDB hash
+    "multimodal_decode_stats",
 ]
 
 

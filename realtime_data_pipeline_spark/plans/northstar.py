@@ -665,6 +665,71 @@ def q_multimodal_audio_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_stats",
+    # The REAL-decoder hash row (r11 verdict #3): payloads are
+    # synthesized from planted integer formulas (functions/multimodal
+    # planted_* — the SAME constants interpolated below), encoded with
+    # the spec-level encoders into genuine WAV/P6/BMP/y4m bytes that
+    # cross an Arrow binary-column boundary, then decoded with
+    # decode_wav/decode_ppm/decode_bmp/sample_frames; every output is
+    # computed from the DECODED arrays.  The oracle recomputes the
+    # stats from the planted formulas directly — a decoder bug (wrong
+    # stride, missed row flip, bad plane size, chunk misparse) breaks
+    # the value hash.  Position-weighted checksums (value * (index+1))
+    # catch permutation bugs plain sums cannot.  doc_id >= 0 keeps
+    # Python % and DuckDB % in agreement on hostile fixtures.
+    f"""
+    WITH d AS (SELECT doc_id,
+                      16 + doc_id % 32 AS wav_n,
+                      (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS ppm_len,
+                      (3 + doc_id % 4) * (2 + doc_id % 3) * 3 AS bmp_len,
+                      3 + doc_id % 3 AS nf,
+                      (4 + 2*(doc_id % 3)) * (2 + 2*(doc_id % 2)) AS wh
+               FROM documents
+               WHERE doc_id IS NOT NULL AND doc_id >= 0)
+    SELECT doc_id,
+           CAST({multimodal.WAV_RATE_BASE} + {multimodal.WAV_RATE_STEP}
+                * (doc_id % 7) AS BIGINT) AS wav_rate,
+           CAST(1 AS BIGINT) AS wav_channels,
+           CAST(wav_n AS BIGINT) AS wav_n,
+           CAST(list_sum(list_transform(range(0, wav_n),
+               i -> ((doc_id*{multimodal.WAV_MUL_A} + i*{multimodal.WAV_MUL_B})
+                     % 65536 - 32768) * (i+1))) AS BIGINT) AS wav_wsum,
+           CAST(list_sum(list_transform(range(0, ppm_len),
+               j -> ((doc_id*{multimodal.PPM_MUL_A} + j*{multimodal.PPM_MUL_B})
+                     % 256) * (j+1))) AS BIGINT) AS ppm_wsum,
+           CAST(list_sum(list_transform(range(0, bmp_len),
+               j -> ((doc_id*{multimodal.BMP_MUL_A} + j*{multimodal.BMP_MUL_B})
+                     % 256) * (j+1))) AS BIGINT) AS bmp_wsum,
+           CAST((nf + {multimodal.Y4M_EVERY_N - 1})
+                // {multimodal.Y4M_EVERY_N} AS BIGINT) AS y4m_frames,
+           CAST(list_sum(list_transform(range(0, nf),
+               f -> CASE WHEN f % {multimodal.Y4M_EVERY_N} = 0 THEN
+                      list_sum(list_transform(range(0, wh),
+                          p -> ((doc_id*{multimodal.Y4M_MUL_A}
+                                 + f*{multimodal.Y4M_MUL_B}
+                                 + p*{multimodal.Y4M_MUL_C}) % 256) * (p+1)))
+                    ELSE 0 END)) AS BIGINT) AS y4m_wsum
+    FROM d
+    """,
+    doc="decode round-trip hash row: planted payloads encoded to real "
+    "WAV PCM / netpbm P6 / 24-bit BMP / YUV4MPEG2 bytes, shipped as "
+    "Arrow binary columns, decoded by the pure-numpy decoders, stats "
+    "computed from the decoded arrays (functions/multimodal.py "
+    "decode_wav/decode_ppm/decode_bmp/sample_frames) — the DuckDB "
+    "hash now proves the decoders, not just pytest.  0 shuffles: two "
+    "chained mapInPandas stages, partition-parallel, no aggregation",
+)
+def q_multimodal_decode_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0)
+    )
+    return multimodal.decode_media_stats(
+        multimodal.synthesize_media_payloads(docs)
+    )
+
+
+@register(
     "ann_pandas_topk",
     f"""
     WITH e AS ({_D_E}),

@@ -154,6 +154,7 @@ _QUERIES = [
     "ann_bruteforce_topk",
     "multimodal_byte_histogram",
     "multimodal_frame_stats",
+    "multimodal_decode_stats",
     "ann_pandas_topk",
     "tfidf_top_terms",
     "doc_length_buckets",

@@ -337,3 +337,50 @@ def test_sample_frames_c420_suffix_variants_still_decode():
     out += b"FRAME\n" + frames[0].tobytes() + b"\x07" * ((w * h) // 2)
     gw, gh, got = multimodal.sample_frames(out, every_n=1)
     assert (gw, gh) == (w, h) and got[0].tolist() == frames[0].tolist()
+
+
+# ---------------------------------------------------------------------------
+# Round 12: encoder duals + the decode hash row's planted payloads.
+# encode_X → decode_X must be the identity on every planted payload,
+# because the registry oracle recomputes stats from the planted
+# formulas — any asymmetry would be a hash mismatch in disguise.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 7, 59, 499])
+def test_encoder_decoder_roundtrip_identity(doc_id):
+    rate, s = multimodal.planted_wav(doc_id)
+    grate, gch, gs = multimodal.decode_wav(multimodal.encode_wav(s, rate=rate))
+    assert (grate, gch) == (rate, 1) and gs.tolist() == s.tolist()
+
+    ppm = multimodal.planted_ppm(doc_id)
+    assert multimodal.decode_ppm(multimodal.encode_ppm(ppm)).tolist() == ppm.tolist()
+
+    bmp = multimodal.planted_bmp(doc_id)
+    assert multimodal.decode_bmp(multimodal.encode_bmp(bmp)).tolist() == bmp.tolist()
+
+    frames = multimodal.planted_y4m(doc_id)
+    w, h = frames[0].shape[1], frames[0].shape[0]
+    gw, gh, got = multimodal.sample_frames(
+        multimodal.encode_y4m(frames), every_n=1
+    )
+    assert (gw, gh) == (w, h)
+    assert [g.tolist() for g in got] == [f.tolist() for f in frames]
+
+
+def test_encode_bmp_pads_odd_width_rows():
+    # w=3 -> 9-byte rows padded to 12; the decoder must strip the pad
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape((2, 3, 3))
+    data = multimodal.encode_bmp(px)
+    assert multimodal.decode_bmp(data).tolist() == px.tolist()
+
+
+def test_decode_stats_wsum_catches_row_flip():
+    # the position-weighted checksum is flip-sensitive: a decoder that
+    # forgot the bottom-up flip would produce a different wsum
+    px = multimodal.planted_bmp(3)
+    flat = px.reshape(-1).astype(np.int64)
+    w = (flat * (np.arange(flat.size) + 1)).sum()
+    flipped = px[::-1].reshape(-1).astype(np.int64)
+    wf = (flipped * (np.arange(flat.size) + 1)).sum()
+    assert w != wf

@@ -285,6 +285,9 @@ EXPECTED_SHUFFLES = {
     "ngram_jaccard_pairs": 9,
     "multimodal_byte_histogram": 1,  # Arrow kernel map + one rollup
     "multimodal_frame_stats": 1,  # strided frame kernel + one rollup
+    # two chained mapInPandas stages (synthesize → decode), partition-
+    # parallel, no aggregation — zero exchanges by design
+    "multimodal_decode_stats": 0,
     "ann_pandas_topk": 1,  # Arrow top-k kernel; per-query rank partials
     # tokens repartition + df rollup + (lang,term) tf rollup +
     # MERGE-hinted idf join (vocab-scaled — never broadcast, r7
