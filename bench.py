@@ -31,8 +31,34 @@ def _sf_from_dir(d: str) -> float:
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+# Loadavg gate (r11 verdict #5): the committed artifact must either
+# start on a quiet host or carry an explicit annotation — r11's
+# headline was recorded at loadavg 5.5 (minutes after soak workers
+# exited) and showed a phantom +14.6% that cost a manual re-run to
+# adjudicate.  Wait-and-retry like scale_probe._measure, bounded so an
+# inherently busy host still produces an (annotated) artifact.
+LOADAVG_GATE = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "2.0"))
+LOADAVG_WAIT_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT", "600"))
+
+
+def _await_idle_host() -> dict:
+    initial = os.getloadavg()[0]
+    waited = 0
+    while os.getloadavg()[0] > LOADAVG_GATE and waited < LOADAVG_WAIT_BUDGET_SEC:
+        time.sleep(15)
+        waited += 15
+    final = os.getloadavg()[0]
+    return {
+        "threshold": LOADAVG_GATE,
+        "initial_1min": round(initial, 2),
+        "final_1min": round(final, 2),
+        "waited_sec": waited,
+        "passed": final <= LOADAVG_GATE,
+    }
+
 
 def main() -> None:
+    loadavg_gate = _await_idle_host()
     n = default_parallelism()
     spark = get_spark(
         app_name="rdp-bench", master=f"local[{n}]", shuffle_partitions=n
@@ -126,6 +152,10 @@ def main() -> None:
         "queries_median": medians,
         "n_runs": n_runs,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # pre-run idle-host gate: passed=false means the host never
+        # quieted inside the wait budget — treat cross-round deltas
+        # from this artifact as environmental until re-measured
+        "loadavg_gate": loadavg_gate,
         # r6 convention change: timings now cover construct+execute
         # (rounds <=5 timed only the final noop write, which excluded
         # the eager supersteps of iterative operators — pagerank

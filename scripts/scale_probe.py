@@ -50,6 +50,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from realtime_data_pipeline_spark.scratch import scratch_dir  # noqa: E402
 from realtime_data_pipeline_spark.session import (  # noqa: E402
+    CORPUS_ROWS_PER_TASK,
     corpus_shuffle_partitions,
     default_parallelism,
     get_spark,
@@ -517,7 +518,15 @@ def main() -> None:
     # term that is pure single-JVM artifact (measured: sliding window
     # counts at 100M rows ran 2.1× faster under matched task sizing
     # with an identical plan).  --shuffle-partitions overrides.
-    ap.add_argument("--rows-per-task", type=int, default=350_000)
+    # Default adopted r12 (verdict r11 #4): CORPUS_ROWS_PER_TASK, the
+    # measured sweet spot from the r11 partition-lever soaks (175k —
+    # mem-spill -27%, wall -16% on the 10M-doc step vs the r8-r10
+    # protocol's 350k; SOAK_r11_20x_parts2x.json).  Soaks now run at
+    # the helper-computed count by default; pass --rows-per-task
+    # 350000 to reproduce the r8-r10 artifact series exactly.
+    ap.add_argument(
+        "--rows-per-task", type=int, default=CORPUS_ROWS_PER_TASK
+    )
     ap.add_argument(
         "--use-dirs",
         default=None,
@@ -691,10 +700,10 @@ def main() -> None:
         # --docs-large in the millions) still needs its shuffle
         # partitions scaled to the corpus.  Sizing logic lives in
         # session.corpus_shuffle_partitions (one source of truth);
-        # note the probe's default --rows-per-task stays 350k for
-        # artifact continuity with the r8-r10 series — the measured
-        # sweet spot for spill-heavy corpus steps is 175k
-        # (CORPUS_ROWS_PER_TASK; SOAK_r11_20x_parts2x.json).
+        # since r12 the default --rows-per-task IS the measured sweet
+        # spot (CORPUS_ROWS_PER_TASK = 175k, SOAK_r11_20x_parts2x.json)
+        # — artifacts before r12 ran 350k, so cross-series ratio
+        # comparisons must read the recorded rows_per_task field.
         parts = args.shuffle_partitions or corpus_shuffle_partitions(
             n_events=n_rows, n_docs=n_docs, n_vecs=n_vecs,
             rows_per_task=args.rows_per_task,
