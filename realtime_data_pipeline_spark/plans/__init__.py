@@ -519,10 +519,19 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # stay IN the window this round (1-round green only — eligible for
 # rotate-out at r13 once 2-round green).
 #
-# Round-13 queue STAGED (regreen_queue.py --slots 22 against r1-r11,
-# rows 12-22 — the stalest after this round's 11): jsonl/csv
-# roundtrips, session_window_counts + the r4/r5 relational wave;
-# recompute against CORRECTNESS_r12 when it lands before promoting.
+# Round-13 queue STAGED (COMPUTED by regreen_queue.py --slots 11
+# against the r1-r11 artifacts AFTER this round's window update, so
+# the just-rotated-in cohort is excluded): revenue_by_nation,
+# salted_segment_counts, sliding_item_counts, top_unshipped_orders,
+# train_split_counts, tumbling_user_counts (last green r4);
+# ann_bruteforce_topk, dedup_clusters, funnel_conversion,
+# mixture_sample_stats, multimodal_byte_histogram (r5).
+# All 11 PRE-VERIFIED round 12 (the r10 protocol): byte-exact parity
+# green under BOTH config axes (engine-default tz / shuffle=8 AND
+# Asia/Kathmandu / shuffle=3) via full_parity_sweep --only, scalar
+# driver canon (registry-wide ratchet), and rows>0 at sf0.01
+# (counts: 5..19777).  Recompute the staleness ordering against
+# CORRECTNESS_r12 when it lands before promoting.
 # Rotate-out candidates at r13: the r11 rotate-in KPI cohort reaches
 # 2-round green (subsumption-audited KEEP above — rotation out of the
 # WINDOW is still fine once 2-round green; registry retention was the
