@@ -120,7 +120,10 @@ def _pnm_header(data: bytes):
     while len(toks) < 3 and pos < len(data):
         c = data[pos : pos + 1]
         if c == b"#":
-            pos = data.index(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:  # comment runs off the end of the payload
+                raise ValueError("truncated netpbm header")
+            pos = nl + 1
         elif c.isspace():
             pos += 1
         else:
@@ -182,6 +185,16 @@ def decode_bmp(data: bytes):
 
 _Y4M_FRACTIONS = {"C420": (1, 2), "C422": (1, 1), "C444": (2, 1),
                   "Cmono": (-1, 1)}  # extra chroma bytes per luma: num/den
+# Spec-standard suffix variants that share the base tag's plane sizes.
+# Anything else (bit-depth pN suffixes like C420p10, extra-plane
+# variants like C444alpha, unknown subsamplings like C411) has a
+# DIFFERENT frame stride and must be rejected, not guessed.
+_Y4M_SUFFIXES = {
+    "C420": ("", "jpeg", "paldv", "mpeg2"),
+    "C422": ("",),
+    "C444": ("",),
+    "Cmono": ("",),
+}
 
 
 def sample_frames(data: bytes, every_n: int = 10):
@@ -209,19 +222,23 @@ def sample_frames(data: bytes, every_n: int = 10):
         elif tag[0] == "H":
             h = int(tag[1:])
         elif tag[0] == "C":
-            # C420 has suffixed variants (C420jpeg/C420paldv/C420mpeg2)
-            # with the same plane sizes; match on the known prefixes.
-            # 10-bit variants (C420p10) widen the planes, so they must
-            # NOT fall through to 8-bit sizing: any digit suffix after
-            # the known prefix (pN bit depth) is a different stride.
+            # Only suffix variants KNOWN to share the base plane sizes
+            # decode (C420jpeg/C420paldv/C420mpeg2 — chroma siting
+            # differs, sizing doesn't).  Bit-depth suffixes (C420p10)
+            # and extra-plane variants (C444alpha) change the frame
+            # stride and must raise, not silently mis-stride.
             for known in ("C444", "C422", "C420", "Cmono"):
-                if tag.startswith(known) and not tag[len(known):].startswith("p"):
+                if (
+                    tag.startswith(known)
+                    and tag[len(known):] in _Y4M_SUFFIXES[known]
+                ):
                     cspace = known
                     break
             else:
                 raise NotImplementedError(
                     f"y4m colorspace {tag!r}: only 8-bit "
-                    "C420*/C422/C444/Cmono plane sizing is supported"
+                    "C420(jpeg|paldv|mpeg2)/C422/C444/Cmono plane "
+                    "sizing is supported"
                 )
     if not w or not h:
         raise ValueError("y4m header missing W/H")

@@ -599,8 +599,10 @@ def main() -> None:
     # of 1.0, the exact mislabeling ADVICE r9 fixed for docs-only
     # soaks.  Fail loudly BEFORE any staging, measurement, or scratch
     # dir creation (ADVICE r11: the old post-dirs check left empty
-    # scratch dirs behind on the early exit); --use-dirs re-checks
-    # after the manifests overwrite steps below.
+    # scratch dirs behind on the early exit).  In --use-dirs mode the
+    # CLI vec flags are about to be DISCARDED for the manifest sizes,
+    # so checking them here would abort runs whose on-disk corpora are
+    # consistent — that path checks after the manifest overwrite only.
     def _check_vecs_consistent(s) -> None:
         if (s[0][2] == 0) != (s[1][2] == 0):
             raise RuntimeError(
@@ -610,7 +612,8 @@ def main() -> None:
                 f"the dirs)"
             )
 
-    _check_vecs_consistent(steps)
+    if not args.use_dirs:
+        _check_vecs_consistent(steps)
     if args.use_dirs:
         pre = args.use_dirs.split(",")
         dirs = {0: pre[0], 1: pre[1]}

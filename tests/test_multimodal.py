@@ -294,8 +294,6 @@ def test_wav_decode_through_mapinpandas(spark):
 
 
 def test_decode_wav_truncated_chunk_raises_named_error():
-    import struct
-
     good = _wav_bytes(np.array([1, -2, 3, -4], dtype=np.int64))
     with pytest.raises(ValueError, match="truncated WAVE chunk"):
         multimodal.decode_wav(good[:-3])  # data chunk shorter than declared
@@ -384,3 +382,33 @@ def test_decode_stats_wsum_catches_row_flip():
     flipped = px[::-1].reshape(-1).astype(np.int64)
     wf = (flipped * (np.arange(flat.size) + 1)).sum()
     assert w != wf
+
+
+# ---------------------------------------------------------------------------
+# Round-12 review fixes: the y4m suffix whitelist must accept all
+# spec-standard same-size C420 variants and reject different-stride
+# ones; netpbm comment truncation gets the named error.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("suffix", [b"", b"jpeg", b"paldv", b"mpeg2"])
+def test_sample_frames_accepts_all_same_size_c420_variants(suffix):
+    frames = [np.full((2, 4), 5, dtype=np.uint8)]
+    h, w = frames[0].shape
+    out = b"YUV4MPEG2 W%d H%d F25:1 C420%s\n" % (w, h, suffix)
+    out += b"FRAME\n" + frames[0].tobytes() + b"\x07" * ((w * h) // 2)
+    gw, gh, got = multimodal.sample_frames(out, every_n=1)
+    assert (gw, gh) == (w, h) and got[0].tolist() == frames[0].tolist()
+
+
+def test_sample_frames_rejects_extra_plane_variants():
+    # C444alpha carries a 4th (alpha) plane — 4x luma per frame, a
+    # different stride than C444's 3x; must raise, not mis-walk
+    frames = [np.zeros((2, 2), dtype=np.uint8)]
+    with pytest.raises(NotImplementedError, match="C444alpha"):
+        multimodal.sample_frames(_y4m_bytes(frames, cspace=b"C444alpha"))
+
+
+def test_pnm_comment_without_newline_raises_named_error():
+    with pytest.raises(ValueError, match="truncated netpbm header"):
+        multimodal.decode_ppm(b"P5\n# comment with no newline")
