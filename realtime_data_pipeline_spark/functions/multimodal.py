@@ -197,6 +197,22 @@ _Y4M_SUFFIXES = {
 }
 
 
+def _y4m_base_tag(tag: str) -> str:
+    """Resolve a y4m colorspace tag to its plane-sizing base
+    (C420jpeg → C420); raises NotImplementedError for tags with a
+    DIFFERENT frame stride (bit-depth pN suffixes like C420p10,
+    extra-plane variants like C444alpha, unknown subsamplings like
+    C411) — shared by the decoder and encode_y4m so the two can never
+    disagree on which variants exist."""
+    for known in ("C444", "C422", "C420", "Cmono"):
+        if tag.startswith(known) and tag[len(known):] in _Y4M_SUFFIXES[known]:
+            return known
+    raise NotImplementedError(
+        f"y4m colorspace {tag!r}: only 8-bit "
+        "C420(jpeg|paldv|mpeg2)/C422/C444/Cmono plane sizing is supported"
+    )
+
+
 def sample_frames(data: bytes, every_n: int = 10):
     """Video frame sampling, decoded for real for YUV4MPEG2 (y4m) —
     the public UNCOMPRESSED video interchange format (plain-text
@@ -227,19 +243,7 @@ def sample_frames(data: bytes, every_n: int = 10):
             # differs, sizing doesn't).  Bit-depth suffixes (C420p10)
             # and extra-plane variants (C444alpha) change the frame
             # stride and must raise, not silently mis-stride.
-            for known in ("C444", "C422", "C420", "Cmono"):
-                if (
-                    tag.startswith(known)
-                    and tag[len(known):] in _Y4M_SUFFIXES[known]
-                ):
-                    cspace = known
-                    break
-            else:
-                raise NotImplementedError(
-                    f"y4m colorspace {tag!r}: only 8-bit "
-                    "C420(jpeg|paldv|mpeg2)/C422/C444/Cmono plane "
-                    "sizing is supported"
-                )
+            cspace = _y4m_base_tag(tag)
     if not w or not h:
         raise ValueError("y4m header missing W/H")
     num, den = _Y4M_FRACTIONS[cspace]
@@ -338,7 +342,7 @@ def encode_y4m(frames, cspace: bytes = b"C420") -> bytes:
     import numpy as np
 
     h, w = np.asarray(frames[0]).shape
-    num, den = _Y4M_FRACTIONS[cspace.decode("ascii")]
+    num, den = _Y4M_FRACTIONS[_y4m_base_tag(cspace.decode("ascii"))]
     chroma = 0 if num < 0 else (w * h * num) // den
     out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cspace)
     for f in frames:
