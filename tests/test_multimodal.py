@@ -412,3 +412,22 @@ def test_sample_frames_rejects_extra_plane_variants():
 def test_pnm_comment_without_newline_raises_named_error():
     with pytest.raises(ValueError, match="truncated netpbm header"):
         multimodal.decode_ppm(b"P5\n# comment with no newline")
+
+
+def test_decode_stats_independent_of_arrow_batch_size(spark):
+    """The decode row's two chained mapInPandas kernels must be
+    row-independent: a pathological 7-row Arrow batch size produces
+    byte-identical results to the default 10k (r12 probe — also run
+    registry-wide for every pandas-kernel query at sf0.01)."""
+    from realtime_data_pipeline_spark.plans.registry import REGISTRY
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    fn = REGISTRY["multimodal_decode_stats"].fn
+    old = spark.conf.get(key)
+    try:
+        baseline = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        spark.conf.set(key, "7")
+        tiny = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == baseline
