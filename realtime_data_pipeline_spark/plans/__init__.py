@@ -538,6 +538,69 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # audited question) + this round's 4-round-held anchors-adjacent
 # slots (ks_drift_report, minhash_calibration_report,
 # term_postings_stats).
+#
+# Round-13 rotation (EXECUTED — exactly the staged queue above,
+# re-confirmed by regreen_queue.py --slots 11 against the r1-r12
+# artifacts: CORRECTNESS_r12 is 50/50 green so the staleness ordering
+# is unchanged; gate RE-RUN this round: all 11 rotate-ins green via
+# full_parity_sweep --only under both config axes, engine-default
+# tz / shuffle=8 AND Asia/Kathmandu / shuffle=3).  ELEVEN in, ELEVEN
+# out.  The rotate-outs are the r11 rotate-in cohort at 2-round green
+# (r11+r12) — the exact set the r12 staging named first; the
+# 4-round-held eval trio (ks_drift_report, minhash_calibration_report,
+# term_postings_stats) stays one more round and heads the r14
+# rotate-out list.  Family coverage for each rotate-out:
+#   cast_hygiene (P1/P6/P7 face): the string→timestamp cast path
+#     stays driver-exercised every round via the shared window
+#     helpers (sliding_user_counts + incoming tumbling_user_counts /
+#     sliding_item_counts build on the same user_key()/item_key()
+#     casts); the try_cast face stays registered + parity-local,
+#   event_type_stats (typed rollup): incoming funnel_conversion +
+#     staying daily_anomaly_report keep the events-rollup family
+#     under the hash; the decimal-sum discipline is window-wide,
+#   kpi_avg_user_interactions / kpi_item_extrema / top_users /
+#   latest_window_top_items / recent_user_windows (A3-A6/T1-T3
+#     unique §2 faces): subsumption-audited KEEP in the REGISTRY
+#     (r12 audit, written args at registration sites); window
+#     rotation at 2-round green is exactly what the audit blessed —
+#     incoming sliding_item_counts + tumbling_user_counts keep the
+#     windowed-agg ancestry driver-checked,
+#   null_hygiene_count (P4 face): the conjunctive null filter is the
+#     streaming parse path's filter, driver-covered by the four
+#     streaming twins every round; batch face parity-local,
+#   order_price_bands (band/bucket family): staying
+#     customer_spend_distribution (r12 rotate-in, holds) carries
+#     quantile-bucket shapes with a harder oracle (orders join),
+#   recent_user_windows (T3): see unique-face argument above,
+#   customer_running_spend (running window-function family): staying
+#     nation_top_customers keeps ranked window functions under the
+#     driver hash; running-sum face parity-local,
+#   customers_with_orders (EXISTS semi-join): staying
+#     click_and_purchase_users is the same semi-join family with an
+#     intersect twist.
+# Oldest last-green in the registry rises from r4 to r5/r6-era.
+#
+# Round-14 queue STAGED (COMPUTED by regreen_queue.py --slots 11
+# against the r1-r12 artifacts AFTER this round's window update, so
+# the just-rotated-in cohort is excluded): sequence_packing_stats,
+# session_window_counts, shard_skew_stats,
+# streaming_click_purchase_join, streaming_dedup_user_counts,
+# streaming_json_wire_counts, streaming_running_user_totals,
+# tfidf_top_terms, user_session_stats, vocab_oov_rates,
+# weekly_cohort_retention (all last green r5 — the batch-replay
+# streaming faces among them run their full replay under the gate).
+# All 11 PRE-VERIFIED round 13 (the r10 protocol): byte-exact parity
+# green under BOTH config axes (engine-default tz / shuffle=8 AND
+# Asia/Kathmandu / shuffle=3) via full_parity_sweep --only, scalar
+# driver canon (registry-wide ratchet), rows>0 at sf0.01.  Recompute
+# the staleness ordering against CORRECTNESS_r13 when it lands.
+# Rotate-out candidates at r14: the 5/6-round-held eval/analytics
+# slots (ks_drift_report, minhash_calibration_report,
+# term_postings_stats, ann_recall_report, corpus_curation_stats,
+# frequent_terms_report, event_type_lift — regreen_queue's eligible
+# list) + the r12 rotate-in cohort, which reaches 2-round green when
+# CORRECTNESS_r13 lands — family arguments at rotation time per the
+# r11-r13 template.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -572,13 +635,14 @@ _DRIVER_WINDOW = [
     # co-occurrence family's kept sibling (round-11 rotation record)
     "streaming_model_scored_counts", "event_type_lift",
     "streaming_doc_quality_counts",
-    # round-11 rotate-ins: the stalest parity-local cohort (r2/r3-era
-    # KPI + relational shapes; gate re-run green both axes this round)
-    "cast_hygiene", "event_type_stats",
-    "kpi_avg_user_interactions", "kpi_item_extrema",
-    "latest_window_top_items", "null_hygiene_count",
-    "order_price_bands", "recent_user_windows", "top_users",
-    "customer_running_spend", "customers_with_orders",
+    # round-13 rotate-ins: the stalest parity-local cohort (r4/r5-era
+    # window/relational/split/ANN/dedup shapes; gate re-run green both
+    # axes this round — see the r13 rotation record above)
+    "revenue_by_nation", "salted_segment_counts",
+    "sliding_item_counts", "top_unshipped_orders",
+    "train_split_counts", "tumbling_user_counts",
+    "ann_bruteforce_topk", "dedup_clusters", "funnel_conversion",
+    "mixture_sample_stats", "multimodal_byte_histogram",
     # streaming anchor (stays; the rest of the r10 rotate-in cohort
     # rotated out r12 at 2-round green — family args in the record)
     "streaming_window_topk_items",
