@@ -37,23 +37,29 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 # exited) and showed a phantom +14.6% that cost a manual re-run to
 # adjudicate.  Wait-and-retry like scale_probe._measure, bounded so an
 # inherently busy host still produces an (annotated) artifact.
-LOADAVG_GATE = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "2.0"))
+# r12 verdict tightened the default from 2.0 to 1.0: a gate passed at
+# 1.99 on this 32-cpu box still admitted ~15% inflation in the
+# committed r12 artifact vs the idle-host number (20.06 s vs 17.3 s).
+LOADAVG_GATE = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "1.0"))
 LOADAVG_WAIT_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT", "600"))
 
 
 def _await_idle_host() -> dict:
-    initial = os.getloadavg()[0]
+    # One sample per decision: `last` is both the loop's exit evidence
+    # and the recorded final/passed value, so the artifact can never
+    # disagree with the condition that let timing start.
+    initial = last = os.getloadavg()[0]
     waited = 0
-    while os.getloadavg()[0] > LOADAVG_GATE and waited < LOADAVG_WAIT_BUDGET_SEC:
+    while last > LOADAVG_GATE and waited < LOADAVG_WAIT_BUDGET_SEC:
         time.sleep(15)
         waited += 15
-    final = os.getloadavg()[0]
+        last = os.getloadavg()[0]
     return {
         "threshold": LOADAVG_GATE,
         "initial_1min": round(initial, 2),
-        "final_1min": round(final, 2),
+        "final_1min": round(last, 2),
         "waited_sec": waited,
-        "passed": final <= LOADAVG_GATE,
+        "passed": last <= LOADAVG_GATE,
     }
 
 

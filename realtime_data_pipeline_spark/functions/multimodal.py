@@ -77,6 +77,17 @@ def decode_wav(data: bytes):
         cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if len(body) < size:
+            if cid == b"data":
+                # Streaming-written WAVs (e.g. piped encoder output)
+                # carry a placeholder data-chunk size — 0xFFFFFFFF or
+                # a stale value past the payload — because the writer
+                # could not seek back to patch the header.  A FINAL
+                # data chunk whose declared size overruns the payload
+                # decodes best-effort as "the remaining bytes"; a
+                # truncated NON-data chunk is still structural
+                # corruption and raises below.
+                pcm = data[pos + 8 :]
+                break
             raise ValueError(
                 f"truncated WAVE chunk {cid!r}: declared {size} bytes, "
                 f"payload has {len(body)}"
@@ -285,6 +296,18 @@ def encode_wav(samples, rate: int = 8000, bits: int = 16, n_ch: int = 1) -> byte
     import numpy as np
 
     samples = np.asarray(samples, dtype=np.int64)
+    # Fail loudly at synthesis on out-of-range amplitudes: astype
+    # would silently WRAP (40000 as 16-bit encodes to -25536), so a
+    # planted formula exceeding the bit width would surface as an
+    # oracle hash mismatch three layers away instead of here.
+    lo, hi = (-128, 127) if bits == 8 else (
+        -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    )
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        raise ValueError(
+            f"sample out of range for {bits}-bit PCM: "
+            f"[{samples.min()}, {samples.max()}] not within [{lo}, {hi}]"
+        )
     if bits == 8:
         pcm = (samples + 128).astype(np.uint8).tobytes()
     elif bits == 16:

@@ -647,9 +647,12 @@ def main() -> None:
             i: scratch_dir(f"rdp_scale_s{i}_{n_rows}_")
             for i, (n_rows, _, _) in enumerate(steps)
         }
-    # --use-dirs replaced steps with the manifest sizes: re-check the
-    # vec-axis consistency for the corpus actually on disk.
-    _check_vecs_consistent(steps)
+    if args.use_dirs:
+        # --use-dirs replaced steps with the manifest sizes: re-check
+        # the vec-axis consistency for the corpus actually on disk.
+        # (On the flag-derived path `steps` is unchanged since the
+        # pre-staging check above, so re-checking would be dead code.)
+        _check_vecs_consistent(steps)
 
     if args.use_dirs:
         spark = None if args.mode == "fresh" else get_spark(

@@ -295,8 +295,40 @@ def test_wav_decode_through_mapinpandas(spark):
 
 def test_decode_wav_truncated_chunk_raises_named_error():
     good = _wav_bytes(np.array([1, -2, 3, -4], dtype=np.int64))
+    # a short FINAL data chunk is the streaming-writer case (tested
+    # below); a truncated NON-data chunk is structural corruption.
+    # Chop mid-fmt: keep the RIFF header + "fmt " id + size field but
+    # only part of the fmt body.
     with pytest.raises(ValueError, match="truncated WAVE chunk"):
-        multimodal.decode_wav(good[:-3])  # data chunk shorter than declared
+        multimodal.decode_wav(good[:24])
+    # chopping into the final data chunk mid-sample still raises the
+    # named misalignment error, never a silent short read
+    with pytest.raises(ValueError, match="not a multiple"):
+        multimodal.decode_wav(good[:-3])
+
+
+def test_decode_wav_streaming_placeholder_data_size():
+    """Streaming-written WAVs (piped encoder output) carry a
+    placeholder data-chunk size — 0xFFFFFFFF or a stale overrun —
+    because the writer cannot seek back to patch the header.  A final
+    data chunk whose declared size overruns the payload decodes
+    best-effort as the remaining bytes (ADVICE r12)."""
+    import struct
+
+    want = np.array([5, -6, 7, -8], dtype=np.int64)
+    good = _wav_bytes(want)
+    # the data chunk is the final chunk in _wav_bytes output: its size
+    # field sits 4 bytes before its 8-byte body
+    size_off = len(good) - 8 - 4
+    assert good[size_off - 4 : size_off] == b"data"
+    for placeholder in (0xFFFFFFFF, 9, 10_000):
+        patched = (
+            good[:size_off]
+            + struct.pack("<I", placeholder)
+            + good[size_off + 4 :]
+        )
+        rate, n_ch, got = multimodal.decode_wav(patched)
+        assert got.tolist() == want.tolist()
 
 
 def test_decode_wav_misaligned_pcm_raises_named_error():
@@ -343,6 +375,25 @@ def test_sample_frames_c420_suffix_variants_still_decode():
 # because the registry oracle recomputes stats from the planted
 # formulas — any asymmetry would be a hash mismatch in disguise.
 # ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "bits,bad",
+    [(8, 128), (8, -129), (16, 40000), (16, -32769), (32, 2**31)],
+)
+def test_encode_wav_out_of_range_raises_at_synthesis(bits, bad):
+    """astype would silently WRAP an out-of-range amplitude (40000 →
+    -25536 at 16-bit), surfacing as an oracle hash mismatch three
+    layers away; encode_wav must fail loudly at synthesis instead
+    (ADVICE r12)."""
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.encode_wav(np.array([0, bad], dtype=np.int64), bits=bits)
+    # boundary values still encode
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    _, _, got = multimodal.decode_wav(
+        multimodal.encode_wav(np.array([lo, hi], dtype=np.int64), bits=bits)
+    )
+    assert got.tolist() == [lo, hi]
 
 
 @pytest.mark.parametrize("doc_id", [0, 1, 2, 7, 59, 499])

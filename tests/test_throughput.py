@@ -53,6 +53,25 @@ def _run_pipeline(spark, events, workdir, name):
 
 
 def test_streaming_throughput_beats_baseline(spark, tmp_path):
+    # The ONLY load-sensitive assertion in the suite (r12 verdict #2):
+    # under a concurrent parity sweep this box measured 7.1k events/s
+    # against the 8k floor, alone it measures ~19k.  Reuse bench.py's
+    # loadavg gate (wait-or-annotate): wait for a quiet host, and if
+    # the budget expires while still loaded, skip with the measured
+    # loadavg rather than fail on a number that measured the host.
+    import pytest
+
+    from bench import _await_idle_host
+
+    gate = _await_idle_host()
+    if not gate["passed"]:
+        pytest.skip(
+            "host busy: 1-min loadavg "
+            f"{gate['final_1min']} > {gate['threshold']} after "
+            f"{gate['waited_sec']}s wait — throughput floor would "
+            "measure the host, not the engine"
+        )
+
     events = load_events(spark, THROUGHPUT_SF_DIR).select(
         F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
         F.get_json_object("props", "$.k").alias("item_id"),
