@@ -3,11 +3,13 @@ processed by Arrow-batched pandas UDFs (north-star surface).
 
 DECODE layer: the codec-FREE public formats are decoded for real with
 pure numpy — RIFF/WAVE integer PCM (decode_wav), netpbm P5/P6 images
-(decode_ppm), uncompressed 24/32-bit BMP (decode_bmp), and
-YUV4MPEG2 (y4m) raw video frame sampling (sample_frames).  Only
-formats that genuinely require a codec library (JPEG/PNG/MP4/...)
-fall back to a PIL import gate and raise NotImplementedError in this
-container — the honest boundary, now much smaller than "all decode".
+(decode_ppm), uncompressed 24/32-bit BMP (decode_bmp), YUV4MPEG2
+(y4m) raw video frame sampling (sample_frames), and the genuinely
+COMPRESSED QOI image format (decode_qoi — run-length + color-cache +
+delta chunks, public one-page spec, no codec library needed).  Only
+formats that require entropy coding (JPEG/PNG/MP4/...) fall back to a
+PIL import gate and raise NotImplementedError in this container — the
+honest boundary, now much smaller than "all decode".
 
 Scale notes: binary payloads ride in the same row as metadata —
 filters on metadata prune before any Python is invoked; mapInPandas
@@ -276,6 +278,105 @@ def sample_frames(data: bytes, every_n: int = 10):
     return w, h, frames
 
 
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    # the spec's rolling color-cache position
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def decode_qoi(data: bytes):
+    """Pure-Python decoder for QOI ("Quite OK Image", the public
+    one-page spec at qoiformat.org) — a genuinely COMPRESSED image
+    format: run-length chunks, a rolling 64-entry color cache, and
+    wrapping delta chunks.  Decoding it needs no codec library, so a
+    real compressed codec sits inside the decode hash discipline;
+    only entropy-coded formats (JPEG/PNG/...) stay PIL-gated.
+
+    Returns an (h, w, channels) uint8 array, channels per the header
+    (3=RGB, 4=RGBA).  The chunk walk is an irreducibly sequential
+    per-pixel state machine (each chunk mutates the cache and the
+    previous-pixel state), so this is plain Python — parallelism
+    comes from Spark's per-payload fan-out, not intra-image numpy.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(data) < 14 or data[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload")
+    w, h = struct.unpack_from(">II", data, 4)
+    channels, colorspace = data[12], data[13]
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels {channels}: spec allows 3 or 4")
+    if colorspace not in (0, 1):
+        raise ValueError(f"QOI colorspace {colorspace}: spec allows 0 or 1")
+    n_px = w * h
+    out = np.empty((n_px, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, filled = 14, 0
+    end = len(data) - 8  # chunk stream stops where the end marker starts
+    while filled < n_px:
+        if pos >= end:
+            raise ValueError(
+                f"truncated QOI stream: {filled} of {n_px} pixels decoded"
+            )
+        b1 = data[pos]
+        if b1 == 0xFE:  # QOI_OP_RGB
+            if pos + 4 > end:
+                raise ValueError("truncated QOI_OP_RGB chunk")
+            r, g, b = data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        elif b1 == 0xFF:  # QOI_OP_RGBA
+            if pos + 5 > end:
+                raise ValueError("truncated QOI_OP_RGBA chunk")
+            r, g, b = data[pos + 1], data[pos + 2], data[pos + 3]
+            a = data[pos + 4]
+            pos += 5
+        else:
+            tag = b1 >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                r, g, b, a = index[b1 & 0x3F]
+                pos += 1
+            elif tag == 1:  # QOI_OP_DIFF: 2-bit deltas, bias 2, wrapping
+                r = (r + ((b1 >> 4) & 3) - 2) & 255
+                g = (g + ((b1 >> 2) & 3) - 2) & 255
+                b = (b + (b1 & 3) - 2) & 255
+                pos += 1
+            elif tag == 2:  # QOI_OP_LUMA: 6-bit dg + 4-bit dr-dg / db-dg
+                if pos + 2 > end:
+                    raise ValueError("truncated QOI_OP_LUMA chunk")
+                dg = (b1 & 0x3F) - 32
+                b2 = data[pos + 1]
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) & 255
+                g = (g + dg) & 255
+                b = (b + dg + (b2 & 0xF) - 8) & 255
+                pos += 2
+            else:  # QOI_OP_RUN: bias -1 (63/64 collide with RGB/RGBA tags)
+                run = (b1 & 0x3F) + 1
+                if filled + run > n_px:
+                    raise ValueError("QOI run overruns the image")
+                out[filled : filled + run] = (r, g, b, a)
+                filled += run
+                pos += 1
+                # spec: EVERY seen pixel enters the cache — including a
+                # run's pixel (meaningful when the run repeats the
+                # never-inserted initial (0,0,0,255) state); a
+                # conforming third-party encoder may emit INDEX against
+                # that slot, so the insert is load-bearing here
+                index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+                continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        out[filled] = (r, g, b, a)
+        filled += 1
+    if data[pos : pos + 8] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    return out[:, :channels].reshape((h, w, channels)).copy()
+
+
 # ---------------------------------------------------------------------------
 # Deterministic ENCODERS for the codec-free formats (round 12).  These
 # are the spec-level duals of the decoders above, used by the decode
@@ -373,6 +474,73 @@ def encode_y4m(frames, cspace: bytes = b"C420") -> bytes:
     return out
 
 
+def encode_qoi(px, colorspace: int = 0) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as QOI — the dual of
+    decode_qoi, implementing the spec's reference strategy with the
+    full op set: RUN for repeats of the previous pixel, INDEX on a
+    color-cache hit, DIFF/LUMA for small wrapping deltas at constant
+    alpha, RGB/RGBA literals otherwise."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("encode_qoi expects an (h, w, 3|4) uint8 array")
+    h, w, channels = px.shape
+    out = bytearray(_QOI_MAGIC)
+    out += struct.pack(">II", w, h)
+    out += bytes((channels, colorspace))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for row in px.reshape((-1, channels)).tolist():
+        if channels == 3:
+            r, g, b = row
+            a = pa
+        else:
+            r, g, b, a = row
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:  # max encodable run (63/64 are RGB/RGBA tags)
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = _qoi_hash(r, g, b, a)
+        if index[hidx] == (r, g, b, a):
+            out.append(hidx)
+        else:
+            index[hidx] = (r, g, b, a)
+            if a == pa:
+                # deltas wrap per the spec: compute in signed-char space
+                dr = ((r - pr + 128) & 255) - 128
+                dg = ((g - pg + 128) & 255) - 128
+                db = ((b - pb + 128) & 255) - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(
+                        0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                    )
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            else:
+                out += bytes((0xFF, r, g, b, a))
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
 # Planted-payload formulas (shared with the multimodal_decode_stats
 # DuckDB oracle in plans/northstar.py — keep the constants in sync
 # there via these names).  All moduli are positive and doc_id is
@@ -384,6 +552,7 @@ PPM_MUL_A, PPM_MUL_B = 31, 17
 BMP_MUL_A, BMP_MUL_B = 53, 11
 Y4M_MUL_A, Y4M_MUL_B, Y4M_MUL_C = 13, 29, 7
 Y4M_EVERY_N = 2
+QOI_MUL_A, QOI_MUL_B, QOI_MUL_C = 37, 23, 101
 
 
 def planted_wav(doc_id: int):
@@ -432,6 +601,24 @@ def planted_y4m(doc_id: int):
     ]
 
 
+def planted_qoi(doc_id: int):
+    """(h, w, 3) planted RGB image for the QOI leg of the decode hash
+    row.  Groups of 3 consecutive pixels are identical (j//9 is the
+    pixel-group index for flat channel index j), so the encoder emits
+    real RUN chunks, and the constant +QOI_MUL_B group delta walks
+    through LUMA/RGB territory as it wraps — the encoded stream
+    genuinely compresses and mixes op types."""
+    import numpy as np
+
+    w, h = 5 + doc_id % 4, 3 + doc_id % 3
+    j = np.arange(w * h * 3, dtype=np.int64)
+    return (
+        ((doc_id * QOI_MUL_A + (j // 9) * QOI_MUL_B + (j % 3) * QOI_MUL_C) % 256)
+        .astype(np.uint8)
+        .reshape((h, w, 3))
+    )
+
+
 _PAYLOAD_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -439,6 +626,7 @@ _PAYLOAD_SCHEMA = StructType(
         StructField("ppm", BinaryType()),
         StructField("bmp", BinaryType()),
         StructField("y4m", BinaryType()),
+        StructField("qoi", BinaryType()),
     ]
 )
 
@@ -453,6 +641,7 @@ _DECODE_STATS_SCHEMA = StructType(
         StructField("bmp_wsum", LongType()),
         StructField("y4m_frames", LongType()),
         StructField("y4m_wsum", LongType()),
+        StructField("qoi_wsum", LongType()),
     ]
 )
 
@@ -464,7 +653,7 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            wavs, ppms, bmps, y4ms = [], [], [], []
+            wavs, ppms, bmps, y4ms, qois = [], [], [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 rate, s = planted_wav(did)
@@ -472,6 +661,7 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                 ppms.append(encode_ppm(planted_ppm(did)))
                 bmps.append(encode_bmp(planted_bmp(did)))
                 y4ms.append(encode_y4m(planted_y4m(did)))
+                qois.append(encode_qoi(planted_qoi(did)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -479,6 +669,7 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                     "ppm": ppms,
                     "bmp": bmps,
                     "y4m": y4ms,
+                    "qoi": qois,
                 }
             )
 
@@ -503,9 +694,10 @@ def decode_media_stats(payloads: DataFrame) -> DataFrame:
             out = {k: [] for k in (
                 "wav_rate", "wav_channels", "wav_n", "wav_wsum",
                 "ppm_wsum", "bmp_wsum", "y4m_frames", "y4m_wsum",
+                "qoi_wsum",
             )}
-            for wav, ppm, bmp, y4m in zip(
-                pdf["wav"], pdf["ppm"], pdf["bmp"], pdf["y4m"]
+            for wav, ppm, bmp, y4m, qoi in zip(
+                pdf["wav"], pdf["ppm"], pdf["bmp"], pdf["y4m"], pdf["qoi"]
             ):
                 rate, n_ch, s = decode_wav(bytes(wav))
                 out["wav_rate"].append(rate)
@@ -517,6 +709,7 @@ def decode_media_stats(payloads: DataFrame) -> DataFrame:
                 _w, _h, frames = sample_frames(bytes(y4m), every_n=Y4M_EVERY_N)
                 out["y4m_frames"].append(len(frames))
                 out["y4m_wsum"].append(sum(wsum(f) for f in frames))
+                out["qoi_wsum"].append(wsum(decode_qoi(bytes(qoi))))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
 
     return payloads.mapInPandas(_dec, schema=_DECODE_STATS_SCHEMA)
@@ -524,13 +717,15 @@ def decode_media_stats(payloads: DataFrame) -> DataFrame:
 
 def decode_image(data: bytes):
     """Decode an image payload.  Codec-free formats decode for real
-    (netpbm P5/P6, uncompressed BMP — returned as numpy arrays);
-    compressed formats gate on a PIL import so real deployments light
-    them up."""
+    (netpbm P5/P6, uncompressed BMP, and the losslessly-compressed QOI
+    — returned as numpy arrays); entropy-coded formats gate on a PIL
+    import so real deployments light them up."""
     if data[:2] in (b"P5", b"P6"):
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] == _QOI_MAGIC:
+        return decode_qoi(data)
     try:
         from PIL import Image  # noqa: F401
         import io

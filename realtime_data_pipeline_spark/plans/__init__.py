@@ -579,6 +579,14 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 #     click_and_purchase_users is the same semi-join family with an
 #     intersect twist.
 # Oldest last-green in the registry rises from r4 to r5/r6-era.
+# CHANGED PLAN this round: multimodal_decode_stats gained a QOI leg
+# (functions/multimodal.py encode_qoi/decode_qoi + planted_qoi; the
+# first genuinely COMPRESSED codec under the hash discipline — r12
+# verdict optional #6).  Under the changed-plan-first rule it stays
+# IN the window (it holds the r12 rotate-in slot) so CORRECTNESS_r13
+# re-checks the new plan; pre-verified this round byte-exact under
+# both config axes, 0-shuffle pin unchanged, Arrow-batch-size
+# independence re-run green.
 #
 # Round-14 queue STAGED (COMPUTED by regreen_queue.py --slots 11
 # against the r1-r12 artifacts AFTER this round's window update, so

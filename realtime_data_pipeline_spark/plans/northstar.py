@@ -684,7 +684,8 @@ def q_multimodal_audio_stats(spark, sf_dir):
                       (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS ppm_len,
                       (3 + doc_id % 4) * (2 + doc_id % 3) * 3 AS bmp_len,
                       3 + doc_id % 3 AS nf,
-                      (4 + 2*(doc_id % 3)) * (2 + 2*(doc_id % 2)) AS wh
+                      (4 + 2*(doc_id % 3)) * (2 + 2*(doc_id % 2)) AS wh,
+                      (5 + doc_id % 4) * (3 + doc_id % 3) * 3 AS qoi_len
                FROM documents
                WHERE doc_id IS NOT NULL AND doc_id >= 0)
     SELECT doc_id,
@@ -709,16 +710,25 @@ def q_multimodal_audio_stats(spark, sf_dir):
                           p -> ((doc_id*{multimodal.Y4M_MUL_A}
                                  + f*{multimodal.Y4M_MUL_B}
                                  + p*{multimodal.Y4M_MUL_C}) % 256) * (p+1)))
-                    ELSE 0 END)) AS BIGINT) AS y4m_wsum
+                    ELSE 0 END)) AS BIGINT) AS y4m_wsum,
+           CAST(list_sum(list_transform(range(0, qoi_len),
+               j -> ((doc_id*{multimodal.QOI_MUL_A}
+                      + (j // 9)*{multimodal.QOI_MUL_B}
+                      + (j % 3)*{multimodal.QOI_MUL_C}) % 256)
+                    * (j+1))) AS BIGINT) AS qoi_wsum
     FROM d
     """,
     doc="decode round-trip hash row: planted payloads encoded to real "
-    "WAV PCM / netpbm P6 / 24-bit BMP / YUV4MPEG2 bytes, shipped as "
-    "Arrow binary columns, decoded by the pure-numpy decoders, stats "
-    "computed from the decoded arrays (functions/multimodal.py "
-    "decode_wav/decode_ppm/decode_bmp/sample_frames) — the DuckDB "
-    "hash now proves the decoders, not just pytest.  0 shuffles: two "
-    "chained mapInPandas stages, partition-parallel, no aggregation",
+    "WAV PCM / netpbm P6 / 24-bit BMP / YUV4MPEG2 / QOI bytes, "
+    "shipped as Arrow binary columns, decoded by the pure-numpy "
+    "decoders, stats computed from the decoded arrays (functions/"
+    "multimodal.py decode_wav/decode_ppm/decode_bmp/sample_frames/"
+    "decode_qoi) — the DuckDB hash now proves the decoders, not just "
+    "pytest.  The QOI leg (r13) puts a genuinely COMPRESSED format "
+    "under the hash: the encoder emits real RUN/DIFF/LUMA/INDEX "
+    "chunks and the decoder's state machine must undo them exactly. "
+    "0 shuffles: two chained mapInPandas stages, partition-parallel, "
+    "no aggregation",
 )
 def q_multimodal_decode_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(

@@ -416,6 +416,93 @@ def test_encoder_decoder_roundtrip_identity(doc_id):
     assert (gw, gh) == (w, h)
     assert [g.tolist() for g in got] == [f.tolist() for f in frames]
 
+    qoi = multimodal.planted_qoi(doc_id)
+    assert multimodal.decode_qoi(multimodal.encode_qoi(qoi)).tolist() == qoi.tolist()
+
+
+def _qoi_op_mix(data: bytes) -> dict:
+    ops = {"RGB": 0, "RGBA": 0, "INDEX": 0, "DIFF": 0, "LUMA": 0, "RUN": 0}
+    pos, end = 14, len(data) - 8
+    while pos < end:
+        b1 = data[pos]
+        if b1 == 0xFE:
+            ops["RGB"] += 1
+            pos += 4
+        elif b1 == 0xFF:
+            ops["RGBA"] += 1
+            pos += 5
+        else:
+            tag = b1 >> 6
+            if tag == 2:
+                ops["LUMA"] += 1
+                pos += 2
+            else:
+                ops[{0: "INDEX", 1: "DIFF", 3: "RUN"}[tag]] += 1
+                pos += 1
+    return ops
+
+
+def test_qoi_planted_payloads_actually_compress_with_mixed_ops():
+    """The hash row's QOI leg must exercise real compression, not a
+    degenerate all-literal stream: planted images encode strictly
+    smaller than raw and the streams contain RUN chunks plus delta
+    (LUMA) chunks — so the decoder's state machine, not a byte copy,
+    reconstructs the pixels the oracle recomputes closed-form."""
+    for doc_id in (0, 1, 2, 7, 59, 499):
+        px = multimodal.planted_qoi(doc_id)
+        enc = multimodal.encode_qoi(px)
+        assert len(enc) < px.size, (doc_id, len(enc), px.size)
+        ops = _qoi_op_mix(enc)
+        assert ops["RUN"] > 0 and ops["LUMA"] + ops["DIFF"] > 0, (doc_id, ops)
+
+
+def test_qoi_encoder_uses_index_and_diff_ops():
+    # a 2-color alternating row re-encounters cached colors -> INDEX
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    px = pal[np.arange(12) % 2].reshape((1, 12, 3))
+    ops = _qoi_op_mix(multimodal.encode_qoi(px))
+    assert ops["INDEX"] >= 9, ops
+    # +1 per channel per pixel -> DIFF chunks
+    grad = (np.arange(8, dtype=np.int64)[None, :, None] + np.zeros((1, 8, 3), np.int64)) % 256
+    ops = _qoi_op_mix(multimodal.encode_qoi(grad.astype(np.uint8)))
+    assert ops["DIFF"] >= 6, ops
+
+
+def test_qoi_rgba_alpha_change_roundtrip():
+    px = np.zeros((2, 3, 4), dtype=np.uint8)
+    px[..., 3] = 255
+    px[1, 1] = (9, 8, 7, 42)  # alpha flip forces QOI_OP_RGBA
+    enc = multimodal.encode_qoi(px)
+    assert _qoi_op_mix(enc)["RGBA"] >= 1
+    assert multimodal.decode_qoi(enc).tolist() == px.tolist()
+
+
+def test_qoi_named_errors():
+    good = multimodal.encode_qoi(multimodal.planted_qoi(1))
+    with pytest.raises(ValueError, match="not a QOI payload"):
+        multimodal.decode_qoi(b"nope")
+    with pytest.raises(ValueError, match="truncated QOI stream"):
+        multimodal.decode_qoi(good[:-10])
+    with pytest.raises(ValueError, match="missing QOI end marker"):
+        multimodal.decode_qoi(good[:-1] + b"\x02")
+    with pytest.raises(ValueError, match="channels"):
+        multimodal.decode_qoi(good[:12] + b"\x05" + good[13:])
+    import struct
+
+    # run overrunning the declared pixel count: 1x1 image, RUN(5)
+    bad = (
+        multimodal._QOI_MAGIC + struct.pack(">II", 1, 1) + bytes((3, 0))
+        + bytes([0xC0 | 4]) + multimodal._QOI_END
+    )
+    with pytest.raises(ValueError, match="overruns"):
+        multimodal.decode_qoi(bad)
+
+
+def test_decode_image_dispatches_qoi():
+    px = multimodal.planted_qoi(5)
+    got = multimodal.decode_image(multimodal.encode_qoi(px))
+    assert got.tolist() == px.tolist()
+
 
 def test_encode_bmp_pads_odd_width_rows():
     # w=3 -> 9-byte rows padded to 12; the decoder must strip the pad

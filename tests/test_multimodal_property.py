@@ -127,3 +127,87 @@ def test_wav_any_truncation_raises_named_error(seed, n):
             or "missing fmt/data" in msg
             or "not a RIFF/WAVE payload" in msg
         ), msg
+
+
+@st.composite
+def _qoi_case(draw):
+    """Image generator biased toward every QOI op type: low-cardinality
+    palettes (INDEX + RUN), smooth gradients (DIFF/LUMA), uniform noise
+    (RGB/RGBA literals), and alpha flips (RGBA at channels=4)."""
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    channels = draw(st.sampled_from([3, 4]))
+    kind = draw(st.sampled_from(["noise", "palette", "gradient", "flat"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    elif kind == "palette":
+        palette = rng.integers(0, 256, size=(3, channels), dtype=np.uint8)
+        px = palette[rng.integers(0, 3, size=(h, w))]
+    elif kind == "gradient":
+        steps = rng.integers(-2, 3, size=(h, w, channels)).astype(np.int64)
+        px = (np.cumsum(steps.reshape(-1, channels), axis=0) % 256).astype(
+            np.uint8
+        ).reshape((h, w, channels))
+    else:
+        px = np.full((h, w, channels), rng.integers(0, 256), dtype=np.uint8)
+    return px
+
+
+@given(_qoi_case())
+@settings(**_SETTINGS)
+def test_qoi_roundtrip_property(px):
+    got = multimodal.decode_qoi(multimodal.encode_qoi(px))
+    assert got.dtype == np.uint8
+    assert got.shape == px.shape
+    assert got.tolist() == px.tolist()
+
+
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 80))
+@settings(**_SETTINGS)
+def test_qoi_any_truncation_raises_named_error(seed, n):
+    """Chopping ANY nonzero number of bytes off a well-formed QOI must
+    raise a named error — the end-marker check makes silent short
+    reads impossible (the marker is always the payload's last 8
+    bytes, so every truncation destroys it)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    data = multimodal.encode_qoi(px)
+    cut = min(len(data) - 1, n)
+    try:
+        multimodal.decode_qoi(data[: len(data) - cut])
+        raise AssertionError("truncated QOI decoded without error")
+    except ValueError as e:
+        msg = str(e)
+        assert (
+            "truncated" in msg
+            or "missing QOI end marker" in msg
+            or "not a QOI payload" in msg
+            or "overruns" in msg
+        ), msg
+
+
+def test_qoi_index_insert_on_run_matches_reference_decoder():
+    """The spec's color cache holds EVERY seen pixel, including a
+    run's pixel.  A conforming third-party encoder may emit
+    QOI_OP_INDEX against the slot filled by a run of the INITIAL
+    (0,0,0,255) state — a decoder that skips the run-insert returns
+    the zero-initialized cache entry instead.  Build that stream by
+    hand (our encoder never relies on it) and check the decode."""
+    import struct
+
+    start = (0, 0, 0, 255)
+    slot = multimodal._qoi_hash(*start)
+    # 3 pixels: RUN(2) of the initial state, then INDEX(slot) -> same
+    stream = bytes([0xC0 | 1, slot])
+    data = (
+        multimodal._QOI_MAGIC
+        + struct.pack(">II", 3, 1)
+        + bytes((4, 0))
+        + stream
+        + multimodal._QOI_END
+    )
+    got = multimodal.decode_qoi(data)
+    assert got.shape == (1, 3, 4)
+    assert [tuple(p) for p in got.reshape(-1, 4)] == [start] * 3
