@@ -1,0 +1,276 @@
+"""Streaming-volume soak (VERDICT r12 #5): run the W1-W4 pipeline —
+file replay → watermark → sliding-window agg → keyed-upsert sink —
+end-to-end at 1x and 10x STREAM LENGTH (same event rate, 10x the
+wall-clock span and micro-batch count) and record, per batch, the
+state-store row count and the trigger/addBatch wall.
+
+What "scales" means for a stateful stream is different from a batch
+query: the cost axis is stream LENGTH, and the thing that must stay
+flat is the per-batch footprint — watermark eviction must keep state
+rows proportional to the windows in flight (rate x horizon), never to
+total events seen.  The artifact records:
+
+  * state_rows_max / _p50 per step — the bound the watermark enforces;
+    the 10x/1x max ratio is the headline number (~1.0 = bounded);
+  * per-batch wall medians for the first and last quarter of each run
+    — flat means no per-batch cost grows with events seen.  addBatch
+    (the upsert-sink merge) is recorded separately: the bucketed
+    rewrite touches every bucket a batch's keys hash into, so its
+    cost tracks TABLE size (a sink-compaction axis, deliberately
+    separate from engine state);
+  * a batch-parity check: the final upsert table must equal the batch
+    engine's windowed counts over the same events (the W1-W4 contract
+    at volume, not just at test size).
+
+Each step runs in a FRESH subprocess (the r8 protocol: the
+orchestrator never owns a JVM while a worker measures) and the runs
+are sequential, never concurrent.
+
+Usage:
+    python scripts/streaming_soak.py --out SOAK_r13_streaming10x.json
+    python scripts/streaming_soak.py --single 100000 --out step.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Stream shape: constant event rate; stream LENGTH is the scale axis.
+EVENTS_PER_SLICE = 10_000          # one parquet file = one micro-batch
+SLICE_SECS = 1800                  # 30 min of event time per slice
+N_USERS = 5000
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+SENTINEL = "__sentinel__"
+
+
+def _gen_slice(spark, i: int):
+    """Deterministic slice i: EVENTS_PER_SLICE events spread uniformly
+    over [T0 + i*SLICE, T0 + (i+1)*SLICE), users drawn by hash."""
+    from pyspark.sql import functions as F
+
+    start_us = int((T0 + dt.timedelta(seconds=i * SLICE_SECS)).timestamp() * 1e6)
+    step_us = SLICE_SECS * 1_000_000 // EVENTS_PER_SLICE
+    return spark.range(EVENTS_PER_SLICE).select(
+        F.concat(
+            F.lit("user_"),
+            F.pmod(F.hash((F.col("id") + i * EVENTS_PER_SLICE).cast("string")),
+                   F.lit(N_USERS)).cast("string"),
+        ).alias("user_id"),
+        F.lit(None).cast("string").alias("item_id"),
+        F.lit("click").alias("interaction_type"),
+        F.timestamp_micros(
+            F.lit(start_us) + F.col("id") * F.lit(step_us)
+        ).alias("timestamp"),
+    )
+
+
+def run_step(events: int, out_json: str) -> None:
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark.session import get_spark
+    from realtime_data_pipeline_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        file_replay_stream,
+        windowed_stream_counts,
+    )
+    from realtime_data_pipeline_spark.streaming.sinks import (
+        UpsertTable,
+        start_upsert_query,
+    )
+
+    n_slices = events // EVENTS_PER_SLICE
+    spark = get_spark(
+        app_name="rdp-streaming-soak", master="local[8]", shuffle_partitions=8
+    )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    base = tempfile.mkdtemp(prefix="rdp_streaming_soak_")
+    replay = os.path.join(base, "replay")
+    try:
+        # One file per slice, written in event-time order so the file
+        # source replays them in order and the watermark advances
+        # monotonically (FileStreamSource orders by modification time).
+        for i in range(n_slices):
+            _gen_slice(spark, i).coalesce(1).write.mode(
+                "append"
+            ).parquet(replay)
+        # far-future sentinel slice flushes every real window
+        last = T0 + dt.timedelta(seconds=n_slices * SLICE_SECS + 10 * 86400)
+        spark.createDataFrame(
+            [(SENTINEL, SENTINEL, "flush", last)], schema=EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(replay)
+
+        stream = file_replay_stream(
+            spark, replay, EVENT_SCHEMA, max_files_per_trigger=1
+        )
+        agg = windowed_stream_counts(stream, "user_id")
+        table = UpsertTable(
+            spark,
+            os.path.join(base, "table"),
+            ["window_start", "window_end", "user_id"],
+        )
+        import time
+
+        t_start = time.perf_counter()
+        q = start_upsert_query(
+            agg, table, os.path.join(base, "ckpt"), "soak", trigger_available_now=True
+        )
+        while q.isActive:
+            q.awaitTermination(10)
+        wall = time.perf_counter() - t_start
+
+        prog = [
+            json.loads(p if isinstance(p, str) else p.json)
+            for p in q.recentProgress
+        ]
+        batches = [
+            {
+                "batch_id": p["batchId"],
+                "input_rows": p["numInputRows"],
+                "trigger_ms": p["durationMs"].get("triggerExecution", 0),
+                "add_batch_ms": p["durationMs"].get("addBatch", 0),
+                "state_rows": sum(
+                    s["numRowsTotal"] for s in p.get("stateOperators", [])
+                ),
+            }
+            for p in prog
+            if p["numInputRows"] > 0
+        ]
+
+        # batch parity at volume: upsert table == batch engine's counts
+        got = (
+            table.read()
+            .where(F.col("user_id") != SENTINEL)
+            .groupBy()
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("total_interactions").alias("events"),
+            )
+            .collect()[0]
+        )
+        all_events = spark.read.parquet(replay).where(
+            F.col("user_id") != SENTINEL
+        )
+        want = (
+            windowed_stream_counts(all_events, "user_id", watermark=None)
+            .groupBy()
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("total_interactions").alias("events"),
+            )
+            .collect()[0]
+        )
+
+        state_rows = [b["state_rows"] for b in batches]
+        trig = [b["trigger_ms"] for b in batches]
+        addb = [b["add_batch_ms"] for b in batches]
+        quarter = max(1, len(batches) // 4)
+        result = {
+            "events": events,
+            "batches": len(batches),
+            "wall_sec": round(wall, 2),
+            "rows_out": int(got["rows"]),
+            # each event lands in window/slide = 2 sliding windows, so
+            # the weighted sum is 2x the event count — compare the
+            # stream result to the BATCH engine on both aggregates
+            "batch_parity": (
+                int(got["rows"]) == int(want["rows"])
+                and int(got["events"]) == int(want["events"]) == 2 * events
+            ),
+            "loadavg_1min_at_end": round(os.getloadavg()[0], 2),
+            "state_rows_max": max(state_rows),
+            "state_rows_p50": int(statistics.median(state_rows)),
+            "trigger_ms_p50_first_quarter": int(
+                statistics.median(trig[:quarter])
+            ),
+            "trigger_ms_p50_last_quarter": int(
+                statistics.median(trig[-quarter:])
+            ),
+            "add_batch_ms_p50_first_quarter": int(
+                statistics.median(addb[:quarter])
+            ),
+            "add_batch_ms_p50_last_quarter": int(
+                statistics.median(addb[-quarter:])
+            ),
+            "per_batch": batches,
+        }
+        with open(out_json, "w") as f:
+            json.dump(result, f)
+    finally:
+        spark.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--single", default=None, help="event count (worker mode)")
+    ap.add_argument("--events-small", type=int, default=100_000)
+    ap.add_argument("--events-large", type=int, default=1_000_000)
+    ap.add_argument("--out", default="SOAK_streaming.json")
+    args = ap.parse_args()
+
+    if args.single:
+        run_step(int(args.single), args.out)
+        return 0
+
+    steps = {}
+    for label, n in (("small", args.events_small), ("large", args.events_large)):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            step_out = tf.name
+        print(f"[{label}] {n} events ...", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(n),
+             "--out", step_out],
+            check=True,
+        )
+        with open(step_out) as f:
+            steps[label] = json.load(f)
+        os.unlink(step_out)
+        summary = {k: v for k, v in steps[label].items() if k != "per_batch"}
+        print(f"[{label}] {json.dumps(summary)}", flush=True)
+
+    s, l = steps["small"], steps["large"]
+    artifact = {
+        "metric": "streaming_soak",
+        "query": "file_replay -> watermark -> sliding window -> keyed upsert",
+        "events": [s["events"], l["events"]],
+        "batches": [s["batches"], l["batches"]],
+        "wall_sec": [s["wall_sec"], l["wall_sec"]],
+        "state_rows_max": [s["state_rows_max"], l["state_rows_max"]],
+        "state_bound_ratio": round(
+            l["state_rows_max"] / max(1, s["state_rows_max"]), 3
+        ),
+        "trigger_ms_p50": {
+            "small_first_q": s["trigger_ms_p50_first_quarter"],
+            "small_last_q": s["trigger_ms_p50_last_quarter"],
+            "large_first_q": l["trigger_ms_p50_first_quarter"],
+            "large_last_q": l["trigger_ms_p50_last_quarter"],
+        },
+        "add_batch_ms_p50": {
+            "small_first_q": s["add_batch_ms_p50_first_quarter"],
+            "small_last_q": s["add_batch_ms_p50_last_quarter"],
+            "large_first_q": l["add_batch_ms_p50_first_quarter"],
+            "large_last_q": l["add_batch_ms_p50_last_quarter"],
+        },
+        "batch_parity": [s["batch_parity"], l["batch_parity"]],
+        "rows_out": [s["rows_out"], l["rows_out"]],
+        "steps": steps,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "steps"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
