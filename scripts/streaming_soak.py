@@ -53,6 +53,19 @@ N_USERS = 5000
 T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
 SENTINEL = "__sentinel__"
 
+# Incremental-dedup stream shape (--query dedup): constant docs per
+# micro-batch; the scale axis is again stream length, but the bounded
+# resource is different — the SIGNATURE STORE grows O(seen docs) BY
+# DESIGN (it must remember everything ever seen), so the probe's
+# question is not "is state flat" but "is the per-batch cost curve
+# the designed one": store bytes linear in seen docs, store DIRECTORY
+# count bounded by compaction, and per-batch wall growing only with
+# the store-side scan of the banded equi-join.
+DOCS_PER_SLICE = 2500
+DOC_TOKENS = 50
+DUP_SHARED_TOKENS = 47             # near-dups share a 47-of-50 prefix
+DOC_VOCAB = 1_000_000              # open vocab: shingle mass ~ corpus
+
 
 def _gen_slice(spark, i: int):
     """Deterministic slice i: EVENTS_PER_SLICE events spread uniformly
@@ -73,6 +86,185 @@ def _gen_slice(spark, i: int):
             F.lit(start_us) + F.col("id") * F.lit(step_us)
         ).alias("timestamp"),
     )
+
+
+def _gen_doc_slice(spark, i: int):
+    """Deterministic doc slice i: DOCS_PER_SLICE docs; in slices > 0,
+    every 10th doc is a near-dup (47-of-50 shared tokens) of a
+    hash-chosen EARLIER doc — cross-batch dups that only the
+    persistent store can catch."""
+    from pyspark.sql import functions as F
+
+    start = i * DOCS_PER_SLICE
+    df = spark.range(start, start + DOCS_PER_SLICE).select(
+        F.col("id").alias("doc_id")
+    )
+    is_dup = (F.col("doc_id") % 10 == 3) & (F.col("doc_id") >= DOCS_PER_SLICE)
+    raw_base = F.pmod(F.xxhash64("doc_id"), F.lit(start))
+    # the base must be a NON-dup earlier doc: a dup's stored text is
+    # its base's tokens, so copying a dup's token FORMULA would plant
+    # a doc that near-matches nothing (the first smoke run measured
+    # exactly this as phantom "surviving dups")
+    base = F.when(
+        is_dup,
+        F.when(raw_base % 10 == 3, raw_base + 1).otherwise(raw_base),
+    ).otherwise(F.col("doc_id"))
+    return (
+        df.withColumn("base", base)
+        .withColumn("is_dup", is_dup)
+        .select(
+            "doc_id",
+            "is_dup",
+            F.expr(
+                f"""array_join(transform(sequence(0, {DOC_TOKENS - 1}), j ->
+                    concat('t', pmod(xxhash64(
+                        (CASE WHEN is_dup AND j < {DUP_SHARED_TOKENS}
+                              THEN base ELSE doc_id END) * 53 + j),
+                        {DOC_VOCAB}))), ' ')"""
+            ).alias("text"),
+        )
+    )
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(total bytes, top-level entry count) of a store directory."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    try:
+        n_dirs = len(os.listdir(path))
+    except FileNotFoundError:
+        n_dirs = 0
+    return total, n_dirs
+
+
+def run_dedup_step(docs: int, out_json: str) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from realtime_data_pipeline_spark.session import get_spark
+    from realtime_data_pipeline_spark.streaming import incremental_dedup as inc
+
+    n_slices = docs // DOCS_PER_SLICE
+    spark = get_spark(
+        app_name="rdp-streaming-soak-dedup", master="local[8]",
+        shuffle_partitions=8,
+    )
+    base = tempfile.mkdtemp(prefix="rdp_streaming_soak_")
+    replay = os.path.join(base, "replay")
+    store = os.path.join(base, "store")
+    out = os.path.join(base, "out")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("is_dup", BooleanType()),
+            StructField("text", StringType()),
+        ]
+    )
+    try:
+        for i in range(n_slices):
+            _gen_doc_slice(spark, i).coalesce(1).write.mode(
+                "append"
+            ).parquet(replay)
+        planted_dups = (
+            spark.read.parquet(replay).where("is_dup").count()
+        )
+
+        batches: list[dict] = []
+
+        # The public pieces (dedup_batch + compact_store) composed the
+        # same way start_incremental_dedup does, with per-batch timing
+        # and store sampling in between.
+        def _process(batch, batch_id: int) -> None:
+            t0 = time.perf_counter()
+            accepted = inc.dedup_batch(batch, store, out, batch_id)
+            compacted = bool(batch_id > 0 and batch_id % 10 == 0)
+            if compacted:
+                inc.compact_store(spark, store, keep_last=1)
+            wall = time.perf_counter() - t0
+            store_bytes, store_dirs = _dir_stats(store)
+            batches.append(
+                {
+                    "batch_id": batch_id,
+                    "docs": batch.count(),
+                    "accepted": accepted,
+                    "wall_sec": round(wall, 3),
+                    "compacted": compacted,
+                    "store_bytes": store_bytes,
+                    "store_dirs": store_dirs,
+                }
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay)
+        )
+        t_start = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:
+            q.awaitTermination(10)
+        wall = time.perf_counter() - t_start
+
+        accepted_total = sum(b["accepted"] for b in batches)
+        out_df = spark.read.parquet(out)
+        out_count = out_df.count()
+        # false drops: unique (non-planted-dup) docs that were dropped
+        all_docs = spark.read.parquet(replay)
+        false_drops = (
+            all_docs.where(~F.col("is_dup"))
+            .join(out_df.select("doc_id"), "doc_id", "left_anti")
+            .count()
+        )
+        surviving_planted = (
+            all_docs.where(F.col("is_dup"))
+            .join(out_df.select("doc_id"), "doc_id", "left_semi")
+            .count()
+        )
+        walls = [b["wall_sec"] for b in batches]
+        quarter = max(1, len(batches) // 4)
+        result = {
+            "docs": docs,
+            "batches": len(batches),
+            "wall_sec": round(wall, 2),
+            "planted_dups": planted_dups,
+            "accepted_total": accepted_total,
+            "out_rows": out_count,
+            "false_drops_of_unique": false_drops,
+            "planted_dups_surviving": surviving_planted,
+            "store_bytes_final": batches[-1]["store_bytes"],
+            "store_dirs_max": max(b["store_dirs"] for b in batches),
+            "batch_wall_p50_first_quarter": round(
+                statistics.median(walls[:quarter]), 3
+            ),
+            "batch_wall_p50_last_quarter": round(
+                statistics.median(walls[-quarter:]), 3
+            ),
+            "loadavg_1min_at_end": round(os.getloadavg()[0], 2),
+            "per_batch": batches,
+        }
+        with open(out_json, "w") as f:
+            json.dump(result, f)
+    finally:
+        spark.stop()
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def run_step(events: int, out_json: str) -> None:
@@ -211,17 +403,77 @@ def run_step(events: int, out_json: str) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_dedup_soak(args) -> int:
+    steps = {}
+    for label, n in (("small", args.docs_small), ("large", args.docs_large)):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            step_out = tf.name
+        print(f"[{label}] {n} docs ...", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--query", "dedup",
+             "--single", str(n), "--out", step_out],
+            check=True,
+        )
+        with open(step_out) as f:
+            steps[label] = json.load(f)
+        os.unlink(step_out)
+        summary = {k: v for k, v in steps[label].items() if k != "per_batch"}
+        print(f"[{label}] {json.dumps(summary)}", flush=True)
+
+    s, l = steps["small"], steps["large"]
+    artifact = {
+        "metric": "streaming_soak",
+        "query": "file_replay -> incremental minhash-LSH dedup "
+        "(persistent signature store + per-10-batch compaction)",
+        "docs": [s["docs"], l["docs"]],
+        "batches": [s["batches"], l["batches"]],
+        "wall_sec": [s["wall_sec"], l["wall_sec"]],
+        "store_bytes_final": [s["store_bytes_final"], l["store_bytes_final"]],
+        "store_bytes_ratio": round(
+            l["store_bytes_final"] / max(1, s["store_bytes_final"]), 2
+        ),
+        "store_dirs_max": [s["store_dirs_max"], l["store_dirs_max"]],
+        "batch_wall_p50": {
+            "small_first_q": s["batch_wall_p50_first_quarter"],
+            "small_last_q": s["batch_wall_p50_last_quarter"],
+            "large_first_q": l["batch_wall_p50_first_quarter"],
+            "large_last_q": l["batch_wall_p50_last_quarter"],
+        },
+        "planted_dups": [s["planted_dups"], l["planted_dups"]],
+        "planted_dups_surviving": [
+            s["planted_dups_surviving"], l["planted_dups_surviving"]
+        ],
+        "false_drops_of_unique": [
+            s["false_drops_of_unique"], l["false_drops_of_unique"]
+        ],
+        "steps": steps,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "steps"}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--single", default=None, help="event count (worker mode)")
+    ap.add_argument("--query", choices=("window", "dedup"), default="window")
     ap.add_argument("--events-small", type=int, default=100_000)
     ap.add_argument("--events-large", type=int, default=1_000_000)
+    ap.add_argument("--docs-small", type=int, default=50_000)
+    ap.add_argument("--docs-large", type=int, default=500_000)
     ap.add_argument("--out", default="SOAK_streaming.json")
     args = ap.parse_args()
 
     if args.single:
-        run_step(int(args.single), args.out)
+        if args.query == "dedup":
+            run_dedup_step(int(args.single), args.out)
+        else:
+            run_step(int(args.single), args.out)
         return 0
+
+    if args.query == "dedup":
+        return run_dedup_soak(args)
 
     steps = {}
     for label, n in (("small", args.events_small), ("large", args.events_large)):
