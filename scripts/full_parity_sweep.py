@@ -44,6 +44,16 @@ def main() -> int:
         "partition count — the engine contract is order-independent "
         "arithmetic everywhere (fixed-point sums, in-order folds)",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="extra SparkSession confs for hostile-axis probes that a "
+        "real driver could set (tune() does not own them), e.g. "
+        "spark.sql.codegen.wholeStage=false forces interpreted "
+        "expression evaluation registry-wide",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -60,6 +70,9 @@ def main() -> int:
     )
     if args.tz:
         builder = builder.config("spark.sql.session.timeZone", args.tz)
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -107,6 +120,8 @@ def main() -> int:
         )
     tz = args.tz or "engine-default"
     tz += f", shuffle={args.shuffle_partitions}"
+    if args.conf:
+        tz += ", " + ", ".join(args.conf)
     print(
         f"sweep done: {len(names) - len(bad)}/{len(names)} green "
         f"(tz={tz}, {args.sf_dir}, {time.time() - t_start:.0f}s); "
