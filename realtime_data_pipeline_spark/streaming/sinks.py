@@ -23,6 +23,24 @@ At scale this slot is filled by a real table format (Delta/Iceberg
 MERGE INTO — the same keyed upsert with file-level pruning; their
 data-skipping plays the role the bucket hash plays here); the interface
 is format-agnostic on purpose.
+
+Fast-append mode (opt-in, `monotone_col=`): the r13 streaming soak
+measured the one per-batch cost that grows with table size — the
+bucket rewrite — even though append-mode batches only ever INSERT new
+keys (a finalized window emits once).  When the caller declares a key
+column that is non-decreasing across merges (window_start in an
+append-mode stream), the table keeps a per-bucket high-water mark of
+that column; a merge whose bucket-minimum strictly exceeds the mark
+provably matches no stored key, so it APPENDS a new leaf (the bucket's
+manifest entry becomes a LIST of leaf versions) instead of
+read+anti-join+rewrite — O(batch) I/O, independent of table size.
+Overlapping or replayed batches, and buckets stacked past `stack_max`
+leaves, take the classic rewrite path, which also folds the stack —
+LSM compaction in miniature, amortizing rewrites to
+O(table / stack_max) per merge.  Null monotone values fall back to
+the rewrite path (SQL null-equality means they can never match
+anyway, but the conservative path keeps the reasoning local).  The
+default (monotone_col=None) is byte-for-byte the original behavior.
 """
 
 from __future__ import annotations
@@ -37,6 +55,7 @@ from pyspark.sql import functions as F
 _CURRENT = "_CURRENT"
 _BUCKET = "__bucket"
 N_BUCKETS = 16
+_UNKNOWN = object()  # "no high-water mark recorded for this bucket"
 
 
 class UpsertTable:
@@ -49,11 +68,26 @@ class UpsertTable:
         key_cols: list[str],
         n_buckets: int = N_BUCKETS,
         retain_versions: int = 1,
+        monotone_col: str | None = None,
+        stack_max: int = 8,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        # Fast-append mode: `monotone_col` must be part of the key —
+        # the no-key-collision proof is "every stored key's monotone
+        # component is <= the mark < every batch key's", which only
+        # holds if the column participates in key equality.
+        if monotone_col is not None and monotone_col not in self.key_cols:
+            raise ValueError(
+                f"monotone_col {monotone_col!r} must be one of the key "
+                f"columns {self.key_cols}"
+            )
+        self.monotone_col = monotone_col
+        if stack_max < 1:
+            raise ValueError("stack_max must be >= 1")
+        self.stack_max = stack_max
         # How many SUPERSEDED versions stay readable (the vacuum grace
         # window).  1 = the original contract: current + the previous
         # version (for in-flight readers).  Larger values buy time
@@ -96,6 +130,42 @@ class UpsertTable:
     def _leaf(self, version: int, bucket: int | str) -> str:
         return os.path.join(self.path, f"v={version}", f"{_BUCKET}={bucket}")
 
+    @staticmethod
+    def _leaf_versions(entry) -> list[int]:
+        """A manifest bucket entry is an int (single leaf — the
+        original layout) or a list of leaf versions (fast-append
+        stack, oldest first)."""
+        return list(entry) if isinstance(entry, list) else [entry]
+
+    @staticmethod
+    def _mono_encode(v):
+        """JSON-encode a high-water-mark value, tagging the types JSON
+        cannot represent natively."""
+        import datetime
+        import decimal
+
+        if isinstance(v, datetime.datetime):
+            return {"t": "dt", "v": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"t": "d", "v": v.isoformat()}
+        if isinstance(v, decimal.Decimal):
+            return {"t": "dec", "v": str(v)}
+        return v
+
+    @staticmethod
+    def _mono_decode(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, dict):
+            if v.get("t") == "dt":
+                return datetime.datetime.fromisoformat(v["v"])
+            if v.get("t") == "d":
+                return datetime.date.fromisoformat(v["v"])
+            if v.get("t") == "dec":
+                return decimal.Decimal(v["v"])
+        return v
+
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
 
@@ -118,7 +188,11 @@ class UpsertTable:
                 ) from None
         if m is None:
             return None
-        paths = [self._leaf(v, b) for b, v in sorted(m["buckets"].items())]
+        paths = [
+            self._leaf(v, b)
+            for b, entry in sorted(m["buckets"].items())
+            for v in self._leaf_versions(entry)
+        ]
         if not paths:
             return None
         if version is not None:
@@ -200,10 +274,11 @@ class UpsertTable:
             if not touched:
                 return 0
             parts = [
-                self.spark.read.parquet(
-                    self._leaf(m["buckets"][str(b)], b)
-                ).withColumn(_BUCKET, F.lit(b))
+                self.spark.read.parquet(self._leaf(v, b)).withColumn(
+                    _BUCKET, F.lit(b)
+                )
                 for b in touched
+                for v in self._leaf_versions(m["buckets"][str(b)])
             ]
             current = parts[0]
             for p in parts[1:]:
@@ -226,9 +301,11 @@ class UpsertTable:
                 )
                 pending = [list(p) for p in m.get("pending", [])]
                 for b in touched:
-                    pending.append([m["buckets"][str(b)], str(b), v_new])
+                    for v_old in self._leaf_versions(m["buckets"][str(b)]):
+                        pending.append([v_old, str(b), v_new])
                     # a fully-emptied bucket writes no leaf: drop it
                     # from the manifest instead of pointing at nothing
+                    # (the rewrite also folds any fast-append stack)
                     if os.path.isdir(self._leaf(v_new, b)):
                         m["buckets"][str(b)] = v_new
                     else:
@@ -246,10 +323,26 @@ class UpsertTable:
             keys.unpersist()
 
     def _merge_persisted(self, batch: DataFrame) -> None:
-        # ≤ n_buckets values — O(1) driver-side, not a collect of data.
-        touched = sorted(
-            r[0] for r in batch.select(_BUCKET).distinct().collect()
-        )
+        # ≤ n_buckets rows — O(1) driver-side, not a collect of data.
+        # With a monotone column declared, the same tiny agg also
+        # yields the per-bucket min/max needed for the fast-append
+        # eligibility test.
+        if self.monotone_col:
+            stats = {
+                r["b"]: (r["lo"], r["hi"])
+                for r in batch.groupBy(F.col(_BUCKET).alias("b"))
+                .agg(
+                    F.min(self.monotone_col).alias("lo"),
+                    F.max(self.monotone_col).alias("hi"),
+                )
+                .collect()
+            }
+        else:
+            stats = {
+                r[0]: (None, None)
+                for r in batch.select(_BUCKET).distinct().collect()
+            }
+        touched = sorted(stats)
         if not touched:
             return
         m = self._manifest() or {
@@ -257,23 +350,82 @@ class UpsertTable:
             "buckets": {},
             "n_buckets": self.n_buckets,
         }
-        current_parts = []
+        mono = m.get("mono_max", {})
+
+        # Classify each touched bucket.  "fast" = provably no key
+        # collision with stored rows (bucket min of the monotone key
+        # column strictly above the bucket's high-water mark) and the
+        # leaf stack still under stack_max; everything else rewrites.
+        fast, slow = [], []
         for b in touched:
-            v = m["buckets"].get(str(b))
-            if v is not None:
-                current_parts.append(
-                    self.spark.read.parquet(self._leaf(v, b)).withColumn(
-                        _BUCKET, F.lit(b)
-                    )
+            entry = m["buckets"].get(str(b))
+            if entry is None:
+                fast.append(b)  # new bucket: nothing to read either way
+                continue
+            lo, _hi = stats[b]
+            mark = mono.get(str(b), _UNKNOWN)
+            if (
+                self.monotone_col
+                and lo is not None
+                and mark is not _UNKNOWN
+                and lo > self._mono_decode(mark)
+                and len(self._leaf_versions(entry)) < self.stack_max
+            ):
+                fast.append(b)
+            else:
+                slow.append(b)
+
+        slow_set = set(slow)
+        merged = None
+        if fast:
+            merged = (
+                batch
+                if not slow_set
+                else batch.where(~F.col(_BUCKET).isin(list(slow_set)))
+            )
+        if slow:
+            parts = [
+                self.spark.read.parquet(self._leaf(v, b)).withColumn(
+                    _BUCKET, F.lit(b)
                 )
-        merged = batch
-        if current_parts:
-            current = current_parts[0]
-            for part in current_parts[1:]:
+                for b in slow
+                for v in self._leaf_versions(m["buckets"][str(b)])
+            ]
+            current = parts[0]
+            for part in parts[1:]:
                 current = current.unionByName(part)
-            merged = current.join(
+            slow_batch = (
+                batch
+                if not fast
+                else batch.where(F.col(_BUCKET).isin(list(slow_set)))
+            )
+            slow_merged = current.join(
                 batch.select(self.key_cols), self.key_cols, "left_anti"
-            ).unionByName(batch)
+            ).unionByName(slow_batch)
+            merged = (
+                slow_merged if merged is None
+                else merged.unionByName(slow_merged)
+            )
+        # One-time mark learning: a bucket written before monotone_col
+        # was declared has no high-water mark; its rewrite holds every
+        # row of the bucket, so one bounded agg (only over the unknown
+        # buckets, only on their first rewrite) establishes the mark
+        # and moves the bucket onto the fast path for good.
+        learned: dict = {}
+        unknown = (
+            [b for b in slow if mono.get(str(b), _UNKNOWN) is _UNKNOWN]
+            if self.monotone_col
+            else []
+        )
+        if unknown:
+            merged = merged.persist()
+            learned = {
+                r["b"]: r["hi"]
+                for r in merged.where(F.col(_BUCKET).isin(unknown))
+                .groupBy(F.col(_BUCKET).alias("b"))
+                .agg(F.max(self.monotone_col).alias("hi"))
+                .collect()
+            }
         v_new = m["version"] + 1
         # one job: partitionBy fans the touched buckets into their
         # v=<n>/__bucket=<k> leaves.  Repartition on the bucket column
@@ -281,9 +433,15 @@ class UpsertTable:
         # task — without this, file count grows as
         # O(merges x shuffle_partitions x buckets) and snapshot reads
         # drown in small files.
-        merged.repartition(len(touched), F.col(_BUCKET)).write.mode(
-            "overwrite"
-        ).partitionBy(_BUCKET).parquet(os.path.join(self.path, f"v={v_new}"))
+        try:
+            merged.repartition(len(touched), F.col(_BUCKET)).write.mode(
+                "overwrite"
+            ).partitionBy(_BUCKET).parquet(
+                os.path.join(self.path, f"v={v_new}")
+            )
+        finally:
+            if unknown:
+                merged.unpersist()
         # superseded leaves enter the pending-delete ledger; they stay
         # on disk through the one-version grace window for in-flight
         # readers, then _vacuum unlinks them by exact path — no
@@ -298,9 +456,10 @@ class UpsertTable:
         # deletion (rmtree is idempotent), so a crash between flip and
         # vacuum heals on the next merge instead of leaking the leaf.
         pending = [list(p) for p in m.get("pending", [])]
-        for b in touched:
-            v_old = m["buckets"].get(str(b))
-            if v_old is not None:
+        for b in slow:
+            # only REWRITTEN buckets supersede leaves; a fast append
+            # leaves every prior leaf live (nothing replaced it)
+            for v_old in self._leaf_versions(m["buckets"][str(b)]):
                 pending.append([v_old, str(b), v_new])
         # A leaf [v_old, b, v_sup] is referenced by snapshots
         # v_old..v_sup-1; the newest of those is v_sup-1.  It is safe
@@ -312,7 +471,26 @@ class UpsertTable:
         m["pending"] = [p for p in pending if p[2] >= v_new - r]
         m["version"] = v_new
         for b in touched:
-            m["buckets"][str(b)] = v_new
+            entry = m["buckets"].get(str(b))
+            if b in slow_set or entry is None:
+                m["buckets"][str(b)] = v_new  # rewrite folds any stack
+            else:
+                m["buckets"][str(b)] = self._leaf_versions(entry) + [v_new]
+            if self.monotone_col:
+                _lo, hi = stats[b]
+                mark = mono.get(str(b), _UNKNOWN)
+                if b in learned:
+                    if learned[b] is not None:
+                        mono[str(b)] = self._mono_encode(learned[b])
+                elif mark is not _UNKNOWN:
+                    if hi is not None:
+                        mono[str(b)] = self._mono_encode(
+                            max(self._mono_decode(mark), hi)
+                        )
+                elif entry is None and hi is not None:
+                    mono[str(b)] = self._mono_encode(hi)  # new bucket
+        if self.monotone_col:
+            m["mono_max"] = mono
         self._flip(m)
         self._vacuum(ripe)
 

@@ -267,7 +267,7 @@ def run_dedup_step(docs: int, out_json: str) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def run_step(events: int, out_json: str) -> None:
+def run_step(events: int, out_json: str, sink: str = "classic") -> None:
     from pyspark.sql import functions as F
 
     from realtime_data_pipeline_spark.session import get_spark
@@ -306,10 +306,14 @@ def run_step(events: int, out_json: str) -> None:
             spark, replay, EVENT_SCHEMA, max_files_per_trigger=1
         )
         agg = windowed_stream_counts(stream, "user_id")
+        # --sink fast: finalized windows emit in watermark order, so
+        # window_start is non-decreasing across merges — the exact
+        # shape the fast-append high-water mark targets.
         table = UpsertTable(
             spark,
             os.path.join(base, "table"),
             ["window_start", "window_end", "user_id"],
+            monotone_col="window_start" if sink == "fast" else None,
         )
         import time
 
@@ -462,6 +466,11 @@ def main() -> int:
     ap.add_argument("--events-large", type=int, default=1_000_000)
     ap.add_argument("--docs-small", type=int, default=50_000)
     ap.add_argument("--docs-large", type=int, default=500_000)
+    ap.add_argument(
+        "--sink", choices=("classic", "fast"), default="classic",
+        help="window query's upsert sink: classic bucket rewrites, or "
+        "fast-append (monotone_col=window_start)",
+    )
     ap.add_argument("--out", default="SOAK_streaming.json")
     args = ap.parse_args()
 
@@ -469,7 +478,7 @@ def main() -> int:
         if args.query == "dedup":
             run_dedup_step(int(args.single), args.out)
         else:
-            run_step(int(args.single), args.out)
+            run_step(int(args.single), args.out, sink=args.sink)
         return 0
 
     if args.query == "dedup":
@@ -479,10 +488,10 @@ def main() -> int:
     for label, n in (("small", args.events_small), ("large", args.events_large)):
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             step_out = tf.name
-        print(f"[{label}] {n} events ...", flush=True)
+        print(f"[{label}] {n} events ({args.sink} sink) ...", flush=True)
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", str(n),
-             "--out", step_out],
+             "--sink", args.sink, "--out", step_out],
             check=True,
         )
         with open(step_out) as f:
@@ -495,6 +504,7 @@ def main() -> int:
     artifact = {
         "metric": "streaming_soak",
         "query": "file_replay -> watermark -> sliding window -> keyed upsert",
+        "sink": args.sink,
         "events": [s["events"], l["events"]],
         "batches": [s["batches"], l["batches"]],
         "wall_sec": [s["wall_sec"], l["wall_sec"]],
