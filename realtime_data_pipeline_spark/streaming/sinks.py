@@ -273,16 +273,15 @@ class UpsertTable:
             )
             if not touched:
                 return 0
-            parts = [
-                self.spark.read.parquet(self._leaf(v, b)).withColumn(
-                    _BUCKET, F.lit(b)
-                )
+            paths = [
+                self._leaf(v, b)
                 for b in touched
                 for v in self._leaf_versions(m["buckets"][str(b)])
             ]
-            current = parts[0]
-            for p in parts[1:]:
-                current = current.unionByName(p)
+            # single scan; bucket recomputed from keys (see merge)
+            current = self.spark.read.parquet(*paths).withColumn(
+                _BUCKET, self._bucket_col()
+            )
             current = current.persist()
             try:
                 n_deleted = current.join(
@@ -384,16 +383,21 @@ class UpsertTable:
                 else batch.where(~F.col(_BUCKET).isin(list(slow_set)))
             )
         if slow:
-            parts = [
-                self.spark.read.parquet(self._leaf(v, b)).withColumn(
-                    _BUCKET, F.lit(b)
-                )
+            # One scan over every leaf of every slow bucket; _BUCKET is
+            # recomputed from the keys (bucket assignment is a pure
+            # hash) rather than carried per-leaf — a per-leaf
+            # lit-column would need a unionByName chain whose Catalyst
+            # analysis cost is quadratic in leaf count, which round-13
+            # measured dominating fold batches at stack_max leaves per
+            # bucket.
+            paths = [
+                self._leaf(v, b)
                 for b in slow
                 for v in self._leaf_versions(m["buckets"][str(b)])
             ]
-            current = parts[0]
-            for part in parts[1:]:
-                current = current.unionByName(part)
+            current = self.spark.read.parquet(*paths).withColumn(
+                _BUCKET, self._bucket_col()
+            )
             slow_batch = (
                 batch
                 if not fast
