@@ -569,3 +569,16 @@ def test_decode_stats_independent_of_arrow_batch_size(spark):
     finally:
         spark.conf.set(key, old)
     assert tiny == baseline
+
+
+@pytest.mark.parametrize("shape", [(0, 0, 3), (0, 5, 3), (4, 0, 4), (1, 1, 3)])
+def test_qoi_degenerate_dims_roundtrip(shape):
+    """Zero-area and 1x1 images are legal QOI headers: the chunk walk
+    is empty (or one op) and the end marker must still be enforced."""
+    px = np.zeros(shape, dtype=np.uint8)
+    enc = multimodal.encode_qoi(px)
+    got = multimodal.decode_qoi(enc)
+    assert got.shape == px.shape and got.tolist() == px.tolist()
+    if shape[0] * shape[1] == 0:
+        with pytest.raises(ValueError, match="missing QOI end marker"):
+            multimodal.decode_qoi(enc[:-1])
