@@ -79,15 +79,18 @@ def decode_wav(data: bytes):
         cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if len(body) < size:
-            if cid == b"data":
+            if cid == b"data" and size == 0xFFFFFFFF:
                 # Streaming-written WAVs (e.g. piped encoder output)
-                # carry a placeholder data-chunk size — 0xFFFFFFFF or
-                # a stale value past the payload — because the writer
-                # could not seek back to patch the header.  A FINAL
-                # data chunk whose declared size overruns the payload
-                # decodes best-effort as "the remaining bytes"; a
-                # truncated NON-data chunk is still structural
-                # corruption and raises below.
+                # carry the canonical 0xFFFFFFFF placeholder data-chunk
+                # size because the writer could not seek back to patch
+                # the header; that exact sentinel decodes best-effort
+                # as "the remaining bytes".  ONLY the sentinel: an
+                # arbitrary declared-size overrun is indistinguishable
+                # from truncation in transit, and accepting it would
+                # make corruption silently decode short whenever the
+                # remainder happens to be sample-aligned (always, for
+                # 8-bit PCM) — so any other short chunk, data or not,
+                # is structural corruption and raises below.
                 pcm = data[pos + 8 :]
                 break
             raise ValueError(
@@ -314,6 +317,19 @@ def decode_qoi(data: bytes):
     if colorspace not in (0, 1):
         raise ValueError(f"QOI colorspace {colorspace}: spec allows 0 or 1")
     n_px = w * h
+    # A single chunk byte decodes at most 62 pixels (QOI_OP_RUN's
+    # 6-bit run length, bias -1), so the bytes between the 14-byte
+    # header and the 8-byte end marker bound the decodable output.
+    # Check BEFORE allocating: a 22-byte hostile payload declaring
+    # 4294967295x4294967295 pixels must raise this module's named
+    # error, not attempt a ~7e19-byte numpy allocation.
+    max_px = max(0, len(data) - 22) * 62
+    if n_px > max_px:
+        raise ValueError(
+            f"QOI header declares {w}x{h} = {n_px} pixels but the "
+            f"{max(0, len(data) - 22)}-byte chunk stream can encode "
+            f"at most {max_px}"
+        )
     out = np.empty((n_px, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255

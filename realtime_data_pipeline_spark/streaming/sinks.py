@@ -299,6 +299,13 @@ class UpsertTable:
                     os.path.join(self.path, f"v={v_new}")
                 )
                 pending = [list(p) for p in m.get("pending", [])]
+                # Deletes only REMOVE rows, so surviving high-water
+                # marks remain upper bounds of the stored monotone
+                # values (the fast-append soundness direction) in
+                # every mode — no invalidation needed; just drop the
+                # mark of a bucket that empties out entirely.
+                mm = m.get("mono_max")
+                marks = mm.get("marks") if isinstance(mm, dict) else None
                 for b in touched:
                     for v_old in self._leaf_versions(m["buckets"][str(b)]):
                         pending.append([v_old, str(b), v_new])
@@ -309,6 +316,8 @@ class UpsertTable:
                         m["buckets"][str(b)] = v_new
                     else:
                         del m["buckets"][str(b)]
+                        if marks is not None:
+                            marks.pop(str(b), None)
                 r = self.retain_versions
                 ripe = [p for p in pending if p[2] < v_new - (r - 1)]
                 m["pending"] = [p for p in pending if p[2] >= v_new - r]
@@ -349,7 +358,21 @@ class UpsertTable:
             "buckets": {},
             "n_buckets": self.n_buckets,
         }
-        mono = m.get("mono_max", {})
+        # High-water marks are tagged with the column they were
+        # recorded for: {"col": <name>, "marks": {bucket: value}}.
+        # Marks recorded for a DIFFERENT column (or by an older layout
+        # without the tag) are meaningless for this session's
+        # `lo > mark` test and are treated as unknown — the one-time
+        # learning path re-establishes them on first rewrite.  Without
+        # the tag, reopening with another key column as monotone_col
+        # could pass the fast-append test against an incomparable mark
+        # and skip the anti-join on a real key collision.
+        mm = m.get("mono_max")
+        stored_col = mm.get("col") if isinstance(mm, dict) else None
+        stored_marks = (
+            dict(mm.get("marks", {})) if stored_col is not None else {}
+        )
+        mono = stored_marks if stored_col == self.monotone_col else {}
 
         # Classify each touched bucket.  "fast" = provably no key
         # collision with stored rows (bucket min of the monotone key
@@ -494,7 +517,25 @@ class UpsertTable:
                 elif entry is None and hi is not None:
                     mono[str(b)] = self._mono_encode(hi)  # new bucket
         if self.monotone_col:
-            m["mono_max"] = mono
+            m["mono_max"] = {"col": self.monotone_col, "marks": mono}
+        elif stored_col is not None:
+            # Classic-mode merge into a table carrying marks: the
+            # batch may insert rows whose monotone values exceed the
+            # stored marks, which would let a later monotone-mode
+            # reopen fast-append against a stale mark and silently
+            # duplicate keys.  Drop the touched buckets' marks (they
+            # relearn on first rewrite); untouched buckets' marks stay
+            # valid — nothing was inserted there.
+            for b in touched:
+                stored_marks.pop(str(b), None)
+            if stored_marks:
+                m["mono_max"] = {"col": stored_col, "marks": stored_marks}
+            else:
+                m.pop("mono_max", None)
+        elif mm is not None:
+            # legacy untagged marks are never trusted — clear them so
+            # the manifest converges to the tagged layout
+            m.pop("mono_max", None)
         self._flip(m)
         self._vacuum(ripe)
 

@@ -295,24 +295,30 @@ def test_wav_decode_through_mapinpandas(spark):
 
 def test_decode_wav_truncated_chunk_raises_named_error():
     good = _wav_bytes(np.array([1, -2, 3, -4], dtype=np.int64))
-    # a short FINAL data chunk is the streaming-writer case (tested
-    # below); a truncated NON-data chunk is structural corruption.
-    # Chop mid-fmt: keep the RIFF header + "fmt " id + size field but
-    # only part of the fmt body.
+    # a short final data chunk under the 0xFFFFFFFF sentinel is the
+    # streaming-writer case (tested below); a truncated NON-data chunk
+    # is structural corruption.  Chop mid-fmt: keep the RIFF header +
+    # "fmt " id + size field but only part of the fmt body.
     with pytest.raises(ValueError, match="truncated WAVE chunk"):
         multimodal.decode_wav(good[:24])
-    # chopping into the final data chunk mid-sample still raises the
-    # named misalignment error, never a silent short read
-    with pytest.raises(ValueError, match="not a multiple"):
+    # chopping into the final data chunk — transit truncation under an
+    # honest declared size — raises the structural error whether or
+    # not the remainder is sample-aligned (a silent short read would
+    # be indistinguishable from corruption)
+    with pytest.raises(ValueError, match="truncated WAVE chunk"):
         multimodal.decode_wav(good[:-3])
+    with pytest.raises(ValueError, match="truncated WAVE chunk"):
+        multimodal.decode_wav(good[:-2])
 
 
 def test_decode_wav_streaming_placeholder_data_size():
-    """Streaming-written WAVs (piped encoder output) carry a
-    placeholder data-chunk size — 0xFFFFFFFF or a stale overrun —
-    because the writer cannot seek back to patch the header.  A final
-    data chunk whose declared size overruns the payload decodes
-    best-effort as the remaining bytes (ADVICE r12)."""
+    """Streaming-written WAVs (piped encoder output) carry the
+    canonical 0xFFFFFFFF placeholder data-chunk size because the
+    writer cannot seek back to patch the header; exactly that sentinel
+    decodes best-effort as the remaining bytes.  An ARBITRARY stale
+    overrun is indistinguishable from truncation in transit and raises
+    the structural error instead (ADVICE r12 relaxed this; ADVICE r13
+    narrowed it back to the sentinel)."""
     import struct
 
     want = np.array([5, -6, 7, -8], dtype=np.int64)
@@ -321,14 +327,19 @@ def test_decode_wav_streaming_placeholder_data_size():
     # field sits 4 bytes before its 8-byte body
     size_off = len(good) - 8 - 4
     assert good[size_off - 4 : size_off] == b"data"
-    for placeholder in (0xFFFFFFFF, 9, 10_000):
-        patched = (
+
+    def _patched(declared):
+        return (
             good[:size_off]
-            + struct.pack("<I", placeholder)
+            + struct.pack("<I", declared)
             + good[size_off + 4 :]
         )
-        rate, n_ch, got = multimodal.decode_wav(patched)
-        assert got.tolist() == want.tolist()
+
+    rate, n_ch, got = multimodal.decode_wav(_patched(0xFFFFFFFF))
+    assert got.tolist() == want.tolist()
+    for stale in (9, 10_000):
+        with pytest.raises(ValueError, match="truncated WAVE chunk"):
+            multimodal.decode_wav(_patched(stale))
 
 
 def test_decode_wav_misaligned_pcm_raises_named_error():
@@ -496,6 +507,39 @@ def test_qoi_named_errors():
     )
     with pytest.raises(ValueError, match="overruns"):
         multimodal.decode_qoi(bad)
+
+
+def test_qoi_hostile_dims_rejected_before_allocation():
+    """A tiny payload declaring astronomically large dims must raise
+    the module's named error BEFORE the (h*w, 4) allocation — one
+    chunk byte encodes at most 62 pixels (QOI_OP_RUN max), so the
+    stream length bounds the believable pixel count (ADVICE r13).
+    The 22-byte minimum (header + end marker) with 2^32-1 x 2^32-1
+    dims would otherwise attempt a ~7e19-byte numpy allocation."""
+    import struct
+
+    hostile = (
+        multimodal._QOI_MAGIC
+        + struct.pack(">II", 0xFFFFFFFF, 0xFFFFFFFF)
+        + bytes((4, 0))
+        + multimodal._QOI_END
+    )
+    with pytest.raises(ValueError, match="can encode at most"):
+        multimodal.decode_qoi(hostile)
+    # via the public dispatch too — the path a hostile documents-table
+    # payload would take
+    with pytest.raises(ValueError, match="can encode at most"):
+        multimodal.decode_image(hostile)
+    # the bound must not over-reject: a 1x1 image from a single
+    # RUN(1) chunk byte (23 bytes total — the minimum decodable
+    # stream) sits at the edge and still decodes, to the spec's
+    # initial previous-pixel (0,0,0)
+    one = (
+        multimodal._QOI_MAGIC + struct.pack(">II", 1, 1) + bytes((3, 0))
+        + bytes([0xC0]) + multimodal._QOI_END
+    )
+    got = multimodal.decode_qoi(one)
+    assert got.shape == (1, 1, 3) and got.tolist() == [[[0, 0, 0]]]
 
 
 def test_decode_image_dispatches_qoi():

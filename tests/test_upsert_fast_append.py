@@ -226,3 +226,64 @@ def test_timestamp_monotone_marks_roundtrip_manifest(spark, tmp_path):
     assert isinstance(entry, list) and len(entry) == 2
     t.merge(b(2, range(3)))  # replay -> fold
     assert len(t.read().collect()) == 6
+
+
+def test_classic_mode_merge_invalidates_stale_marks(spark, tmp_path):
+    """ADVICE r13 (medium): a classic-mode merge (monotone_col=None)
+    can insert rows whose monotone values exceed the stored high-water
+    marks.  If the marks survived, a later monotone-mode reopen could
+    pass the `lo > mark` fast-append test against a stale mark while
+    the batch's keys collide with the classic-inserted rows — the
+    append would skip the anti-join and duplicate keys.  The classic
+    merge must therefore drop the touched buckets' marks."""
+    path = str(tmp_path / "t")
+    t = UpsertTable(spark, path, ["w", "k"], n_buckets=1, monotone_col="w")
+    t.merge(_batch(spark, 1, range(4)))
+    t.merge(_batch(spark, 2, range(4)))  # marks now say max w == 2
+    # classic reopen inserts keys at w=10 — beyond the stored mark
+    classic = UpsertTable(spark, path, ["w", "k"], n_buckets=1)
+    classic.merge(_df(spark, [(10, k, -1) for k in range(4)]))
+    mm = _manifest(path).get("mono_max")
+    assert not (mm or {}).get("marks"), mm  # touched bucket's mark gone
+    # monotone reopen upserts the SAME (10, k) keys: mark is unknown,
+    # so this must take the rewrite path and keep keys unique
+    t2 = UpsertTable(spark, path, ["w", "k"], n_buckets=1, monotone_col="w")
+    t2.merge(_df(spark, [(10, k, 777) for k in range(4)]))
+    got = {(r.w, r.k): r.v for r in t2.read().collect()}
+    assert len(got) == 12  # 4+4+4 distinct keys, no duplicates
+    assert all(got[(10, k)] == 777 for k in range(4))
+
+
+def test_marks_tagged_with_column_identity(spark, tmp_path):
+    """Marks recorded for one monotone column must not be trusted when
+    the table is reopened with a DIFFERENT key column as monotone_col
+    — the `lo > mark` comparison would be between incomparable
+    domains.  Scenario: key (k, t), marks recorded on t; reopening on
+    k and upserting an existing key whose k exceeds the stored t-mark
+    must still rewrite (single row), not fast-append a duplicate."""
+    path = str(tmp_path / "t")
+    rows = "k int, t int, v int"
+    t1 = UpsertTable(spark, path, ["k", "t"], n_buckets=1, monotone_col="t")
+    t1.merge(spark.createDataFrame([(200, 50, 1)], rows))
+    mm = _manifest(path)["mono_max"]
+    assert mm["col"] == "t" and mm["marks"], mm  # tagged layout
+    t2 = UpsertTable(spark, path, ["k", "t"], n_buckets=1, monotone_col="k")
+    # same key (200, 50): k-lo = 200 > stale t-mark 50, but the mark
+    # is for another column — must be ignored, rewrite, upsert
+    t2.merge(spark.createDataFrame([(200, 50, 2)], rows))
+    got = t2.read().collect()
+    assert len(got) == 1 and got[0].v == 2
+    # and the manifest now carries k-marks, relearned on the rewrite
+    mm2 = _manifest(path)["mono_max"]
+    assert mm2["col"] == "k" and mm2["marks"], mm2
+
+
+def test_delete_emptying_bucket_drops_its_mark(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = UpsertTable(spark, path, ["w", "k"], n_buckets=1, monotone_col="w")
+    t.merge(_batch(spark, 1, range(3)))
+    assert _manifest(path)["mono_max"]["marks"]
+    t.delete_keys(_batch(spark, 1, range(3)).select("w", "k"))
+    m = _manifest(path)
+    assert m["buckets"] == {}
+    assert not m.get("mono_max", {}).get("marks"), m.get("mono_max")
