@@ -73,6 +73,11 @@ def q_streaming_replay_user_counts(spark, sf_dir):
     # advancing the watermark so every real window is finalized/emitted.
     stream = file_replay_stream(spark, replay, EVENT_SCHEMA, max_files_per_trigger=1)
     agg = windowed_stream_counts(stream, "user_id")
+    # Deliberately still the CLASSIC sink: this face is parity-local
+    # (outside the r14 driver window), and the changed-plan-first rule
+    # requires any plan change to land driver-hashed the same round —
+    # switch to monotone_col="window_start" when it rotates back in
+    # (r15 candidate; the four in-window twins switched in r14).
     table = UpsertTable(spark, os.path.join(base, "table"), KEYS)
     q = start_upsert_query(
         agg,
@@ -154,7 +159,12 @@ def q_streaming_dedup_user_counts(spark, sf_dir):
         ["event_id"]
     )
     agg = windowed_stream_counts(deduped, "user_id", slide=None, watermark=None)
-    table = UpsertTable(spark, os.path.join(base, "table"), KEYS)
+    # append-mode finalized windows are non-decreasing in window_start
+    # across merges -> fast-append sink (r13 soak: 5x per-batch at 10x
+    # stream length; results proven identical to the classic path)
+    table = UpsertTable(
+        spark, os.path.join(base, "table"), KEYS, monotone_col="window_start"
+    )
     q = start_upsert_query(
         agg,
         table,
@@ -344,6 +354,12 @@ def q_streaming_session_counts(spark, sf_dir):
             "n_events",
         )
     )
+    # Classic sink (changed-plan-first: parity-local this round).  A
+    # session window's start is NOT width-tied to its end, so unlike
+    # the fixed-width twins, later-finalized sessions can START
+    # earlier than already-stored ones — monotone_col would be sound
+    # (the mark test just never proves eligibility) but mostly
+    # useless; this face stays on the rewrite path by design.
     table = UpsertTable(
         spark,
         os.path.join(base, "table"),
@@ -425,7 +441,11 @@ def q_streaming_json_wire_counts(spark, sf_dir):
         spark.readStream.option("maxFilesPerTrigger", "1").text(replay)
     )
     agg = windowed_stream_counts(parse_events(raw), "user_id")
-    table = UpsertTable(spark, os.path.join(base, "table"), KEYS)
+    # append-mode windowed twin -> fast-append sink (see
+    # streaming_dedup_user_counts; identical-results contract)
+    table = UpsertTable(
+        spark, os.path.join(base, "table"), KEYS, monotone_col="window_start"
+    )
     q = start_upsert_query(
         agg,
         table,
@@ -884,6 +904,9 @@ def q_streaming_enriched_segment_counts(spark, sf_dir):
         spark,
         os.path.join(base, "table"),
         ["window_start", "window_end", "c_mktsegment"],
+        # append-mode windowed twin -> fast-append sink (see
+        # streaming_dedup_user_counts; identical-results contract)
+        monotone_col="window_start",
     )
     q = start_upsert_query(
         agg,
@@ -935,8 +958,16 @@ def q_streaming_window_topk_items(spark, sf_dir):
         spark, replay, EVENT_SCHEMA, max_files_per_trigger=1
     )
     agg = windowed_stream_counts(stream, "item_id")
+    # append-mode windowed twin -> fast-append sink.  The rank key
+    # (window_start, rk) re-emits the SAME rk values every window, but
+    # window_start still only moves forward, so fast eligibility holds
+    # exactly when a merge carries strictly newer windows; a replayed
+    # window fails lo > mark and takes the idempotent rewrite.
     table = UpsertTable(
-        spark, os.path.join(base, "table"), ["window_start", "rk"]
+        spark,
+        os.path.join(base, "table"),
+        ["window_start", "rk"],
+        monotone_col="window_start",
     )
 
     def rank_and_merge(batch_df, batch_id):

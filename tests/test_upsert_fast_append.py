@@ -287,3 +287,32 @@ def test_delete_emptying_bucket_drops_its_mark(spark, tmp_path):
     m = _manifest(path)
     assert m["buckets"] == {}
     assert not m.get("mono_max", {}).get("marks"), m.get("mono_max")
+
+
+def test_registry_windowed_twins_engage_fast_path(spark):
+    """Round-14 adoption pin: the driver-hashed append-mode windowed
+    twins run their replay through the fast-append sink
+    (monotone_col="window_start") and the fast path actually ENGAGES —
+    the final manifest carries a multi-leaf bucket stack and the
+    column-tagged marks, proving the second emission batch appended
+    instead of silently falling back to the rewrite path.  (Result
+    parity with the classic sink is covered by the oracle suites; this
+    pins the mechanism.)"""
+    import json
+
+    from realtime_data_pipeline_spark.plans import REGISTRY
+
+    df = REGISTRY["streaming_dedup_user_counts"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() > 0
+    root = df.inputFiles()[0].split("/v=")[0].replace("file:", "")
+    m = _manifest(root)
+    stacks = [
+        e
+        for e in m["buckets"].values()
+        if isinstance(e, list) and len(e) > 1
+    ]
+    assert stacks, m["buckets"]  # >=1 bucket took a leaf APPEND
+    assert m["mono_max"]["col"] == "window_start"
+    assert m["mono_max"]["marks"]
