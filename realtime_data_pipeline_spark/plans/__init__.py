@@ -609,6 +609,81 @@ from realtime_data_pipeline_spark.plans import lake  # noqa: F401
 # list) + the r12 rotate-in cohort, which reaches 2-round green when
 # CORRECTNESS_r13 lands — family arguments at rotation time per the
 # r11-r13 template.
+#
+# Round-14 rotation (EXECUTED — exactly the staged queue above,
+# re-confirmed by regreen_queue.py --slots 11 against the r1-r13
+# artifacts: CORRECTNESS_r13 is 50/50 green so the staleness ordering
+# is unchanged; gate RE-RUN this round on the final plans — all 11
+# rotate-ins green via full_parity_sweep --only under both config
+# axes, engine-default tz / shuffle=8 AND Asia/Kathmandu /
+# shuffle=3).  ELEVEN in, ELEVEN out.  CHANGED PLANS this round, all
+# window-covered per the changed-plan-first rule: the four
+# append-mode windowed streaming twins switched to the fast-append
+# sink (monotone_col="window_start"; streaming_queries.py) — two of
+# them (streaming_dedup_user_counts, streaming_json_wire_counts)
+# enter the window with this rotation, the other two
+# (streaming_enriched_segment_counts, streaming_window_topk_items)
+# already hold slots; multimodal_decode_stats' decode kernels gained
+# the QOI pre-allocation pixel bound + the WAV sentinel-only
+# best-effort restriction (edge-case paths, planted payloads
+# untouched) and it KEEPS its slot; upsert_time_travel_stats rides
+# the mark-layout change in sinks.py and keeps its slot.
+# Rotate-outs = the 5/6-round-held eval/analytics cohort (7) + four
+# of the r12 rotate-in cohort at 2-round green (r12+r13).  Family
+# coverage for each rotate-out:
+#   ks_drift_report + minhash_calibration_report (eval/calibration,
+#     held since r8): staying daily_anomaly_report keeps the
+#     eval/anomaly family hashed; the KS and calibration faces go
+#     parity-local with their closed-form oracles intact,
+#   term_postings_stats (postings/IDF): incoming tfidf_top_terms IS
+#     the same postings→TF-IDF family with a strictly harder oracle
+#     (full tf-idf ranking, not just document frequencies),
+#   ann_recall_report (ANN eval): anchor ann_stored_index_topk +
+#     staying ann_bruteforce_topk keep both ANN faces (index path and
+#     exact baseline) under the hash,
+#   corpus_curation_stats (curation end-to-end): staying
+#     quality_funnel_stats + anchor streaming_doc_quality_counts
+#     carry the quality-gate family; the CC component stays hashed
+#     via staying dedup_clusters,
+#   frequent_terms_report (batch Misra-Gries): anchor
+#     streaming_frequent_terms is the SAME operator's streaming face
+#     and pins the shared phi constant by assert,
+#   event_type_lift (co-occurrence lift): staying funnel_conversion
+#     keeps event-sequence analytics hashed; the lift face is
+#     parity-local,
+#   exact_dedup_groups (dedup): staying dedup_clusters is the
+#     strictly harder dedup face (LSH candidates + connected
+#     components vs hash-groupBy) + anchor streaming_incremental_dedup,
+#   language_id (text): incoming vocab_oov_rates + tfidf_top_terms
+#     carry tokenization under the hash; the n-gram model itself has
+#     a pure-Python twin (tests/test_langid_model.py),
+#   text_metrics (text metrics): anchor streaming_doc_quality_counts
+#     computes the same quality metrics streaming-side every round,
+#   click_and_purchase_users (click×purchase semi-join): incoming
+#     streaming_click_purchase_join is the same click×purchase join
+#     family at stream strength (stream-stream interval join).
+# Oldest last-green in the registry rises from r5 to r6-era.
+#
+# Round-15 queue STAGED (COMPUTED by regreen_queue.py --slots 11
+# against the r1-r13 artifacts AFTER this round's window update, so
+# the r14 rotate-in cohort is excluded): approx_quantiles_report,
+# benchmark_contamination, curation_keep_best, doc_chunks,
+# doc_repetition_scores, documents_profile,
+# embedding_dedup_clusters, event_dedup_counts, fuzzy_prefix_dups,
+# kmeans_codebook_report, latest_event_per_user (all last green r6).
+# All 11 PRE-VERIFIED round 14 (the r10 protocol): byte-exact parity
+# green under BOTH config axes (engine-default tz / shuffle=8 AND
+# Asia/Kathmandu / shuffle=3) via full_parity_sweep --only, scalar
+# driver canon (registry-wide ratchet), rows>0 at sf0.01.  Recompute
+# the staleness ordering against CORRECTNESS_r14 when it lands.
+# Rotate-out candidates at r15: the r13 rotate-in cohort (2-round
+# green when CORRECTNESS_r14 lands) + the remaining r12 cohort slots
+# (doc_fingerprints, nation_top_customers, order_priority_rollup,
+# simhash_near_dups, customer_order_count_histogram,
+# customer_spend_distribution, pricing_summary) at 3-round green.
+# streaming_replay_user_counts still runs the CLASSIC sink; switch it
+# to monotone_col="window_start" in whichever round stale-first
+# ordering rotates it back in (changed-plan-first applies then).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -631,18 +706,20 @@ _DRIVER_WINDOW = [
     "embedding_health_report",
     "ann_stored_index_topk", "zorder_roundtrip_stats",
     "upsert_time_travel_stats",
-    # round-8 rotate-ins kept for cadence (eval/analytics wave;
-    # doc_lm_scores + rfm_segments rotated out r12 with family args)
-    "ks_drift_report",
-    "minhash_calibration_report",
-    "term_postings_stats",
-    # LLM-data operators (northstar.py + analytics.py)
-    "ann_recall_report",
-    "corpus_curation_stats", "frequent_terms_report",
-    # r9-promotes still held: the two streaming anchors + the
-    # co-occurrence family's kept sibling (round-11 rotation record)
-    "streaming_model_scored_counts", "event_type_lift",
+    # streaming anchors (r9 promotes; event_type_lift rotated out r14
+    # with the eval/analytics cohort — family args in the r14 record)
+    "streaming_model_scored_counts",
     "streaming_doc_quality_counts",
+    # round-14 rotate-ins: the stalest parity-local cohort (r5-era
+    # lifecycle/relational/streaming-replay shapes; gate re-run green
+    # both axes this round — see the r14 rotation record above; the
+    # two streaming twins enter ON their new fast-append-sink plans)
+    "sequence_packing_stats", "session_window_counts",
+    "shard_skew_stats", "streaming_click_purchase_join",
+    "streaming_dedup_user_counts", "streaming_json_wire_counts",
+    "streaming_running_user_totals", "tfidf_top_terms",
+    "user_session_stats", "vocab_oov_rates",
+    "weekly_cohort_retention",
     # round-13 rotate-ins: the stalest parity-local cohort (r4/r5-era
     # window/relational/split/ANN/dedup shapes; gate re-run green both
     # axes this round — see the r13 rotation record above)
@@ -654,12 +731,13 @@ _DRIVER_WINDOW = [
     # streaming anchor (stays; the rest of the r10 rotate-in cohort
     # rotated out r12 at 2-round green — family args in the record)
     "streaming_window_topk_items",
-    # round-12 rotate-ins: the stalest parity-local cohort (r3/r4-era
-    # text/dedup/relational shapes; gate re-run green both axes)
-    "doc_fingerprints", "exact_dedup_groups", "language_id",
+    # round-12 rotate-ins still held (exact_dedup_groups, language_id,
+    # text_metrics, click_and_purchase_users rotated out r14 at
+    # 2-round green — family args in the r14 record)
+    "doc_fingerprints",
     "nation_top_customers", "order_priority_rollup",
-    "simhash_near_dups", "text_metrics",
-    "click_and_purchase_users", "customer_order_count_histogram",
+    "simhash_near_dups",
+    "customer_order_count_histogram",
     "customer_spend_distribution", "pricing_summary",
     # round-12 NEW plan (changed-plan-first): the decode-layer hash
     # row — real WAV/P6/BMP/y4m decoders under the DuckDB hash
