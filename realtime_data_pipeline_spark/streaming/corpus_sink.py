@@ -22,9 +22,15 @@ old data is `rm -r batch=<k>` for committed batch ranges — no rewrite.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from realtime_data_pipeline_spark.operators import writer
+
+_FOLDS = "_FOLDS.json"  # underscore prefix: invisible to Spark's file index
 
 
 def corpus_append_sink(
@@ -107,3 +113,117 @@ def compact_corpus(
         key=key,
         n_shards=n_shards,
     )
+
+
+def _fold_manifest(out_dir: str) -> dict:
+    try:
+        with open(os.path.join(out_dir, _FOLDS)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {"gen_counter": 0, "gens": [], "pending_delete": []}
+
+
+def _write_fold_manifest(out_dir: str, m: dict) -> None:
+    tmp = os.path.join(out_dir, _FOLDS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, os.path.join(out_dir, _FOLDS))
+
+
+def fold_batches(
+    spark: SparkSession,
+    out_dir: str,
+    upto_batch: int,
+    partition_cols: tuple[str, ...] = ("lang",),
+    key: str = "doc_id",
+    n_shards: int = writer.DEFAULT_SHARDS,
+    max_gens: int = 8,
+) -> int:
+    """In-place maintenance fold: consolidate COMMITTED streaming
+    subtrees `batch=0..upto_batch` into one generation directory
+    `batch=-<g>` (negative ids can never collide with streaming batch
+    ids), deleting the folded sources — file count drops from
+    O(batches x langs x shards) to O(langs x shards) per generation
+    while the read path stays a plain parquet scan with the same
+    partition pruning.
+
+    Tiered like the upsert sink's leaf stacks (sinks.py stack_max):
+    a routine fold touches only the NEW batch dirs since the last fold
+    — O(fold period) I/O regardless of table size — and once
+    `max_gens` generations accumulate, ONE fold also folds the
+    generations themselves.  Amortized per-batch maintenance cost is
+    O(table / (period x max_gens)), the LSM bound, instead of the
+    rewrite-everything-per-fold O(table).
+
+    Only pass a COMMITTED `upto_batch` (inside foreachBatch for batch
+    N, N-1 and older are committed): a checkpoint replay rewrites its
+    own still-present `batch=<id>/` subtree and never touches folds.
+
+    Crash safety mirrors the upsert sink's pending-delete ledger: the
+    fold writes to an underscore-temp (invisible to readers), renames
+    into place, commits the new generation list to `_FOLDS.json`, THEN
+    deletes sources.  A crash before the manifest commit leaves an
+    orphan generation dir that the next call removes (sources intact
+    — exactly-once preserved); a crash after it leaves duplicates
+    visible until the next call replays the pending deletions, so
+    crash recovery should call fold_batches (any upto) before
+    trusting reads — the VACUUM-grace contract.
+
+    Returns the number of source directories folded (0 = no-op)."""
+    m = _fold_manifest(out_dir)
+    # heal: replay pending deletions, drop uncommitted fold leftovers
+    for d in m["pending_delete"]:
+        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    if m["pending_delete"]:
+        m["pending_delete"] = []
+        _write_fold_manifest(out_dir, m)
+    shutil.rmtree(os.path.join(out_dir, "_fold_tmp"), ignore_errors=True)
+    try:
+        entries = os.listdir(out_dir)
+    except FileNotFoundError:
+        return 0
+    known_gens = {f"batch=-{g}" for g in m["gens"]}
+    for e in entries:
+        if e.startswith("batch=-") and e not in known_gens:
+            # gen dir written but never committed to the manifest: the
+            # fold crashed pre-commit, its sources are still present
+            shutil.rmtree(os.path.join(out_dir, e), ignore_errors=True)
+
+    sources = [
+        e
+        for e in entries
+        if e.startswith("batch=")
+        and not e.startswith("batch=-")
+        and int(e.split("=", 1)[1]) <= upto_batch
+    ]
+    full = len(m["gens"]) >= max_gens
+    if full:
+        sources += sorted(known_gens)
+    if not sources:
+        return 0
+    # basePath keeps partition discovery rooted at the table even
+    # though only the fold's source subtrees are listed; batch/shard
+    # are dropped (write_corpus re-derives shard, the fold IS the new
+    # batch identity)
+    docs = (
+        spark.read.option("basePath", out_dir)
+        .parquet(*[os.path.join(out_dir, s) for s in sources])
+        .drop("batch", "shard")
+    )
+    g = m["gen_counter"] + 1
+    tmp = os.path.join(out_dir, "_fold_tmp")
+    writer.write_corpus(
+        docs, tmp, partition_cols=partition_cols, key=key, n_shards=n_shards
+    )
+    os.rename(tmp, os.path.join(out_dir, f"batch=-{g}"))
+    m = {
+        "gen_counter": g,
+        "gens": [g] if full else m["gens"] + [g],
+        "pending_delete": sources,
+    }
+    _write_fold_manifest(out_dir, m)
+    for s in sources:
+        shutil.rmtree(os.path.join(out_dir, s), ignore_errors=True)
+    m["pending_delete"] = []
+    _write_fold_manifest(out_dir, m)
+    return len(sources)

@@ -267,6 +267,223 @@ def run_dedup_step(docs: int, out_json: str) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# Corpus-append stream shape (--query corpus): constant docs per
+# micro-batch into the partitioned+sharded lake layout, with the
+# tiered in-place fold (corpus_sink.fold_batches) every FOLD_PERIOD
+# batches.  The bounded resource is the FILE COUNT: unfolded it grows
+# O(batches x langs x shards); with the fold it is capped by
+# (FOLD_PERIOD live batches + max_gens generations) x langs x shards.
+# The probe records per-batch file counts, fold cadence/cost, and the
+# per-batch sink wall trend — flat means the append cost never grows
+# with table size (folds are the only table-sized work, and only the
+# every-(FOLD_PERIOD x max_gens)th one touches the whole table).
+CORPUS_DOCS_PER_SLICE = 2500
+CORPUS_LANGS = 5
+CORPUS_SHARDS = 4
+FOLD_PERIOD = 10
+FOLD_MAX_GENS = 8
+
+
+def _gen_corpus_slice(spark, i: int):
+    from pyspark.sql import functions as F
+
+    start = i * CORPUS_DOCS_PER_SLICE
+    return spark.range(start, start + CORPUS_DOCS_PER_SLICE).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("lang_"),
+            F.pmod(F.xxhash64("id"), F.lit(CORPUS_LANGS)).cast("string"),
+        ).alias("lang"),
+        F.expr(
+            "array_join(transform(sequence(0, 19), j -> "
+            "concat('t', pmod(xxhash64(id * 31 + j), 50000))), ' ')"
+        ).alias("text"),
+    )
+
+
+def _count_parquet_files(path: str) -> tuple[int, int]:
+    """(parquet file count, top-level batch=* dir count)."""
+    n_files = 0
+    for root, _dirs, files in os.walk(path):
+        n_files += sum(1 for f in files if f.endswith(".parquet"))
+    try:
+        n_dirs = sum(
+            1 for e in os.listdir(path) if e.startswith("batch=")
+        )
+    except FileNotFoundError:
+        n_dirs = 0
+    return n_files, n_dirs
+
+
+def run_corpus_step(docs: int, out_json: str) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from realtime_data_pipeline_spark.session import get_spark
+    from realtime_data_pipeline_spark.streaming import corpus_sink
+
+    n_slices = docs // CORPUS_DOCS_PER_SLICE
+    spark = get_spark(
+        app_name="rdp-streaming-soak-corpus", master="local[8]",
+        shuffle_partitions=8,
+    )
+    base = tempfile.mkdtemp(prefix="rdp_streaming_soak_")
+    replay = os.path.join(base, "replay")
+    out = os.path.join(base, "out")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    try:
+        for i in range(n_slices):
+            _gen_corpus_slice(spark, i).coalesce(1).write.mode(
+                "append"
+            ).parquet(replay)
+
+        batches: list[dict] = []
+        append = corpus_sink.corpus_append_sink(
+            out, partition_cols=("lang",), n_shards=CORPUS_SHARDS
+        )
+
+        def _process(batch_df, batch_id: int) -> None:
+            t0 = time.perf_counter()
+            append(batch_df, batch_id)
+            append_wall = time.perf_counter() - t0
+            fold_wall, folded = 0.0, 0
+            if batch_id > 0 and batch_id % FOLD_PERIOD == 0:
+                # batch_id-1 and older are committed once this batch
+                # runs (sequential execution) — the documented
+                # fold_batches contract
+                t1 = time.perf_counter()
+                folded = corpus_sink.fold_batches(
+                    spark, out, upto_batch=batch_id - 1,
+                    n_shards=CORPUS_SHARDS, max_gens=FOLD_MAX_GENS,
+                )
+                fold_wall = time.perf_counter() - t1
+            n_files, n_dirs = _count_parquet_files(out)
+            batches.append(
+                {
+                    "batch_id": batch_id,
+                    "append_wall_sec": round(append_wall, 3),
+                    "folded_sources": folded,
+                    "fold_wall_sec": round(fold_wall, 3),
+                    "files": n_files,
+                    "batch_dirs": n_dirs,
+                }
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay)
+        )
+        t_start = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        while q.isActive:
+            q.awaitTermination(10)
+        wall = time.perf_counter() - t_start
+
+        out_df = spark.read.parquet(out)
+        out_rows = out_df.count()
+        out_distinct = out_df.select("doc_id").distinct().count()
+        walls = [b["append_wall_sec"] for b in batches]
+        quarter = max(1, len(batches) // 4)
+        fold_walls = [
+            b["fold_wall_sec"] for b in batches if b["folded_sources"]
+        ]
+        result = {
+            "docs": docs,
+            "batches": len(batches),
+            "wall_sec": round(wall, 2),
+            "out_rows": out_rows,
+            "exactly_once": out_rows == docs == out_distinct,
+            "files_max": max(b["files"] for b in batches),
+            "files_final": batches[-1]["files"],
+            "batch_dirs_max": max(b["batch_dirs"] for b in batches),
+            "folds": len(fold_walls),
+            "fold_wall_max_sec": max(fold_walls) if fold_walls else 0.0,
+            "fold_wall_total_sec": round(sum(fold_walls), 2),
+            "append_wall_p50_first_quarter": round(
+                statistics.median(walls[:quarter]), 3
+            ),
+            "append_wall_p50_last_quarter": round(
+                statistics.median(walls[-quarter:]), 3
+            ),
+            "loadavg_1min_at_end": round(os.getloadavg()[0], 2),
+            "per_batch": batches,
+        }
+        with open(out_json, "w") as f:
+            json.dump(result, f)
+    finally:
+        spark.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def run_corpus_soak(args) -> int:
+    steps = {}
+    for label, n in (("small", args.docs_small), ("large", args.docs_large)):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            step_out = tf.name
+        print(f"[{label}] {n} docs (corpus sink) ...", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--query", "corpus",
+             "--single", str(n), "--out", step_out],
+            check=True,
+        )
+        with open(step_out) as f:
+            steps[label] = json.load(f)
+        os.unlink(step_out)
+        summary = {k: v for k, v in steps[label].items() if k != "per_batch"}
+        print(f"[{label}] {json.dumps(summary)}", flush=True)
+
+    s, l = steps["small"], steps["large"]
+    artifact = {
+        "metric": "streaming_soak",
+        "query": "file_replay -> corpus append sink (batch=<id> lake "
+        f"layout) + tiered in-place fold every {FOLD_PERIOD} batches "
+        f"(max_gens={FOLD_MAX_GENS})",
+        "docs": [s["docs"], l["docs"]],
+        "batches": [s["batches"], l["batches"]],
+        "wall_sec": [s["wall_sec"], l["wall_sec"]],
+        "exactly_once": [s["exactly_once"], l["exactly_once"]],
+        "files_max": [s["files_max"], l["files_max"]],
+        "files_final": [s["files_final"], l["files_final"]],
+        "batch_dirs_max": [s["batch_dirs_max"], l["batch_dirs_max"]],
+        "unfolded_files_would_be": [
+            s["batches"] * CORPUS_LANGS * CORPUS_SHARDS,
+            l["batches"] * CORPUS_LANGS * CORPUS_SHARDS,
+        ],
+        "folds": [s["folds"], l["folds"]],
+        "fold_wall_max_sec": [s["fold_wall_max_sec"], l["fold_wall_max_sec"]],
+        "append_wall_p50": {
+            "small_first_q": s["append_wall_p50_first_quarter"],
+            "small_last_q": s["append_wall_p50_last_quarter"],
+            "large_first_q": l["append_wall_p50_first_quarter"],
+            "large_last_q": l["append_wall_p50_last_quarter"],
+        },
+        "steps": steps,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "steps"}))
+    return 0
+
+
 def run_step(events: int, out_json: str, sink: str = "classic") -> None:
     from pyspark.sql import functions as F
 
@@ -461,7 +678,9 @@ def run_dedup_soak(args) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--single", default=None, help="event count (worker mode)")
-    ap.add_argument("--query", choices=("window", "dedup"), default="window")
+    ap.add_argument(
+        "--query", choices=("window", "dedup", "corpus"), default="window"
+    )
     ap.add_argument("--events-small", type=int, default=100_000)
     ap.add_argument("--events-large", type=int, default=1_000_000)
     ap.add_argument("--docs-small", type=int, default=50_000)
@@ -477,12 +696,16 @@ def main() -> int:
     if args.single:
         if args.query == "dedup":
             run_dedup_step(int(args.single), args.out)
+        elif args.query == "corpus":
+            run_corpus_step(int(args.single), args.out)
         else:
             run_step(int(args.single), args.out, sink=args.sink)
         return 0
 
     if args.query == "dedup":
         return run_dedup_soak(args)
+    if args.query == "corpus":
+        return run_corpus_soak(args)
 
     steps = {}
     for label, n in (("small", args.events_small), ("large", args.events_large)):
