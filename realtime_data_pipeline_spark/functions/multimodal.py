@@ -4,12 +4,15 @@ processed by Arrow-batched pandas UDFs (north-star surface).
 DECODE layer: the codec-FREE public formats are decoded for real with
 pure numpy — RIFF/WAVE integer PCM (decode_wav), netpbm P5/P6 images
 (decode_ppm), uncompressed 24/32-bit BMP (decode_bmp), YUV4MPEG2
-(y4m) raw video frame sampling (sample_frames), and the genuinely
+(y4m) raw video frame sampling (sample_frames), the genuinely
 COMPRESSED QOI image format (decode_qoi — run-length + color-cache +
-delta chunks, public one-page spec, no codec library needed).  Only
-formats that require entropy coding (JPEG/PNG/MP4/...) fall back to a
-PIL import gate and raise NotImplementedError in this container — the
-honest boundary, now much smaller than "all decode".
+delta chunks, public one-page spec, no codec library needed), and the
+ENTROPY-CODED PNG format (decode_png — stdlib zlib IS the codec;
+chunk walk + CRCs + per-row None/Sub/Up/Average/Paeth unfiltering).
+Only formats whose codecs are outside the standard library
+(JPEG/MP4/...) fall back to a PIL import gate and raise
+NotImplementedError in this container — the honest boundary, now
+reduced to exactly the non-stdlib codecs.
 
 Scale notes: binary payloads ride in the same row as metadata —
 filters on metadata prune before any Python is invoked; mapInPandas
@@ -296,7 +299,8 @@ def decode_qoi(data: bytes):
     format: run-length chunks, a rolling 64-entry color cache, and
     wrapping delta chunks.  Decoding it needs no codec library, so a
     real compressed codec sits inside the decode hash discipline;
-    only entropy-coded formats (JPEG/PNG/...) stay PIL-gated.
+    only non-stdlib codecs (JPEG/...) stay PIL-gated (PNG decodes
+    via stdlib zlib in decode_png).
 
     Returns an (h, w, channels) uint8 array, channels per the header
     (3=RGB, 4=RGBA).  The chunk walk is an irreducibly sequential
@@ -557,6 +561,275 @@ def encode_qoi(px, colorspace: int = 0) -> bytes:
     return bytes(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (bit depth 8 only): grayscale,
+# truecolor, gray+alpha, truecolor+alpha.  Palette (3) needs a PLTE
+# indirection and stays gated like the other documented variants.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, body) for each chunk, verifying lengths and CRCs.
+    PNG is the one entropy-coded format decodable with the STDLIB
+    alone (zlib IS the codec), so — like QOI before it — it can sit
+    fully inside the decode hash discipline with named errors for
+    every corruption class."""
+    import struct
+    import zlib
+
+    pos = 8
+    while True:
+        if pos + 8 > len(data):
+            raise ValueError(
+                "truncated PNG chunk header: stream ended mid-chunk"
+            )
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(data):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r}: declared {length} bytes"
+            )
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != zlib.crc32(ctype + body) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(data: bytes):
+    """Pure-Python PNG decoder over stdlib zlib: IHDR/IDAT chunk walk,
+    inflate, and per-row unfiltering (None/Sub/Up/Average/Paeth).
+    Supports the bit-depth-8 non-interlaced color types 0/2/4/6;
+    palette, sub-byte depths, 16-bit, and Adam7 interlace raise named
+    errors like the other documented variant gates (y4m C420p10).
+
+    Returns an (h, w) array for grayscale or (h, w, channels) for the
+    multi-sample types, uint8."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    chunks = _png_chunks(data)
+    try:
+        ctype, body = next(chunks)
+    except StopIteration:  # _png_chunks raised through or stream empty
+        raise ValueError("PNG missing IHDR chunk") from None
+    if ctype != b"IHDR" or len(body) != 13:
+        raise ValueError("PNG missing IHDR chunk (must be first)")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", body
+    )
+    if w == 0 or h == 0:
+        raise ValueError(f"PNG zero dimension {w}x{h}: spec requires >= 1")
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"PNG compression/filter method {comp}/{filt}: spec defines 0"
+        )
+    if interlace == 1:
+        raise NotImplementedError(
+            "interlaced PNG (Adam7) not supported: only interlace "
+            "method 0 decodes here"
+        )
+    if interlace != 0:
+        raise ValueError(f"PNG interlace method {interlace}: spec allows 0/1")
+    if color == 3:
+        raise NotImplementedError(
+            "palette PNG (color type 3) not supported: color types "
+            "0/2/4/6 decode codec-free"
+        )
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color}: spec allows 0/2/3/4/6")
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}: only 8-bit samples decode here"
+        )
+    channels = _PNG_CHANNELS[color]
+    stride = w * channels
+    expected = h * (stride + 1)  # one filter byte per row
+    idat = bytearray()
+    saw_end = False
+    for ctype, body in chunks:
+        if ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            saw_end = True
+    if not idat:
+        raise ValueError("PNG missing IDAT chunk")
+    if not saw_end:  # unreachable via _png_chunks, kept for clarity
+        raise ValueError("PNG missing IEND chunk")
+    # Bounded inflate: produce at most expected+1 bytes, so a hostile
+    # header cannot make a small payload allocate more than it
+    # declares, and a declared-vs-actual mismatch is a named error
+    # (the QOI pre-allocation bound, adapted to a zlib world where
+    # output size is otherwise attacker-elastic).
+    d = zlib.decompressobj()
+    try:
+        # DEFLATE expands at most ~1032x, so hostile header dims whose
+        # `expected` dwarfs what the IDAT stream could ever produce
+        # (or even overflows ssize_t) clamp to a cap the stream itself
+        # bounds — the mismatch error below then names the lie.
+        raw = d.decompress(idat, min(expected + 1, len(idat) * 1032 + 64))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from None
+    if len(raw) != expected:
+        # max_length caps the inflate at expected+1, so ANY
+        # overproduction surfaces as exactly expected+1 bytes here
+        raise ValueError(
+            f"PNG pixel data size mismatch: {w}x{h}x{channels} needs "
+            f"{expected} filtered bytes, inflate produced "
+            f"{'>' if len(raw) > expected else ''}{len(raw)}"
+        )
+
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        cur = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(
+                f"PNG filter type {ft} in row {y}: spec defines 0-4"
+            )
+        out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = cur
+    if channels == 1:
+        return out.reshape((h, w))
+    return out.reshape((h, w, channels))
+
+
+def encode_png(px, filters=None) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 2|3|4) uint8 array as a
+    non-interlaced 8-bit PNG.  Per-row filter choice defaults to the
+    minimum-sum-of-absolute-differences heuristic (the standard
+    filter selector, so real gradients genuinely compress via
+    Sub/Up/Average/Paeth); pass `filters` (an int, or one int per
+    row) to force specific filter types — the property tests use this
+    to drive every unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        channels = 1
+    elif px.ndim == 3 and px.shape[2] in (2, 3, 4):
+        channels = px.shape[2]
+    else:
+        raise ValueError(
+            f"encode_png needs (h, w) or (h, w, 2|3|4), got {px.shape}"
+        )
+    h, w = px.shape[0], px.shape[1]
+    if w == 0 or h == 0:
+        raise ValueError(f"PNG zero dimension {w}x{h}: spec requires >= 1")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+    stride = w * bpp
+    flat = px.reshape(h, stride)
+    if filters is None:
+        row_filters = None
+    elif isinstance(filters, int):
+        row_filters = [filters] * h
+    else:
+        row_filters = list(filters)
+        if len(row_filters) != h:
+            raise ValueError(
+                f"filters must give one of 0-4 per row ({h}), "
+                f"got {len(row_filters)}"
+            )
+
+    def _filter(ft, cur, prev):
+        out = bytearray(cur)
+        if ft == 1:
+            for x in range(stride - 1, bpp - 1, -1):
+                out[x] = (out[x] - cur[x - bpp]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                out[x] = (out[x] - prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                out[x] = (out[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[x] = (out[x] - pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft}: spec defines 0-4")
+        return out
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        cur = bytearray(flat[y].tobytes())
+        if row_filters is None:
+            # minimal sum of |signed byte| across candidates — the
+            # spec's suggested selector
+            best_ft, best, best_score = 0, cur, None
+            for ft in range(5):
+                cand = _filter(ft, cur, prev)
+                score = sum(v if v < 128 else 256 - v for v in cand)
+                if best_score is None or score < best_score:
+                    best_ft, best, best_score = ft, cand, score
+            raw.append(best_ft)
+            raw += best
+        else:
+            ft = row_filters[y]
+            raw.append(ft)
+            raw += _filter(ft, cur, prev)
+        prev = cur
+
+    def _chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 # Planted-payload formulas (shared with the multimodal_decode_stats
 # DuckDB oracle in plans/northstar.py — keep the constants in sync
 # there via these names).  All moduli are positive and doc_id is
@@ -569,6 +842,7 @@ BMP_MUL_A, BMP_MUL_B = 53, 11
 Y4M_MUL_A, Y4M_MUL_B, Y4M_MUL_C = 13, 29, 7
 Y4M_EVERY_N = 2
 QOI_MUL_A, QOI_MUL_B, QOI_MUL_C = 37, 23, 101
+PNG_MUL_A, PNG_MUL_B, PNG_MUL_C, PNG_MUL_D = 41, 19, 3, 89
 
 
 def planted_wav(doc_id: int):
@@ -635,6 +909,25 @@ def planted_qoi(doc_id: int):
     )
 
 
+def planted_png(doc_id: int):
+    """(h, w, 3) planted RGB image for the PNG leg.  Row, column, and
+    channel gradients (r*B + c*C + ch*D) make the filter heuristic
+    pick real Sub/Up/Average/Paeth rows, so the hash exercises the
+    unfilter state machine AND zlib inflation, not a stored-byte
+    copy."""
+    import numpy as np
+
+    w, h = 6 + doc_id % 5, 4 + doc_id % 3
+    j = np.arange(w * h * 3, dtype=np.int64)
+    r, c, ch = j // (3 * w), (j // 3) % w, j % 3
+    return (
+        ((doc_id * PNG_MUL_A + r * PNG_MUL_B + c * PNG_MUL_C
+          + ch * PNG_MUL_D) % 256)
+        .astype(np.uint8)
+        .reshape((h, w, 3))
+    )
+
+
 _PAYLOAD_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -643,6 +936,7 @@ _PAYLOAD_SCHEMA = StructType(
         StructField("bmp", BinaryType()),
         StructField("y4m", BinaryType()),
         StructField("qoi", BinaryType()),
+        StructField("png", BinaryType()),
     ]
 )
 
@@ -658,6 +952,7 @@ _DECODE_STATS_SCHEMA = StructType(
         StructField("y4m_frames", LongType()),
         StructField("y4m_wsum", LongType()),
         StructField("qoi_wsum", LongType()),
+        StructField("png_wsum", LongType()),
     ]
 )
 
@@ -669,7 +964,7 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            wavs, ppms, bmps, y4ms, qois = [], [], [], [], []
+            wavs, ppms, bmps, y4ms, qois, pngs = [], [], [], [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 rate, s = planted_wav(did)
@@ -678,6 +973,7 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                 bmps.append(encode_bmp(planted_bmp(did)))
                 y4ms.append(encode_y4m(planted_y4m(did)))
                 qois.append(encode_qoi(planted_qoi(did)))
+                pngs.append(encode_png(planted_png(did)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -686,6 +982,7 @@ def synthesize_media_payloads(docs: DataFrame) -> DataFrame:
                     "bmp": bmps,
                     "y4m": y4ms,
                     "qoi": qois,
+                    "png": pngs,
                 }
             )
 
@@ -710,10 +1007,11 @@ def decode_media_stats(payloads: DataFrame) -> DataFrame:
             out = {k: [] for k in (
                 "wav_rate", "wav_channels", "wav_n", "wav_wsum",
                 "ppm_wsum", "bmp_wsum", "y4m_frames", "y4m_wsum",
-                "qoi_wsum",
+                "qoi_wsum", "png_wsum",
             )}
-            for wav, ppm, bmp, y4m, qoi in zip(
-                pdf["wav"], pdf["ppm"], pdf["bmp"], pdf["y4m"], pdf["qoi"]
+            for wav, ppm, bmp, y4m, qoi, png in zip(
+                pdf["wav"], pdf["ppm"], pdf["bmp"], pdf["y4m"],
+                pdf["qoi"], pdf["png"],
             ):
                 rate, n_ch, s = decode_wav(bytes(wav))
                 out["wav_rate"].append(rate)
@@ -726,22 +1024,27 @@ def decode_media_stats(payloads: DataFrame) -> DataFrame:
                 out["y4m_frames"].append(len(frames))
                 out["y4m_wsum"].append(sum(wsum(f) for f in frames))
                 out["qoi_wsum"].append(wsum(decode_qoi(bytes(qoi))))
+                out["png_wsum"].append(wsum(decode_png(bytes(png))))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
 
     return payloads.mapInPandas(_dec, schema=_DECODE_STATS_SCHEMA)
 
 
 def decode_image(data: bytes):
-    """Decode an image payload.  Codec-free formats decode for real
-    (netpbm P5/P6, uncompressed BMP, and the losslessly-compressed QOI
-    — returned as numpy arrays); entropy-coded formats gate on a PIL
-    import so real deployments light them up."""
+    """Decode an image payload.  Library-free formats decode for real
+    (netpbm P5/P6, uncompressed BMP, the losslessly-compressed QOI,
+    and — via stdlib zlib — entropy-coded PNG; all returned as numpy
+    arrays); only formats whose codecs aren't in the standard library
+    (JPEG and friends) gate on a PIL import so real deployments light
+    them up."""
     if data[:2] in (b"P5", b"P6"):
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:4] == _QOI_MAGIC:
         return decode_qoi(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     try:
         from PIL import Image  # noqa: F401
         import io

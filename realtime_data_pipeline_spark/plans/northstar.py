@@ -685,7 +685,9 @@ def q_multimodal_audio_stats(spark, sf_dir):
                       (3 + doc_id % 4) * (2 + doc_id % 3) * 3 AS bmp_len,
                       3 + doc_id % 3 AS nf,
                       (4 + 2*(doc_id % 3)) * (2 + 2*(doc_id % 2)) AS wh,
-                      (5 + doc_id % 4) * (3 + doc_id % 3) * 3 AS qoi_len
+                      (5 + doc_id % 4) * (3 + doc_id % 3) * 3 AS qoi_len,
+                      6 + doc_id % 5 AS png_w,
+                      (4 + doc_id % 3) * (6 + doc_id % 5) * 3 AS png_len
                FROM documents
                WHERE doc_id IS NOT NULL AND doc_id >= 0)
     SELECT doc_id,
@@ -715,18 +717,27 @@ def q_multimodal_audio_stats(spark, sf_dir):
                j -> ((doc_id*{multimodal.QOI_MUL_A}
                       + (j // 9)*{multimodal.QOI_MUL_B}
                       + (j % 3)*{multimodal.QOI_MUL_C}) % 256)
-                    * (j+1))) AS BIGINT) AS qoi_wsum
+                    * (j+1))) AS BIGINT) AS qoi_wsum,
+           CAST(list_sum(list_transform(range(0, png_len),
+               j -> ((doc_id*{multimodal.PNG_MUL_A}
+                      + (j // (3*png_w))*{multimodal.PNG_MUL_B}
+                      + ((j // 3) % png_w)*{multimodal.PNG_MUL_C}
+                      + (j % 3)*{multimodal.PNG_MUL_D}) % 256)
+                    * (j+1))) AS BIGINT) AS png_wsum
     FROM d
     """,
     doc="decode round-trip hash row: planted payloads encoded to real "
-    "WAV PCM / netpbm P6 / 24-bit BMP / YUV4MPEG2 / QOI bytes, "
+    "WAV PCM / netpbm P6 / 24-bit BMP / YUV4MPEG2 / QOI / PNG bytes, "
     "shipped as Arrow binary columns, decoded by the pure-numpy "
     "decoders, stats computed from the decoded arrays (functions/"
     "multimodal.py decode_wav/decode_ppm/decode_bmp/sample_frames/"
-    "decode_qoi) — the DuckDB hash now proves the decoders, not just "
-    "pytest.  The QOI leg (r13) puts a genuinely COMPRESSED format "
-    "under the hash: the encoder emits real RUN/DIFF/LUMA/INDEX "
-    "chunks and the decoder's state machine must undo them exactly. "
+    "decode_qoi/decode_png) — the DuckDB hash now proves the "
+    "decoders, not just pytest.  The QOI leg (r13) put a genuinely "
+    "COMPRESSED format under the hash; the PNG leg (r14) puts an "
+    "ENTROPY-CODED one there: stdlib zlib inflation + per-row "
+    "None/Sub/Up/Average/Paeth unfiltering chosen by the real "
+    "min-abs-sum heuristic over planted gradients, so the hash "
+    "proves the unfilter state machine and the chunk/CRC walk. "
     "0 shuffles: two chained mapInPandas stages, partition-parallel, "
     "no aggregation",
 )

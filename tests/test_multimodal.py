@@ -39,25 +39,29 @@ def _has_soundfile() -> bool:
 
 @pytest.mark.skipif(not _has_pil(), reason="PIL not available in this container")
 def test_decode_image_activates_with_codec():
-    """When PIL exists, decode_image must return a real image object for
-    a valid payload — the import-gated path activates correctly."""
+    """When PIL exists, decode_image must return a real image object
+    for a non-stdlib-codec payload (JPEG) — the import-gated path
+    activates correctly.  (PNG no longer reaches this gate: it
+    decodes natively via stdlib zlib in decode_png.)"""
     import io
 
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.new("RGB", (4, 4), color=(1, 2, 3)).save(buf, format="PNG")
+    Image.new("RGB", (4, 4), color=(1, 2, 3)).save(buf, format="JPEG")
     img = multimodal.decode_image(buf.getvalue())
     assert img.size == (4, 4)
 
 
 def test_decode_image_stub_contract_without_codec():
     """Without PIL the stub must raise NotImplementedError (not a bare
-    ImportError escaping from inside) so callers can gate on it."""
+    ImportError escaping from inside) so callers can gate on it.
+    JPEG is the canonical still-gated format now that PNG decodes
+    natively."""
     if _has_pil():
         pytest.skip("PIL present; stub path not reachable")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF")
 
 
 def test_sample_frames_stub_contract():
@@ -626,3 +630,222 @@ def test_qoi_degenerate_dims_roundtrip(shape):
     if shape[0] * shape[1] == 0:
         with pytest.raises(ValueError, match="missing QOI end marker"):
             multimodal.decode_qoi(enc[:-1])
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_every_filter_type_and_shape():
+    """Forced filters 0-4 and a per-row mix, across gray / gray+alpha
+    / RGB / RGBA and degenerate 1x1 — byte-exact roundtrips."""
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (4, 5), (3, 7, 2), (6, 4, 3), (5, 5, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        h = shape[0]
+        for filt in (None, 0, 1, 2, 3, 4, [i % 5 for i in range(h)]):
+            got = multimodal.decode_png(multimodal.encode_png(px, filters=filt))
+            assert got.shape == px.shape and got.tolist() == px.tolist(), (
+                shape,
+                filt,
+            )
+
+
+def _png_row_filters(data: bytes) -> list:
+    """Filter byte of each row, read back from the (re-inflated) IDAT."""
+    import struct
+    import zlib
+
+    pos, idat, dims = 8, b"", None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            w, h, _d, color = struct.unpack_from(">IIBB", body)
+            dims = (w, h, multimodal._PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    w, h, ch = dims
+    raw = zlib.decompress(idat)
+    return [raw[y * (w * ch + 1)] for y in range(h)]
+
+
+def test_png_heuristic_compresses_gradients_with_real_filters():
+    """The default per-row selector must pick NON-None filters on
+    gradient content and beat raw size — proving the hash-checked
+    payloads exercise the unfilter machinery, not a stored-byte
+    path."""
+    grad = (
+        np.add.outer(np.arange(48), np.arange(40))[:, :, None]
+        .repeat(3, 2)
+        .astype(np.uint8)
+    )
+    enc = multimodal.encode_png(grad)
+    assert len(enc) < grad.size * 0.25, len(enc) / grad.size
+    fts = set(_png_row_filters(enc))
+    assert fts - {0}, fts  # at least one of Sub/Up/Average/Paeth
+
+
+def test_planted_png_payloads_decode_and_filter_mix():
+    for doc_id in (0, 1, 7, 38, 123):
+        px = multimodal.planted_png(doc_id)
+        enc = multimodal.encode_png(px)
+        assert multimodal.decode_png(enc).tolist() == px.tolist()
+        assert len(enc) < px.size + 57  # compresses vs raw + overhead
+        assert set(_png_row_filters(enc)) - {0}, doc_id
+
+
+def test_png_model_twin_unfilter():
+    """Independent in-test reference decoder (naive chunk walk +
+    unfilter, written without looking at the production loop) must
+    agree with decode_png on randomly-filtered random content — the
+    model-twin discipline used for the upsert sink and QOI."""
+    import struct
+    import zlib
+
+    def ref_decode(data):
+        pos, idat = 8, b""
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack_from(">I", data, pos)
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + ln]
+            if ctype == b"IHDR":
+                w, h, _d, color = struct.unpack_from(">IIBB", body)
+                ch = multimodal._PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += body
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = w * ch
+        rows, prior = [], [0] * stride
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = list(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            rec = []
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                if ft == 0:
+                    v = line[x]
+                elif ft == 1:
+                    v = line[x] + a
+                elif ft == 2:
+                    v = line[x] + b
+                elif ft == 3:
+                    v = line[x] + (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    v = line[x] + pr
+                rec.append(v & 0xFF)
+            rows.append(rec)
+            prior = rec
+        arr = np.array(rows, dtype=np.uint8)
+        return arr.reshape((h, w)) if ch == 1 else arr.reshape((h, w, ch))
+
+    rng = np.random.default_rng(99)
+    for shape in [(7, 6), (5, 9, 3), (6, 6, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        filt = [int(f) for f in rng.integers(0, 5, size=shape[0])]
+        enc = multimodal.encode_png(px, filters=filt)
+        assert ref_decode(enc).tolist() == multimodal.decode_png(enc).tolist()
+
+
+def test_png_named_errors():
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    def ihdr(w, h, depth=8, color=2, interlace=0):
+        return chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        )
+
+    sig = multimodal._PNG_SIG
+    good = multimodal.encode_png(multimodal.planted_png(3))
+    with pytest.raises(ValueError, match="not a PNG payload"):
+        multimodal.decode_png(b"nope")
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        multimodal.decode_png(good[:-7])
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        multimodal.decode_png(
+            sig + ihdr(4, 4, interlace=1)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 52)) + chunk(b"IEND", b"")
+        )
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        multimodal.decode_png(
+            sig + ihdr(4, 4, depth=16)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 104)) + chunk(b"IEND", b"")
+        )
+    with pytest.raises(NotImplementedError, match="palette"):
+        multimodal.decode_png(
+            sig + ihdr(4, 4, color=3)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="size mismatch"):
+        multimodal.decode_png(
+            sig + ihdr(4, 4)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+        )
+    # zip bomb: 1x1 header, 10 MB of inflated zeros — the bounded
+    # inflate stops at the declared size and raises the named error
+    with pytest.raises(ValueError, match="size mismatch"):
+        multimodal.decode_png(
+            sig + ihdr(1, 1, color=0)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+            + chunk(b"IEND", b"")
+        )
+    # hostile dims: (2^31-1)^2 pixels declared from a tiny stream —
+    # must raise the named error without attempting the allocation
+    # (the QOI hostile-dims discipline; also ssize_t-safe)
+    with pytest.raises(ValueError, match="size mismatch"):
+        multimodal.decode_png(
+            sig + ihdr(2**31 - 1, 2**31 - 1)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        multimodal.decode_png(
+            sig + ihdr(2, 2, color=0)
+            + chunk(b"IDAT", b"\x99\x99\x99") + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="missing IDAT"):
+        multimodal.decode_png(sig + ihdr(2, 2) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter type 5"):
+        multimodal.decode_png(
+            sig + ihdr(2, 1)
+            + chunk(b"IDAT", zlib.compress(bytes([5]) + b"\x00" * 6))
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="zero dimension"):
+        multimodal.encode_png(np.zeros((0, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="zero dimension"):
+        multimodal.decode_png(
+            sig + ihdr(0, 4) + chunk(b"IDAT", zlib.compress(b""))
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_decode_image_dispatches_png():
+    px = multimodal.planted_png(5)
+    got = multimodal.decode_image(multimodal.encode_png(px))
+    assert got.tolist() == px.tolist()

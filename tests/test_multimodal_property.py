@@ -215,3 +215,68 @@ def test_qoi_index_insert_on_run_matches_reference_decoder():
     got = multimodal.decode_qoi(data)
     assert got.shape == (1, 3, 4)
     assert [tuple(p) for p in got.reshape(-1, 4)] == [start] * 3
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    forced=st.one_of(st.none(), st.integers(0, 4)),
+)
+@settings(**_SETTINGS)
+def test_png_roundtrip_property(seed, h, w, ch, forced):
+    """Any uint8 image, any channel count, heuristic or forced filter:
+    encode_png -> decode_png is the identity."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = multimodal.decode_png(multimodal.encode_png(px, filters=forced))
+    assert got.shape == px.shape and got.tolist() == px.tolist()
+
+
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 64))
+@settings(**_SETTINGS)
+def test_png_any_truncation_raises_named_error(seed, n):
+    """Chopping ANY nonzero number of bytes off a well-formed PNG must
+    raise a named error — the chunk-length/CRC framing makes silent
+    short reads impossible (IEND is always the last 12 bytes, so
+    every truncation destroys the chunk walk)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    data = multimodal.encode_png(px)
+    cut = min(len(data) - 1, n)
+    try:
+        multimodal.decode_png(data[: len(data) - cut])
+        raise AssertionError("truncated PNG decoded without error")
+    except ValueError as e:
+        msg = str(e)
+        assert (
+            "truncated" in msg
+            or "not a PNG payload" in msg
+            or "CRC mismatch" in msg
+            or "missing ID" in msg
+            or "missing IHDR" in msg
+            or "size mismatch" in msg
+            or "corrupt PNG IDAT" in msg
+        ), msg
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_png_single_byte_corruption_never_silently_wrong(seed):
+    """Flip one byte anywhere in a well-formed PNG: either the decode
+    raises a named error (CRC catches chunk-body damage; structural
+    checks catch framing damage) or — only if the flip landed in a
+    region that decodes to the same pixels, which CRC coverage makes
+    impossible past the signature — the result is unchanged."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    data = bytearray(multimodal.encode_png(px))
+    i = int(rng.integers(0, len(data)))
+    data[i] ^= int(rng.integers(1, 256))
+    try:
+        got = multimodal.decode_png(bytes(data))
+        assert got.tolist() == px.tolist()  # flip must have been inert
+    except (ValueError, NotImplementedError):
+        pass  # named rejection is the expected outcome
