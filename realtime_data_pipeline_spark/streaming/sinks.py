@@ -41,6 +41,14 @@ O(table / stack_max) per merge.  Null monotone values fall back to
 the rewrite path (SQL null-equality means they can never match
 anyway, but the conservative path keeps the reasoning local).  The
 default (monotone_col=None) is byte-for-byte the original behavior.
+
+Mark soundness across sessions (ADVICE r13): marks are stored
+column-TAGGED ({"col", "marks"}) and trusted only when the session's
+monotone_col matches; a classic-mode merge drops the touched
+buckets' marks (its inserts may exceed them), deletes keep marks
+(upper bounds survive row removal).  So no reopen sequence — column
+swap, classic interleave, legacy table — can pass the `lo > mark`
+test against a mark that doesn't bound the stored data.
 """
 
 from __future__ import annotations
