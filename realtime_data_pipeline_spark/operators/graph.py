@@ -29,6 +29,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 60,
+    steps_per_job: int = 3,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -52,62 +53,105 @@ def connected_components(
     reproduced across SMJ/broadcast physical plans and with/without
     Observation), netting 22 s vs 15.6 s.  Rejected; revisit only if
     profiles show diameter, not per-round overhead, dominating.
+
+    ``steps_per_job`` (r14 optimization): propagation rounds FUSED
+    into one checkpointed job.  The dominant per-round cost at every
+    measured scale is fixed — driver round-trip + checkpoint
+    materialization — not the vocab-sized shuffle, so running k
+    rounds of the same join+min inside one job divides that overhead
+    by k while executing identical per-round dataflow (the stages
+    pipeline inside the job without driver synchronization).  The
+    fused convergence test is EXACT, not approximate: labels are
+    monotone non-increasing, so a k-round block leaves every label
+    unchanged iff each round in it did — `changed` compares block
+    end against block start and can never mask an interior change.
+    Cost: the final convergence-confirming block may run up to k-1
+    propagation rounds past the fixpoint; each is a no-op pass over
+    the label relation, the same work the single confirm round
+    already paid.  The diameter bound stays round-accurate
+    (max_iter counts ROUNDS, not jobs).
     """
+    if steps_per_job < 1:
+        raise ValueError(f"steps_per_job must be >= 1: {steps_per_job}")
+    from pyspark.sql import Observation
+
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().persist()
 
+    # Convergence metric: sum(component) over the fixed node set.
+    # Labels are monotone non-increasing under min-propagation, so the
+    # sum STRICTLY decreases whenever any label moves and is constant
+    # exactly at the fixpoint — one decimal (overflow-proof) scalar
+    # per job replaces the per-round moved-flag comparison, and it
+    # needs no reference to the block's start labels, so any number
+    # of fused rounds share one test.  The initial sum rides the same
+    # job that materializes the initial checkpoint.
+    obs0 = Observation("cc_init")
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .observe(
+            obs0,
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+        )
         .localCheckpoint()
     )
-    from pyspark.sql import Observation
+    prev_sum = obs0.get["s"] or 0
 
-    for i in range(max_iter):
+    def _one_round(lbl: DataFrame) -> DataFrame:
         # Candidate label for each node: min over neighbours' labels.
         neigh_min = (
-            sym.join(labels, sym.u == labels.node)
+            sym.join(lbl, sym.u == lbl.node)
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("component").alias("neigh_component"))
         )
+        return lbl.join(neigh_min, lbl.node == F.col("node2"), "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("neigh_component", "component"),
+            ).alias("component"),
+        )
+
+    rounds_done = 0
+    while True:
+        block = steps_per_job
+        stepped = labels
+        for _ in range(block):
+            stepped = _one_round(stepped)
+        rounds_done += block
         # The convergence metric rides the SAME job that materializes
-        # the checkpoint (observe → CollectMetrics), so each iteration
-        # is ONE distributed job — the old separate join+count doubled
-        # the per-round latency, which at diameter D is 2D driver
+        # the checkpoint (observe → CollectMetrics), so each block
+        # is ONE distributed job — a separate join+count would double
+        # the per-block latency, which at diameter D is 2D/k driver
         # round-trips of pure overhead.
-        obs = Observation(f"cc_iter_{i}")
-        new_labels = (
-            labels.join(neigh_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("neigh_component", "component"),
-                ).alias("component"),
-                (
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("neigh_component", "component"),
-                    )
-                    != F.col("component")
-                ).alias("moved"),
+        obs = Observation(f"cc_round_{rounds_done}")
+        labels = (
+            stepped.observe(
+                obs,
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
             )
-            .observe(obs, F.sum(F.col("moved").cast("long")).alias("changed"))
-            .select("node", "component")
             .localCheckpoint()
         )
-        labels = new_labels
-        if not (obs.get["changed"] or 0):
+        new_sum = obs.get["s"] or 0
+        if new_sum == prev_sum:
             break
-    else:
-        sym.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "iterations — component diameter exceeds the bound; raise "
-            "max_iter (results would be silently wrong clusters)"
-        )
+        prev_sum = new_sum
+        # A changed block proves its FIRST round changed (no-op rounds
+        # are absorbing under monotone propagation), i.e. at least
+        # rounds_done - steps_per_job + 1 productive rounds so far —
+        # raise exactly when that count reaches max_iter, the same
+        # guarantee the unfused loop gave.
+        if rounds_done - steps_per_job + 1 >= max_iter:
+            sym.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations — component diameter exceeds the bound; "
+                "raise max_iter (results would be silently wrong "
+                "clusters)"
+            )
     sym.unpersist()
     return labels

@@ -83,6 +83,63 @@ def with_global_row_number(
         raise
 
 
+def with_global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Append the INCLUSIVE global running sum of ``weight_col`` under
+    the total order ``order_cols`` — the same range-partitioned
+    two-pass machinery as `with_global_row_number`, summing a weight
+    instead of counting rows (row_number is the weight=1 special
+    case).  Lets callers that only need rank BOUNDS of pre-aggregated
+    tie groups (AUC rank sums, cumulative-distribution tables) run
+    the global order over ONE ROW PER GROUP: the range exchange and
+    per-partition sort touch the grouped relation, never the raw
+    rows, and the upstream groupBy ships map-side partials (guide
+    "aggregate before you shuffle").
+
+    Returns ``(dataframe, grand_total)``.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).persist()
+    try:
+        sized = ranged.withColumn(_PID, F.spark_partition_id())
+        # Pass 1: per-partition weight sums → cumulative offsets (P rows).
+        sums = dict(
+            sized.groupBy(_PID).agg(F.sum(weight_col).alias("s")).collect()
+        )  # {pid: sum} — O(P), never O(N)
+        offsets, acc = {}, 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += sums[pid] or 0
+        offset_df = F.broadcast(
+            spark.createDataFrame(
+                [(pid, off) for pid, off in offsets.items()],
+                f"{_PID} int, __rank_offset long",
+            )
+        )
+        # Pass 2: local running sum + offset add (task-local sort only).
+        w = (
+            Window.partitionBy(_PID)
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            sized.withColumn(_LOCAL_RN, F.sum(weight_col).over(w))
+            .join(offset_df, _PID)
+            .withColumn(out_col, F.col("__rank_offset") + F.col(_LOCAL_RN))
+            .drop(_PID, _LOCAL_RN, "__rank_offset")
+        )
+        return out, acc
+    except Exception:
+        ranged.unpersist()
+        raise
+
+
 def ntile_expr(rn: Column, total: int, n_tiles: int) -> Column:
     """SQL NTILE(n) from a global row number: the first ``total % n``
     tiles get ``total // n + 1`` rows, the rest ``total // n`` — exactly

@@ -164,44 +164,55 @@ def q_purchase_window_views(spark, sf_dir):
         # plans/training.py:518 convention for epoch_us parity)
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    views = e.where(
-        (F.col("event_type") == "view") & F.col("item").isNotNull()
-    ).select(
-        "item",
-        "us",
-        F.lit(1).alias("is_view"),
+    # r14: views and purchase probes fold into ONE pass over events
+    # (the old two-branch union scanned the corpus twice — at 100 TB
+    # that is a second full read for rows one explode can emit).  Each
+    # event with a non-null item yields: view → its own timeline row;
+    # purchase → the +1 probe at the purchase instant (counts views
+    # strictly before it) and the −1 probe at instant−24h (cancels
+    # views strictly before the window opens — a view AT exactly t−24h
+    # is inclusive and stays).  Row set, types and nullability are
+    # identical to the union, and downstream is a value-ordered RANGE
+    # frame + rollup, so producer order is immaterial.
+    view_row = F.struct(
+        F.col("us").alias("us"),
+        F.lit(1).cast("int").alias("is_view"),
         F.lit(None).cast("long").alias("p_id"),
         F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
         F.lit(0).cast("long").alias("sign"),
     )
-    purchases = e.where(
-        (F.col("event_type") == "purchase") & F.col("item").isNotNull()
+
+    def probe_row(us_col, sign: int):
+        return F.struct(
+            us_col.alias("us"),
+            F.lit(None).cast("int").alias("is_view"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.lit(sign).cast("long").alias("sign"),
+        )
+
+    timeline = (
+        e.where(
+            F.col("item").isNotNull()
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            "item",
+            F.explode(
+                F.when(
+                    F.col("event_type") == "view", F.array(view_row)
+                ).otherwise(
+                    F.array(
+                        probe_row(F.col("us"), 1),
+                        probe_row(F.col("us") - F.lit(_RANGE_US), -1),
+                    )
+                )
+            ).alias("t"),
+        )
+        .select(
+            "item", "t.us", "t.is_view", "t.p_id", "t.purchase_ts", "t.sign"
+        )
     )
-    # +1 probe at the purchase instant (counts views strictly before
-    # it), −1 probe at instant−24h (cancels views strictly before the
-    # window opens — a view AT exactly t−24h is inclusive and stays)
-    probes = purchases.select(
-        "item",
-        F.explode(
-            F.array(
-                F.struct(F.col("us").alias("us"), F.lit(1).alias("sign")),
-                F.struct(
-                    (F.col("us") - F.lit(_RANGE_US)).alias("us"),
-                    F.lit(-1).alias("sign"),
-                ),
-            )
-        ).alias("pr"),
-        F.col("event_id").alias("p_id"),
-        F.col("ts").alias("purchase_ts"),
-    ).select(
-        "item",
-        F.col("pr.us").alias("us"),
-        F.lit(None).cast("int").alias("is_view"),
-        "p_id",
-        "purchase_ts",
-        F.col("pr.sign").cast("long").alias("sign"),
-    )
-    timeline = views.unionByName(probes)
     # growing frame: incremental accumulation, never a frame re-scan;
     # RANGE upper bound -1 keeps same-instant rows out on BOTH probe
     # kinds (strict < at the close, inclusive >= at the open)
@@ -330,35 +341,56 @@ def q_pagerank_top_items(spark, sf_dir):
         .distinct()
         .persist()
     )
-    nn = nodes.agg(F.count("*").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "v", F.expr(f"{_PR_TOTAL} div n").alias("pr")
-    )
-    esrc = edges.join(outdeg, "src").persist()
+    # r14 optimization: the node count is a DRIVER-SIDE SCALAR (one
+    # bounded O(1)-row collect — the codebook-seed convention), not a
+    # broadcast relation: folding it into the teleport term as a
+    # literal removes the crossJoin(broadcast(nn)) build from pr0 and
+    # from every iteration (4 broadcast-exchange jobs at _PR_ITERS=3),
+    # and this count job doubles as the materialization of the edges
+    # and nodes caches.  Python's // equals Spark's bigint `div` for
+    # the positive operands here, so every fixed-point value is
+    # unchanged bit for bit.  max(n,1) only guards the degenerate
+    # empty-graph case (expressions over an empty relation never
+    # evaluate, but Python would raise on // 0 eagerly).
+    n_nodes = max(nodes.count(), 1)
+    pr = nodes.select("v", F.lit(_PR_TOTAL // n_nodes).alias("pr"))
+    teleport = (15 * _PR_TOTAL) // (100 * n_nodes)
+    # r14: cache esrc PARTITIONED BY dst — every iteration's
+    # contribution rollup groups by dst, so the cached partitioning is
+    # reused and the per-iteration exchange disappears (guide §2.4:
+    # operations keyed the same way share one exchange).  One setup
+    # shuffle of the edge relation replaces _PR_ITERS per-iteration
+    # shuffles of the same bytes.
+    esrc = edges.join(outdeg, "src").repartition(F.col("dst")).persist()
     for _ in range(_PR_ITERS):
         contrib = (
             esrc.join(F.broadcast(pr), pr["v"] == esrc["src"])
             .groupBy("dst")
             .agg(F.sum(F.expr("pr div od")).alias("s"))
         )
+        # No per-iteration superstep barrier (r14): with _PR_ITERS=3
+        # the unbarriered plan grows LINEARLY (each pr appears exactly
+        # once, inside the next iteration's broadcast), the vocab-sized
+        # inputs are cached, and every broadcast subtree still executes
+        # exactly once — dropping the localCheckpoint removes one
+        # materialization job per iteration.  ONE final checkpoint
+        # after the loop keeps the returned plan lineage-truncated
+        # (TakeOrdered over a materialized vocab-sized relation — the
+        # shuffle-pin and lineage tests' contract).  An iteration
+        # count high enough for plan-compile time to matter would
+        # want the operators/graph.py barrier convention back.
         pr = (
-            nodes.crossJoin(F.broadcast(nn))
+            nodes
             .join(F.broadcast(contrib), nodes["v"] == contrib["dst"], "left")
             .select(
                 "v",
                 (
-                    F.expr(f"{15 * _PR_TOTAL} div (100 * n)")
+                    F.lit(teleport)
                     + F.expr("(85 * coalesce(s, 0)) div 100")
                 ).alias("pr"),
             )
-            # superstep barrier (operators/graph.py convention): an
-            # eager localCheckpoint truncates the lineage, so each
-            # iteration reads a materialized vocab-sized relation
-            # instead of re-deriving every prior iteration inside its
-            # broadcast; on a real cluster use a reliable checkpoint
-            # dir (executor loss is re-runnable from source anyway).
-            .localCheckpoint()
         )
+    pr = pr.localCheckpoint()
     return (
         pr.select(
             F.col("v").alias("item"),
@@ -442,7 +474,10 @@ def q_pagerank_top_items(spark, sf_dir):
 def q_model_eval_report(spark, sf_dir):
     from realtime_data_pipeline_spark.functions import inference
 
-    docs = _t(spark, sf_dir, "documents")
+    # widen="cpu" (r14): tokenize + array_distinct per row is the
+    # expensive stage; spread it before the Arrow scoring pass (the
+    # text_metrics serial-scan fix — tables._widen_scan).
+    docs = _t(spark, sf_dir, "documents", widen="cpu")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     feats = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
@@ -461,14 +496,28 @@ def q_model_eval_report(spark, sf_dir):
         .select("doc_id", "label", "score")
         .persist()
     )
-    ranked, _total = ranks.with_global_row_number(
-        scored, ["score", "doc_id"], rn_col="rn"
-    )
-    g = ranked.groupBy("score").agg(
-        F.min("rn").alias("mn"),
-        F.max("rn").alias("mx"),
+    # r14: rank the TIE GROUPS, not the rows.  min/max global rank per
+    # score group are pure arithmetic on an inclusive running count
+    # over score order (mn = cum − c + 1, mx = cum), so the two-pass
+    # global-order machinery (ranks.py) runs over ONE ROW PER DISTINCT
+    # SCORE: the groupBy ships map-side partials and the range
+    # exchange + per-partition sort handle the grouped relation — at
+    # corpus scale the heavy sort shrinks from N docs to the distinct
+    # score count, and values are unchanged (the old per-row
+    # row_number's min/max per group ARE these bounds).
+    g0 = scored.groupBy("score").agg(
         F.count("*").alias("c"),
         F.sum(F.col("label").cast("long")).alias("p"),
+    )
+    gc, _total = ranks.with_global_running_sum(
+        g0, ["score"], "c", out_col="cum"
+    )
+    g = gc.select(
+        "score",
+        (F.col("cum") - F.col("c") + 1).alias("mn"),
+        F.col("cum").alias("mx"),
+        "c",
+        "p",
     )
     tot = g.agg(
         F.sum(F.col("p") * (F.col("mn") + F.col("mx"))).alias("two_rank_sum"),

@@ -69,7 +69,11 @@ _ALL_STOP = ", ".join(
     bench=True,
 )
 def q_text_metrics(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # widen="cpu" (r14): six tokenize/regex metrics per row make the
+    # map side CPU-bound; the single-row-group test parquet otherwise
+    # runs it all in ONE task (0.75 s serial vs 0.52 s widened at
+    # sf0.1).  No-op at real scan parallelism and below the floor.
+    docs = _t(spark, sf_dir, "documents", widen="cpu")
     return docs.select(
         "doc_id",
         "lang",
@@ -111,7 +115,9 @@ def _d_lang_case() -> str:
     "argmax (alphabetical tie-break)",
 )
 def q_language_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # widen="cpu" (r14): five per-lexicon tokenize+filter passes per
+    # row — the text_metrics serial-scan fix applies identically.
+    docs = _t(spark, sf_dir, "documents", widen="cpu")
     scored = docs.select("doc_id", "lang", *text.language_scores())
     return scored.withColumn("predicted_lang", text.predicted_lang_expr())
 

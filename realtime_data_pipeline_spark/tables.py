@@ -40,9 +40,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # dimension tables costs more than the parallelism is worth (and they
 # should broadcast anyway).
 _MIN_WIDEN_BYTES = 4 << 20
+# The floor for CPU-widening (widen="cpu", r14): queries whose map
+# side runs heavyweight per-row expressions (BPE regex counts,
+# tokenize+array_distinct) are compute-bound long before the byte
+# floor above — measured at sf0.1 documents (584 KB, ONE row group):
+# text_metrics 0.75 s serial vs 0.52 s widened.  A floor still
+# exists so genuinely tiny inputs (sf0.001/sf0.01 fixtures — both
+# ~65 KB of parquet framing overhead, not data) keep their
+# exchange-free plans — also what keeps the sf0.001 shuffle-count
+# pins in tests/test_plan_regression.py reflecting the query's own
+# shape.  The widened plan is parity-checked byte-exact at sf0.1
+# (full_parity_sweep --sf-dir, r14).
+_MIN_CPU_WIDEN_BYTES = 128 << 10
 
 
-def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def _widen_scan(
+    spark: SparkSession, df: DataFrame, path: str, floor: int = _MIN_WIDEN_BYTES
+) -> DataFrame:
     """Parallelize a scan that parquet row-group layout has serialized.
 
     The testdata files are single-row-group, so Spark gives the whole
@@ -58,7 +72,7 @@ def _widen_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """
     n = spark.sparkContext.defaultParallelism
     try:
-        small = os.path.getsize(path) < _MIN_WIDEN_BYTES
+        small = os.path.getsize(path) < floor
     except OSError:
         small = False
     if small or df.rdd.getNumPartitions() >= max(2, n // 4):
@@ -95,18 +109,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+    spark: SparkSession, sf_dir: str, name: str, widen: bool | str = False
 ) -> DataFrame:
     """`widen=True` parallelizes a row-group-serialized scan — opt in
     for queries whose map side is CPU-heavy (many aggregates or
-    expressions per row).  Leave off for broadcast-probe plans, where
-    the extra exchange of pruned rows costs more than the parallelism
-    returns."""
+    expressions per row).  `widen="cpu"` is the same lever with the
+    lower `_MIN_CPU_WIDEN_BYTES` floor, for per-row expression work
+    (tokenization, regex counting) so heavy that even a sub-MB scan
+    is worth spreading across cores.  Leave off for broadcast-probe
+    plans, where the extra exchange of pruned rows costs more than
+    the parallelism returns."""
     if name == "events":
         return load_events(spark, sf_dir)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    return _widen_scan(spark, df, path) if widen else df
+    if not widen:
+        return df
+    floor = _MIN_CPU_WIDEN_BYTES if widen == "cpu" else _MIN_WIDEN_BYTES
+    return _widen_scan(spark, df, path, floor=floor)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:

@@ -159,12 +159,21 @@ EXPECTED_SHUFFLES = {
     # and the purchase-keyed probe rollup REUSES the item partitioning
     # (item is in its grouping key) — no second exchange
     "purchase_window_views": 1,
-    # 0 = the FINAL plan reads the localCheckpoint()ed third-iteration
-    # pr relation (TakeOrdered, no exchange); the per-iteration work
-    # (one dst rollup each, vocab-sized) materializes eagerly during
-    # construction, same shape as *_dedup_clusters' CC supersteps
+    # 0 = the FINAL plan reads the localCheckpoint()ed post-loop pr
+    # relation (TakeOrdered, no exchange); the iteration work
+    # materializes eagerly during construction, same shape as
+    # *_dedup_clusters' CC supersteps.  r14: iterations chain through
+    # nested broadcasts (no per-superstep checkpoint), the esrc cache
+    # is pre-partitioned by dst so the per-iteration contribution
+    # rollup reuses it exchange-free, and the node count is a driver
+    # scalar — the checkpoint after the loop keeps this pin at 0
     "pagerank_top_items": 0,
-    "model_eval_report": 6,  # Arrow score barrier; range-rank 2-pass; tie groups; bins
+    # r14: 6 → 7 — the rank path now aggregates tie groups FIRST
+    # (map-side partials over score) and range-ranks the grouped
+    # relation, so the range exchange + per-partition sort carry one
+    # row per distinct score instead of one per document; the +1 is
+    # that grouping exchange, which ships partial-aggregated rows
+    "model_eval_report": 7,
     # ONE user_id exchange feeds the change-flag lag, episode-id cumsum,
     # episode rollup, AND the next-start lead (subset-key clustering)
     "scd2_user_segment_history": 1,
@@ -443,14 +452,16 @@ EXPECTED_SCAN_SHAPES = {
         "PushedFilters: [IsNotNull(ts)]",
     ],
     "purchase_window_views": [
-        # each timeline side's event_type constant reaches its own
-        # scan — at scale row groups holding other types are skipped;
-        # the views scan reads 3 columns (no event_id needed)
-        "PushedFilters: [IsNotNull(event_type), "
-        "EqualTo(event_type,view)]",
+        # r14: the views and purchase-probe branches fold into ONE
+        # events pass (a per-type explode), so the timeline scan
+        # carries the two-type IN list — row groups holding other
+        # types still skip entirely, and the corpus is read once
+        # instead of twice
+        "PushedFilters: [In(event_type, [purchase,view])]",
+        # the NULL-item purchase branch keeps its own pruned scan
         "PushedFilters: [IsNotNull(event_type), "
         "EqualTo(event_type,purchase)]",
-        "ReadSchema: struct<ts:timestamp_ntz,"
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,"
         "event_type:string,props:string>",
     ],
     "model_eval_report": [
@@ -535,13 +546,16 @@ def test_corpus_scaled_joins_never_broadcast(spark, name):
 
 
 def test_pagerank_lineage_truncated_per_superstep(spark):
-    """Each PageRank superstep must end in an eager localCheckpoint:
-    the FINAL plan then reads one materialized vocab-sized relation
+    """The PageRank loop must end in an eager localCheckpoint: the
+    FINAL plan then reads one materialized vocab-sized relation
     (Scan ExistingRDD) instead of re-deriving the corpus-sized edge
-    extraction once per iteration branch.  Dropping the checkpoint
-    compounds the printed plan (and the broadcast re-execution)
-    exponentially in _PR_ITERS — pin the symptom directly: no window,
-    no parquet scan, no join in the final plan, and a plan string that
+    extraction once per iteration branch.  (r14: the checkpoint moved
+    from per-superstep to ONCE after the loop — iterations chain
+    through nested broadcasts over cached vocab-sized relations, so
+    the plan grows linearly in _PR_ITERS and each subtree still
+    executes exactly once; the single final checkpoint keeps this
+    truncation contract.)  Pin the symptom directly: no window, no
+    parquet scan, no join in the final plan, and a plan string that
     stays O(100) chars rather than O(10k)."""
     spark.catalog.clearCache()
     df = REGISTRY["pagerank_top_items"].fn(spark, SF_DIR)

@@ -31,3 +31,64 @@ def test_global_rn_matches_sorted_order(spark, vals):
         )
     }
     assert got == want and total == len(vals)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=_vals)
+def test_global_running_sum_matches_prefix_sums(spark, vals):
+    """r14: the weighted two-pass cumsum (the tie-group rank-bounds
+    machinery model_eval_report now uses) must equal python prefix
+    sums under the same total order — and the grand total must equal
+    the plain sum."""
+    from realtime_data_pipeline_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+
+    # unique keys (groupBy-output shape), weights >= 0 incl. zero
+    rows = [(i, abs(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    out, total = with_global_running_sum(df, ["k"], "w", out_col="cum")
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    acc, want = 0, {}
+    for k, w in sorted(rows):
+        acc += w
+        want[k] = acc
+    assert got == want and total == acc
+
+
+def test_global_running_sum_reproduces_tie_group_rank_bounds(spark):
+    """The substitution model_eval_report relies on: per tie group,
+    (cum - c + 1, cum) == (min, max) of the per-row global row number
+    ordered by (score, unique key)."""
+    from realtime_data_pipeline_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [1.5, 1.5, 1.5, 2.0, 2.0, 7.25, 9.0, 9.0, 9.0, 9.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid long, score double")
+
+    ranked, _ = with_global_row_number(df, ["score", "uid"], rn_col="rn")
+    want = {
+        (r["score"], r["mn"], r["mx"], r["c"])
+        for r in ranked.groupBy("score")
+        .agg(
+            F.min("rn").alias("mn"),
+            F.max("rn").alias("mx"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    }
+
+    g0 = df.groupBy("score").agg(F.count("*").alias("c"))
+    gc, total = with_global_running_sum(g0, ["score"], "c", out_col="cum")
+    got = {
+        (r["score"], r["cum"] - r["c"] + 1, r["cum"], r["c"])
+        for r in gc.collect()
+    }
+    assert got == want and total == len(vals)
