@@ -29,7 +29,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 60,
-    steps_per_job: int = 3,
+    steps_per_job: int = 4,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -55,21 +55,26 @@ def connected_components(
     profiles show diameter, not per-round overhead, dominating.
 
     ``steps_per_job`` (r14 optimization): propagation rounds FUSED
-    into one checkpointed job.  The dominant per-round cost at every
-    measured scale is fixed — driver round-trip + checkpoint
+    into one checkpointed job, on a RAMP-UP schedule (1, 1, 2, then
+    ``steps_per_job`` per block).  The dominant per-block cost at
+    every measured scale is fixed — driver round-trip + checkpoint
     materialization — not the vocab-sized shuffle, so running k
     rounds of the same join+min inside one job divides that overhead
     by k while executing identical per-round dataflow (the stages
     pipeline inside the job without driver synchronization).  The
-    fused convergence test is EXACT, not approximate: labels are
-    monotone non-increasing, so a k-round block leaves every label
-    unchanged iff each round in it did — `changed` compares block
-    end against block start and can never mask an interior change.
-    Cost: the final convergence-confirming block may run up to k-1
-    propagation rounds past the fixpoint; each is a no-op pass over
-    the label relation, the same work the single confirm round
-    already paid.  The diameter bound stays round-accurate
-    (max_iter counts ROUNDS, not jobs).
+    ramp-up exists because fusing can OVERSHOOT: a block executes
+    all its rounds even when the fixpoint lands mid-block, and
+    shallow graphs (near-dup clusters are mostly pairs/triples,
+    diameter 1-2) would pay k-1 wasted propagation rounds per block
+    — measured as a 3.4 s → 4.6 s corpus_curation_stats REGRESSION
+    under a flat k=3 before the ramp.  With blocks 1,1,2,k,... a
+    diameter-1 graph runs exactly the old loop (2 rounds, 2 jobs)
+    while the 26-round sf0.1 embedding graph drops from 27 jobs to
+    ~10 for ≤6 overshot no-op rounds.  The fused convergence test is
+    EXACT, not approximate: labels are monotone non-increasing, so a
+    block leaves every label unchanged iff each round in it did.
+    The diameter bound stays round-accurate (max_iter counts ROUNDS,
+    not jobs).
     """
     if steps_per_job < 1:
         raise ValueError(f"steps_per_job must be >= 1: {steps_per_job}")
@@ -117,8 +122,11 @@ def connected_components(
         )
 
     rounds_done = 0
+    block_idx = 0
     while True:
-        block = steps_per_job
+        # ramp-up: 1, 1, 2, then steps_per_job rounds per block
+        block = min(steps_per_job, 2 ** max(0, block_idx - 1))
+        block_idx += 1
         stepped = labels
         for _ in range(block):
             stepped = _one_round(stepped)
@@ -142,10 +150,10 @@ def connected_components(
         prev_sum = new_sum
         # A changed block proves its FIRST round changed (no-op rounds
         # are absorbing under monotone propagation), i.e. at least
-        # rounds_done - steps_per_job + 1 productive rounds so far —
-        # raise exactly when that count reaches max_iter, the same
+        # rounds_done - block + 1 productive rounds so far — raise
+        # exactly when that count reaches max_iter, the same
         # guarantee the unfused loop gave.
-        if rounds_done - steps_per_job + 1 >= max_iter:
+        if rounds_done - block + 1 >= max_iter:
             sym.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "

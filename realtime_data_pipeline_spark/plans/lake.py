@@ -474,10 +474,12 @@ def q_pagerank_top_items(spark, sf_dir):
 def q_model_eval_report(spark, sf_dir):
     from realtime_data_pipeline_spark.functions import inference
 
-    # widen="cpu" (r14): tokenize + array_distinct per row is the
-    # expensive stage; spread it before the Arrow scoring pass (the
-    # text_metrics serial-scan fix — tables._widen_scan).
-    docs = _t(spark, sf_dir, "documents", widen="cpu")
+    # NO widen here (r14, measured): unlike text_metrics' BPE regex,
+    # the tokenize+array_distinct features are cheap enough that the
+    # widening exchange costs more than the parallelism returns
+    # (1.42 s unwidened row-rank → 1.12 s unwidened tie-group vs
+    # 1.5-1.6 s for either widened variant at sf0.1).
+    docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     feats = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
@@ -1467,7 +1469,9 @@ def _funnel_sql() -> str:
     "prefix of that pipeline",
 )
 def q_quality_funnel_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # widen="cpu" (r14): tokenize + array_distinct per row before the
+    # one-pass funnel aggregation — text_metrics serial-scan fix.
+    docs = _t(spark, sf_dir, "documents", widen="cpu")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     feats = docs.select(
         "text",

@@ -915,7 +915,11 @@ def q_corpus_curation_stats(spark, sf_dir):
 
     from realtime_data_pipeline_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # widen="cpu" (r14): the content hash AND the quality metrics are
+    # heavyweight per-row map work — spread the serialized test scan
+    # (no-op at real scan parallelism; minhash_candidates' own keyed
+    # repartition collapses over it downstream).
+    docs = _t(spark, sf_dir, "documents", widen="cpu")
 
     # Near-dup removal: every cluster member except the canonical
     # (min-doc_id) node.
@@ -927,19 +931,31 @@ def q_corpus_curation_stats(spark, sf_dir):
         F.col("node").alias("doc_id")
     )
 
+    # r14: compute the content hash AND the quality metrics MAP-SIDE,
+    # before the exact-dedup window exchange — the shuffle then
+    # carries (doc_id, lang, hash, n_tokens, quality) instead of full
+    # document text (guide §2.3 "project before the exchange"), and
+    # the scoring runs at scan parallelism instead of inside the
+    # post-shuffle (AQE-coalesced) window stage.  Values are
+    # identical: quality per row does not depend on which rows
+    # survive dedup.
+    pre = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("__h"),
+        text.token_count().alias("n_tokens"),
+        text.quality_score().alias("quality"),
+    )
+
     # Exact dedup: keep the min doc_id of each identical-text group.
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    w = Window.partitionBy("__h")
     kept = (
-        docs.withColumn("is_canon", F.col("doc_id") == F.min("doc_id").over(w))
+        pre.withColumn("is_canon", F.col("doc_id") == F.min("doc_id").over(w))
         .where("is_canon")
         .join(near_dupes, "doc_id", "left_anti")
     )
 
-    scored = kept.select(
-        "lang",
-        text.token_count().alias("n_tokens"),
-        text.quality_score().alias("quality"),
-    )
+    scored = kept.select("lang", "n_tokens", "quality")
     return (
         scored.where(F.col("quality") >= 0.5)
         .groupBy("lang")
@@ -1231,7 +1247,10 @@ _D_QUALITY = f"""round(0.4 * least(len(toks) / 100.0, 1.0)
 def q_curation_keep_best(spark, sf_dir):
     from realtime_data_pipeline_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    # widen="cpu" (r14): the per-doc quality score is heavyweight
+    # tokenize work — spread the serialized test scan (text_metrics
+    # convention; no-op at real scan parallelism).
+    docs = _t(spark, sf_dir, "documents", widen="cpu")
     strong = dedup.minhash_candidates(
         docs, limit=None, min_est_jaccard=CLUSTER_MIN_EST
     )
