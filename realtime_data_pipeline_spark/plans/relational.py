@@ -144,15 +144,25 @@ def q_revenue_by_nation(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # r15: the supplier→nation→region dim chain is pre-joined on the
+    # broadcast BUILD side (guide §3.1/§1.2): every fact row probes ONE
+    # hash relation instead of streaming through three BroadcastHashJoin
+    # operators, and the region filter prunes the broadcast relation to
+    # ASIA suppliers before it ships.  Inner equi-joins on unique dim
+    # keys — row multiplicity and values unchanged (oracle-verified).
+    sdim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cu, o.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (cu.c_nationkey == s.s_nationkey),
+            F.broadcast(sdim),
+            (li.l_suppkey == sdim.s_suppkey)
+            & (cu.c_nationkey == sdim.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             money(F.sum(_revenue_col())).alias("revenue"),

@@ -373,10 +373,16 @@ def q_nation_year_profit(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
+    # r15: supplier⋈nation pre-joined on the broadcast build side
+    # (§3.1/§1.2) — one probe relation carrying the nation name instead
+    # of two chained BroadcastHashJoins per fact row.  Unique-key inner
+    # joins: multiplicity and values unchanged (oracle-verified).
+    sdim = s.join(n, s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -440,13 +446,23 @@ def q_region_market_share(spark, sf_dir):
     focal = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
         F.lit(0).cast("decimal(28,10)")
     )
+    # r15: both dim chains pre-joined on their broadcast build sides
+    # (§3.1/§1.2).  cdim = ASIA customer-nation keys (the region filter
+    # prunes the broadcast relation before it ships); sdim = supplier →
+    # supplier-nation name.  4 BroadcastHashJoin probes per fact row
+    # collapse to 2; unique-key inner joins keep multiplicity and
+    # values unchanged (oracle-verified).
+    cdim = cn.join(r, F.col("cn_region") == F.col("r_regionkey")).select(
+        "cn_key"
+    )
+    sdim = s.join(sn, F.col("s_nationkey") == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cu, o.o_custkey == cu.c_custkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cdim), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.sum(focal).alias("focal_vol"),

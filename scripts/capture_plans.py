@@ -1,11 +1,11 @@
-"""Capture .explain("formatted") for bench queries into plans/r14/.
+"""Capture .explain("formatted") for bench queries into plans/r15/.
 
 Usage:
     python scripts/capture_plans.py before [--only a,b] [--all]
     python scripts/capture_plans.py after  [--only a,b]
 
-Writes plans/r14/<query>_<tag>.txt.  Bench queries by default (the
-round-14 optimization surface); --all covers the whole registry.
+Writes plans/r15/<query>_<tag>.txt.  Bench queries by default (the
+round-15 optimization surface); --all covers the whole registry.
 
 NOTE: queries with eager construction (pagerank's supersteps,
 connected-components loops, persisted index builds) execute real jobs
@@ -24,7 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r14")
+OUT_DIR = os.path.join(REPO, "plans", "r15")
 
 
 def main() -> int:
