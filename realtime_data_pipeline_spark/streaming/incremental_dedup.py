@@ -94,10 +94,7 @@ def _band_rows(docs: DataFrame, n_perms: int) -> DataFrame:
     SHARED banding scheme (dedup.lsh_band_rows, BAND_R=2): the online
     filter and the batch candidate generator must agree on what a
     candidate is, or the streaming twin's batch oracle diverges."""
-    sigs = dedup.minhash_signatures(docs, n_perms).select(
-        "doc_id",
-        F.array(*[f"sig{j}" for j in range(n_perms)]).alias("sigs"),
-    )
+    sigs = dedup.minhash_signatures(docs, n_perms).select("doc_id", "sigs")
     return dedup.lsh_band_rows(sigs, n_perms)
 
 

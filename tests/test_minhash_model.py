@@ -85,7 +85,7 @@ def test_minhash_pipeline_matches_python_model(spark, docs):
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     got_sigs = {
-        r["doc_id"]: [r[f"sig{j}"] for j in range(N_PERMS)]
+        r["doc_id"]: list(r["sigs"])
         for r in dedup.minhash_signatures(df).collect()
     }
     want_sigs = {
