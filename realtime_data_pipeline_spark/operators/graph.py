@@ -88,23 +88,41 @@ def connected_components(
     # Convergence metric: sum(component) over the fixed node set.
     # Labels are monotone non-increasing under min-propagation, so the
     # sum STRICTLY decreases whenever any label moves and is constant
-    # exactly at the fixpoint — one decimal (overflow-proof) scalar
-    # per job replaces the per-round moved-flag comparison, and it
-    # needs no reference to the block's start labels, so any number
-    # of fused rounds share one test.  The initial sum rides the same
-    # job that materializes the initial checkpoint.
-    obs0 = Observation("cc_init")
+    # exactly at the fixpoint — one decimal scalar per job replaces
+    # the per-round moved-flag comparison, and it needs no reference
+    # to the block's start labels, so any number of fused rounds share
+    # one test.  The initial sum rides the same job that materializes
+    # the initial checkpoint.  decimal(38,0) holds any plausible sum
+    # (~1e19 max-bigint labels before precision 38 saturates) but is
+    # NOT unconditionally overflow-proof: non-ANSI decimal sum returns
+    # NULL on overflow, and coercing two overflowed NULLs to 0 would
+    # read as converged — so a NULL sum over a NON-EMPTY node set
+    # raises instead (ADVICE r14).  The count rides the same metric.
+    def _metrics(tag: str):
+        return Observation(tag), (
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def _obs_sum(obs: "Observation") -> int:
+        m = obs.get
+        if m["s"] is None and m["n"]:
+            raise ArithmeticError(
+                "connected_components convergence sum overflowed "
+                "decimal(38,0) — label-sum convergence is unsound here; "
+                "shrink labels or partition the graph"
+            )
+        return m["s"] or 0  # None only for an empty node set
+
+    obs0, metrics0 = _metrics("cc_init")
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .observe(
-            obs0,
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-        )
+        .observe(obs0, *metrics0)
         .localCheckpoint()
     )
-    prev_sum = obs0.get["s"] or 0
+    prev_sum = _obs_sum(obs0)
 
     def _one_round(lbl: DataFrame) -> DataFrame:
         # Candidate label for each node: min over neighbours' labels.
@@ -136,15 +154,9 @@ def connected_components(
         # is ONE distributed job — a separate join+count would double
         # the per-block latency, which at diameter D is 2D/k driver
         # round-trips of pure overhead.
-        obs = Observation(f"cc_round_{rounds_done}")
-        labels = (
-            stepped.observe(
-                obs,
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-            )
-            .localCheckpoint()
-        )
-        new_sum = obs.get["s"] or 0
+        obs, metrics = _metrics(f"cc_round_{rounds_done}")
+        labels = stepped.observe(obs, *metrics).localCheckpoint()
+        new_sum = _obs_sum(obs)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -16,11 +16,18 @@ operator provides one with bounded per-task work:
    (NOT N-row) driver-side cumsum — O(hundreds) on a real cluster —
    broadcast-joined back.  global row number = offset[pid] + local rn.
 
-The input is persisted for the duration: the offsets pass and the
-result pass MUST observe the same range boundaries, and
-``repartitionByRange`` samples boundaries per job — caching pins one
-sampled partitioning for both (also what you'd do at scale: one
-shuffle, two cheap passes over it).
+The ranged input is pinned with a (lazy) ``localCheckpoint`` for the
+duration: the offsets pass and the result pass MUST observe the same
+range boundaries, and ``repartitionByRange`` samples boundaries per
+job — materializing one sampled partitioning serves both (also what
+you'd do at scale: one shuffle, two cheap passes over it).  r15: this
+was a ``persist()`` before, which leaked a CacheManager entry per call
+on the success path (no caller can know when the returned lazy plan is
+done).  Checkpoint blocks are instead released by the ContextCleaner
+when the plan is garbage-collected — bounded in long-lived sessions
+without an unpersist hook.  Lineage truncation means a lost block
+fails the job rather than resampling boundaries mid-query (fail-stop,
+never silently wrong ranks).
 
 With a total order (callers must include a unique tie-break column),
 row_number == rank == dense_rank, so percent_rank and cume_dist are
@@ -51,36 +58,37 @@ def with_global_row_number(
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).persist()
-    try:
-        sized = ranged.withColumn(_PID, F.spark_partition_id())
-        # Pass 1: per-partition sizes → cumulative offsets (P rows).
-        counts = dict(
-            sized.groupBy(_PID).count().collect()
-        )  # {pid: n} — O(P), never O(N)
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        offset_df = F.broadcast(
-            spark.createDataFrame(
-                [(pid, off) for pid, off in offsets.items()],
-                f"{_PID} int, __rank_offset long",
-            )
+    # lazy checkpoint: materialized by the pass-1 collect below, reused
+    # (same blocks, same sampled range boundaries) by pass 2 — see the
+    # module docstring for why this is a checkpoint, not a persist.
+    ranged = df.repartitionByRange(
+        p, *[F.col(c) for c in order_cols]
+    ).localCheckpoint(eager=False)
+    sized = ranged.withColumn(_PID, F.spark_partition_id())
+    # Pass 1: per-partition sizes → cumulative offsets (P rows).
+    counts = dict(
+        sized.groupBy(_PID).count().collect()
+    )  # {pid: n} — O(P), never O(N)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            f"{_PID} int, __rank_offset long",
         )
-        # Pass 2: local sort + offset add.  The window partitions by
-        # physical partition id, so each task sorts only its own range.
-        w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
-        out = (
-            sized.withColumn(_LOCAL_RN, F.row_number().over(w))
-            .join(offset_df, _PID)
-            .withColumn(rn_col, F.col("__rank_offset") + F.col(_LOCAL_RN))
-            .drop(_PID, _LOCAL_RN, "__rank_offset")
-        )
-        return out, acc
-    except Exception:
-        ranged.unpersist()
-        raise
+    )
+    # Pass 2: local sort + offset add.  The window partitions by
+    # physical partition id, so each task sorts only its own range.
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        sized.withColumn(_LOCAL_RN, F.row_number().over(w))
+        .join(offset_df, _PID)
+        .withColumn(rn_col, F.col("__rank_offset") + F.col(_LOCAL_RN))
+        .drop(_PID, _LOCAL_RN, "__rank_offset")
+    )
+    return out, acc
 
 
 def with_global_running_sum(
@@ -102,42 +110,53 @@ def with_global_running_sum(
     "aggregate before you shuffle").
 
     Returns ``(dataframe, grand_total)``.
+
+    ``weight_col`` must be an INTEGRAL column (ADVICE r14): the offsets
+    cross the driver through a declared ``long`` schema and the running
+    sum feeds rank arithmetic — a double/decimal weight would truncate
+    offsets silently or change the grand_total type under the caller.
     """
+    itype = df.schema[weight_col].dataType.typeName()
+    if itype not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"with_global_running_sum requires an integral weight_col; "
+            f"{weight_col!r} is {itype} (cast or pre-scale it first)"
+        )
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).persist()
-    try:
-        sized = ranged.withColumn(_PID, F.spark_partition_id())
-        # Pass 1: per-partition weight sums → cumulative offsets (P rows).
-        sums = dict(
-            sized.groupBy(_PID).agg(F.sum(weight_col).alias("s")).collect()
-        )  # {pid: sum} — O(P), never O(N)
-        offsets, acc = {}, 0
-        for pid in sorted(sums):
-            offsets[pid] = acc
-            acc += sums[pid] or 0
-        offset_df = F.broadcast(
-            spark.createDataFrame(
-                [(pid, off) for pid, off in offsets.items()],
-                f"{_PID} int, __rank_offset long",
-            )
+    # lazy checkpoint, not persist — same contract as
+    # with_global_row_number above.
+    ranged = df.repartitionByRange(
+        p, *[F.col(c) for c in order_cols]
+    ).localCheckpoint(eager=False)
+    sized = ranged.withColumn(_PID, F.spark_partition_id())
+    # Pass 1: per-partition weight sums → cumulative offsets (P rows).
+    sums = dict(
+        sized.groupBy(_PID).agg(F.sum(weight_col).alias("s")).collect()
+    )  # {pid: sum} — O(P), never O(N)
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            f"{_PID} int, __rank_offset long",
         )
-        # Pass 2: local running sum + offset add (task-local sort only).
-        w = (
-            Window.partitionBy(_PID)
-            .orderBy(*[F.col(c) for c in order_cols])
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        out = (
-            sized.withColumn(_LOCAL_RN, F.sum(weight_col).over(w))
-            .join(offset_df, _PID)
-            .withColumn(out_col, F.col("__rank_offset") + F.col(_LOCAL_RN))
-            .drop(_PID, _LOCAL_RN, "__rank_offset")
-        )
-        return out, acc
-    except Exception:
-        ranged.unpersist()
-        raise
+    )
+    # Pass 2: local running sum + offset add (task-local sort only).
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        sized.withColumn(_LOCAL_RN, F.sum(weight_col).over(w))
+        .join(offset_df, _PID)
+        .withColumn(out_col, F.col("__rank_offset") + F.col(_LOCAL_RN))
+        .drop(_PID, _LOCAL_RN, "__rank_offset")
+    )
+    return out, acc
 
 
 def ntile_expr(rn: Column, total: int, n_tiles: int) -> Column:

@@ -249,6 +249,19 @@ def q_purchase_window_views(spark, sf_dir):
 _PR_TOTAL = 1_000_000_000_000  # total mass in pico-units (10^12)
 _PR_ITERS = 3
 _PR_TOP = 20
+# Scale guards (r15, VERDICT r14 #4).  The pr relation is
+# item-vocabulary-sized — broadcastable at any plausible catalog size,
+# but a corpus-shaped vocabulary would OOM the driver, so the broadcast
+# is size-guarded: above this node count the iteration joins fall back
+# to shuffle joins (pr rows ~50-100 B framed → 4M nodes ≈ 200-400 MB
+# broadcast, the guide's "few hundred MB" ceiling).  The count is the
+# driver scalar the teleport term already needs, so the guard is free.
+_PR_BROADCAST_MAX_NODES = 4_000_000
+# Unbarriered iteration chaining grows the plan linearly in _PR_ITERS
+# (fine at 3); past this depth each superstep re-checkpoints so plan
+# compile time stays O(1) per iteration (operators/graph.py barrier
+# convention) — the guard that was previously only a comment.
+_PR_BARRIER_MIN_ITERS = 10
 
 _PR_EDGE_SQL = """
     seq AS (SELECT (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS item,
@@ -362,26 +375,32 @@ def q_pagerank_top_items(spark, sf_dir):
     # shuffle of the edge relation replaces _PR_ITERS per-iteration
     # shuffles of the same bytes.
     esrc = edges.join(outdeg, "src").repartition(F.col("dst")).persist()
+    # r15 guards: both are no-ops at current sizes (plan byte-identical,
+    # shuffle pin stays 0) and exist so the 100 TB posture is code, not
+    # a comment — pinned by tests/test_plan_regression.py's fallback
+    # tests via monkeypatched thresholds.
+    bcast_ok = n_nodes <= _PR_BROADCAST_MAX_NODES
+    barrier = _PR_ITERS >= _PR_BARRIER_MIN_ITERS
+    hint = F.broadcast if bcast_ok else (lambda df: df)
     for _ in range(_PR_ITERS):
         contrib = (
-            esrc.join(F.broadcast(pr), pr["v"] == esrc["src"])
+            esrc.join(hint(pr), pr["v"] == esrc["src"])
             .groupBy("dst")
             .agg(F.sum(F.expr("pr div od")).alias("s"))
         )
-        # No per-iteration superstep barrier (r14): with _PR_ITERS=3
-        # the unbarriered plan grows LINEARLY (each pr appears exactly
-        # once, inside the next iteration's broadcast), the vocab-sized
-        # inputs are cached, and every broadcast subtree still executes
-        # exactly once — dropping the localCheckpoint removes one
-        # materialization job per iteration.  ONE final checkpoint
-        # after the loop keeps the returned plan lineage-truncated
-        # (TakeOrdered over a materialized vocab-sized relation — the
-        # shuffle-pin and lineage tests' contract).  An iteration
-        # count high enough for plan-compile time to matter would
-        # want the operators/graph.py barrier convention back.
+        # No per-iteration superstep barrier below _PR_BARRIER_MIN_ITERS
+        # (r14): with _PR_ITERS=3 the unbarriered plan grows LINEARLY
+        # (each pr appears exactly once, inside the next iteration's
+        # broadcast), the vocab-sized inputs are cached, and every
+        # broadcast subtree still executes exactly once — dropping the
+        # localCheckpoint removes one materialization job per
+        # iteration.  ONE final checkpoint after the loop keeps the
+        # returned plan lineage-truncated (TakeOrdered over a
+        # materialized vocab-sized relation — the shuffle-pin and
+        # lineage tests' contract).
         pr = (
             nodes
-            .join(F.broadcast(contrib), nodes["v"] == contrib["dst"], "left")
+            .join(hint(contrib), nodes["v"] == contrib["dst"], "left")
             .select(
                 "v",
                 (
@@ -390,7 +409,10 @@ def q_pagerank_top_items(spark, sf_dir):
                 ).alias("pr"),
             )
         )
-    pr = pr.localCheckpoint()
+        if barrier:
+            pr = pr.localCheckpoint()
+    if not barrier:
+        pr = pr.localCheckpoint()
     return (
         pr.select(
             F.col("v").alias("item"),

@@ -119,6 +119,12 @@ def load_table(
     is worth spreading across cores.  Leave off for broadcast-probe
     plans, where the extra exchange of pruned rows costs more than
     the parallelism returns."""
+    if widen not in (True, False, "cpu"):
+        # ADVICE r14: a typo'd widen string ("CPU", "io") must not
+        # silently fall through to the bool-widen byte floor.
+        raise ValueError(
+            f"widen must be True, False, or 'cpu'; got {widen!r}"
+        )
     if name == "events":
         return load_events(spark, sf_dir)
     path = f"{sf_dir}/{name}.parquet"

@@ -44,7 +44,6 @@ def main() -> int:
         master=f"local[{n}]",
         shuffle_partitions=n,
     )
-    tracker = spark.sparkContext.statusTracker()
 
     names = (
         args.only.split(",")
@@ -66,7 +65,6 @@ def main() -> int:
     for name in names:
         best = None
         for _ in range(args.runs):
-            j0 = len(tracker.getJobIdsForGroup(None) or []) or 0
             # job ids are global+monotone; count via all job ids
             ids0 = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
             n0 = len(list(ids0))

@@ -566,6 +566,26 @@ def test_pagerank_lineage_truncated_per_superstep(spark):
     assert len(plan) < 2000, len(plan)
 
 
+def test_pagerank_scale_guard_fallbacks_match(spark, monkeypatch):
+    """r15 scale guards: above _PR_BROADCAST_MAX_NODES the iteration
+    joins must run WITHOUT the pr/contrib broadcast hints, and at
+    >= _PR_BARRIER_MIN_ITERS each superstep re-checkpoints.  Both
+    fallbacks are dead code at test sizes by design (the default plan
+    is byte-identical, pinned by the lineage test above) — this forces
+    them on via the module thresholds and pins that the fixed-point
+    values are identical down the fallback paths (integer arithmetic
+    is join-strategy- and barrier-invariant)."""
+    from realtime_data_pipeline_spark.plans import lake
+
+    spark.catalog.clearCache()
+    want = REGISTRY["pagerank_top_items"].fn(spark, SF_DIR).collect()
+    monkeypatch.setattr(lake, "_PR_BROADCAST_MAX_NODES", 0)
+    monkeypatch.setattr(lake, "_PR_BARRIER_MIN_ITERS", 1)
+    spark.catalog.clearCache()
+    got = REGISTRY["pagerank_top_items"].fn(spark, SF_DIR).collect()
+    assert got == want and len(want) > 0
+
+
 def test_registry_outputs_scalar_only(spark):
     """Round-8's one driver red was a CONTRACT bug, not a wrong answer:
     `term_postings_stats` emitted an `array<string>` column and the

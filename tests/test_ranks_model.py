@@ -92,3 +92,42 @@ def test_global_running_sum_reproduces_tie_group_rank_bounds(spark):
         for r in gc.collect()
     }
     assert got == want and total == len(vals)
+
+
+def test_ranks_leave_no_cache_entry(spark):
+    """r15 (VERDICT r14 #7): the two-pass helpers used to persist()
+    their range-partitioned input with no unpersist on the success
+    path — a CacheManager entry leaked per call in a long-lived
+    session.  They now pin the sampled partitioning with a lazy
+    localCheckpoint (ContextCleaner-managed blocks), so after building
+    AND executing the result the session cache must be empty."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark.operators.ranks import (
+        with_global_row_number,
+        with_global_running_sum,
+    )
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(500)], "uid long, w int"
+    )
+    out1, n1 = with_global_row_number(df, ["w", "uid"], rn_col="rn")
+    out2, n2 = with_global_running_sum(df, ["w", "uid"], "w")
+    assert out1.count() == 500 and n1 == 500
+    assert out2.count() == 500 and n2 == sum(i % 7 for i in range(500))
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_running_sum_rejects_non_integral_weight(spark):
+    """ADVICE r14: the offsets cross the driver through a declared
+    `long` schema — a double weight would truncate silently."""
+    import pytest
+
+    from realtime_data_pipeline_spark.operators.ranks import (
+        with_global_running_sum,
+    )
+
+    df = spark.createDataFrame([(1, 0.5)], "uid long, w double")
+    with pytest.raises(TypeError, match="integral"):
+        with_global_running_sum(df, ["uid"], "w")
