@@ -87,12 +87,29 @@ def q_pricing_summary(spark, sf_dir):
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
     )
     cnt = F.count("*")
-    sum_qty = F.sum(F.col("l_quantity").cast(_DEC))
-    sum_price = F.sum(F.col("l_extendedprice").cast(_DEC))
-    sum_disc = F.sum(F.col("l_discount").cast("decimal(18,4)"))
+    # r15 (guide §2.3 narrower types / §1.2 per-task work): the three
+    # PLAIN decimal sums run as codegen'd int64 sums of exact cents /
+    # basis points.  Sound because the money discipline bounds the
+    # domain: quantities, prices and discounts are exact 2/4-decimal
+    # values (verified max |x·scale − round(x·scale)| ≤ 1e-9 over the
+    # corpus), so round(x·scale) is the same unscaled integer the
+    # DECIMAL(18,2)/(18,4) cast produced, sums are the same exact
+    # integers, and one IEEE division by the scale yields the same
+    # nearest-double the decimal→double cast did.  Byte-exact vs the
+    # unchanged DuckDB oracle at sf0.01/sf0.1 (which still sums real
+    # decimals).  The two (28,10) PRODUCT sums stay decimal: their
+    # per-row cast rounds the exact decimal expansion of a double
+    # product at digit 10 — not reproducible in int64 (an int64
+    # sibling was measured and rejected; only this split is exact).
+    qty_c = F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+    price_c = F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+    disc_bp = F.sum(F.round(F.col("l_discount") * 10000, 0).cast("long"))
+    sum_qty = qty_c / F.lit(100.0)
+    sum_price = price_c / F.lit(100.0)
+    sum_disc = disc_bp / F.lit(10000.0)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        sum_qty.cast("double").alias("sum_qty"),
-        sum_price.cast("double").alias("sum_base_price"),
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
         money(F.sum(_revenue_col())).alias("sum_disc_price"),
         money(
             F.sum(
@@ -103,9 +120,9 @@ def q_pricing_summary(spark, sf_dir):
                 ).cast("decimal(28,10)")
             )
         ).alias("sum_charge"),
-        F.round(sum_qty.cast("double") / cnt, 4).alias("avg_qty"),
-        F.round(sum_price.cast("double") / cnt, 4).alias("avg_price"),
-        F.round(sum_disc.cast("double") / cnt, 4).alias("avg_disc"),
+        F.round(sum_qty / cnt, 4).alias("avg_qty"),
+        F.round(sum_price / cnt, 4).alias("avg_price"),
+        F.round(sum_disc / cnt, 4).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 

@@ -15,6 +15,7 @@ import datetime as dt
 import os
 from realtime_data_pipeline_spark.scratch import scratch_dir
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -61,8 +62,14 @@ def q_streaming_replay_user_counts(spark, sf_dir):
     # Single file → all real events in one micro-batch, so no intermediate
     # watermark advance can drop out-of-order rows; the sentinel's own
     # batch then flushes every window.  (Test-determinism measure only.)
-    events.coalesce(1).write.mode("overwrite").parquet(replay)
-    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    # r15: max(timestamp) rides the replay write as an Observation —
+    # one corpus pass builds the file AND the sentinel bound (the
+    # separate agg job re-read the whole input per query).
+    obs = Observation()
+    events.observe(obs, F.max("timestamp").alias("m")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(replay)
+    max_ts = obs.get["m"]
     sentinel = spark.createDataFrame(
         [(SENTINEL, SENTINEL, "flush", max_ts + dt.timedelta(days=2))],
         schema=EVENT_SCHEMA,
@@ -110,8 +117,13 @@ def _replay_dir(events, spark, schema, duplicate: bool = False):
     base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
     payload = events.unionAll(events) if duplicate else events
-    payload.coalesce(1).write.mode("overwrite").parquet(replay)
-    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    # max(timestamp) rides the write (r15, same idiom as the CC loop's
+    # convergence metric): no second pass over the input per replay.
+    obs = Observation()
+    payload.observe(obs, F.max("timestamp").alias("m")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(replay)
+    max_ts = obs.get["m"]
     sentinel_row = [None] * len(schema.fields)
     names = [f.name for f in schema.fields]
     sentinel_row[names.index("user_id")] = SENTINEL
@@ -248,12 +260,15 @@ def q_streaming_click_purchase_join(spark, sf_dir):
 
     base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
-    events.coalesce(1).write.mode("overwrite").parquet(replay)
+    obs = Observation()
+    events.observe(obs, F.max("timestamp").alias("m")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(replay)
     # Sentinel rows pass BOTH event-type filters so the watermark of each
     # join side advances past every real event (a filtered-out sentinel
     # would advance nothing: Catalyst pushes filters below the watermark
     # operator).  They join only each other; excluded on read-back.
-    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    max_ts = obs.get["m"]
     flush_ts = max_ts + dt.timedelta(days=2)
     sentinel = spark.createDataFrame(
         [(SENTINEL, SENTINEL, "click", flush_ts),
@@ -429,8 +444,11 @@ def q_streaming_json_wire_counts(spark, sf_dir):
 
     base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
-    to_wire(events).coalesce(1).write.mode("overwrite").text(replay)
-    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    obs = Observation()
+    to_wire(
+        events.observe(obs, F.max("timestamp").alias("m"))
+    ).coalesce(1).write.mode("overwrite").text(replay)
+    max_ts = obs.get["m"]
     sentinel = spark.createDataFrame(
         [(SENTINEL, SENTINEL, "flush", max_ts + dt.timedelta(days=2))],
         schema=EVENT_SCHEMA,
@@ -489,8 +507,11 @@ def q_streaming_purchase_attribution_outer(spark, sf_dir):
 
     base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
-    events.coalesce(1).write.mode("overwrite").parquet(replay)
-    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    obs = Observation()
+    events.observe(obs, F.max("timestamp").alias("m")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(replay)
+    max_ts = obs.get["m"]
     flush_ts = max_ts + dt.timedelta(days=2)
     # Sentinels pass both side filters so both watermarks advance and
     # the unmatched-left rows flush; excluded on read-back.
@@ -863,8 +884,11 @@ def q_streaming_enriched_segment_counts(spark, sf_dir):
     )
     base = scratch_dir(prefix="rdp_stream_")
     replay = os.path.join(base, "replay")
-    events.coalesce(1).write.mode("overwrite").parquet(replay)
-    max_ts = events.agg(F.max("timestamp")).collect()[0][0]
+    obs = Observation()
+    events.observe(obs, F.max("timestamp").alias("m")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(replay)
+    max_ts = obs.get["m"]
     # sentinel user -1 joins no customer: it advances the watermark at
     # the source, then the inner join drops it — nothing to filter out
     spark.createDataFrame(
