@@ -458,6 +458,14 @@ def q_region_market_share(spark, sf_dir):
     sdim = s.join(sn, F.col("s_nationkey") == F.col("sn_key")).select(
         "s_suppkey", "supp_nation"
     )
+    # Measured and REJECTED (r15): pre-filtering CUSTOMER with the
+    # ASIA key set BEFORE the o⋈cu join (the §2.3 semi-join prune that
+    # would cut the customer shuffle ~5× when o⋈cu is a shuffle join)
+    # regressed 1.007 → 1.310 s min locally and AQE did not recover —
+    # the joined-input size estimate loses the broadcast decision and
+    # the initial plan SMJs o⋈cu_asia, adding a custkey exchange of
+    # the fact side that the current order never pays.  Revisit only
+    # with runtime stats that keep the broadcast (CBO/AQE maturity).
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cu, o.o_custkey == cu.c_custkey)
